@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "triples_per_sec": ...}
+
+Run `python bench.py --scaling` to additionally measure local[8] vs
+local[32] throughput and scaling efficiency (north-rule evidence; written
+to BENCH/BASELINE.md by tools/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: the KG pipeline stages + KB build (kept in dependency order)
+HEADLINE = [
+    "transcripts",
+    "kb_alias",
+    "mentions",
+    "candidates",
+    "link_prior_argmax",
+    "link_embed",
+    "canonicalize",
+    "eval_micro_f1",
+]
+
+
+def run(spark, names=None, sf_dir=SF_DIR):
+    from ed_twitter_spark.plans import registry
+
+    qs = registry.queries()
+    names = [n for n in (names or HEADLINE) if n in qs]
+    timings = {}
+    n_triples = 0
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # force full execution without collecting rows to the driver
+        cnt = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        if name in {"link_prior_argmax", "link_embed"}:
+            n_triples = max(n_triples, cnt)
+    return timings, n_triples
+
+
+def main():
+    from ed_twitter_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS)
+    # warm the JVM/codegen once on the smallest table
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    t0 = time.time()
+    timings, n_triples = run(spark)
+    total = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    link_sec = timings.get("link_embed") or timings.get("link_prior_argmax") or total
+    out = {
+        "metric": "kg_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / link_sec, 1) if n_triples else 0,
+        "cores": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Query registry: every implemented operator as a (Spark builder, oracle SQL) pair.
+
+The driver runs each Spark query at sf=0.01 and the oracle SQL in DuckDB on
+the same parquet tables, comparing row count + schema + order-insensitive
+value hash. Column names and types are aligned on both sides; float columns
+are rounded identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ed_twitter_spark import synth
+from ed_twitter_spark.operators import candidates as cand_ops
+from ed_twitter_spark.operators import eval as eval_ops
+from ed_twitter_spark.operators import mentions as mention_ops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# 1. transcripts derivation — the pipeline input (per-turn text equality)
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPTS_ORACLE = f"""
+WITH transcripts AS ({synth.TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(epoch(ts) AS BIGINT) AS ts_epoch
+FROM transcripts
+"""
+
+
+@register("transcripts", _TRANSCRIPTS_ORACLE)
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth.transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. kb_alias — p(e|m) construction (A1 count, A2 merge, A3 normalize, T1/T2)
+# ---------------------------------------------------------------------------
+
+
+@register("kb_alias", synth.KB_ALIAS_SQL)
+def q_kb_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.kb_alias(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 3. mentions — tokenize (P3) + turn-local context split (W1 tweets variant)
+# ---------------------------------------------------------------------------
+
+
+@register("mentions", mention_ops.mentions_sql())
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 4. candidates — J1 broadcast alias join, ranked
+# ---------------------------------------------------------------------------
+
+_CANDIDATES_ORACLE = f"""
+WITH m AS ({mention_ops.mentions_sql()}),
+kb AS ({synth.KB_ALIAS_SQL})
+SELECT m.conv_id, m.turn_idx, m.mention_idx, m.mention,
+       kb.ent_id, kb.ent_name, kb.prior, kb.rank, m.doc_id
+FROM m LEFT JOIN kb ON m.mention = kb.mention
+"""
+
+
+@register("candidates", _CANDIDATES_ORACLE)
+def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+    kb = synth.kb_alias(spark, sf_dir)
+    return cand_ops.gen_candidates(m, kb)
+
+
+# ---------------------------------------------------------------------------
+# 5. link_prior_argmax — T7 argmax over p(e|m) → triples
+# ---------------------------------------------------------------------------
+
+_LINK_PRIOR_ORACLE = f"""
+WITH m AS ({mention_ops.mentions_sql()}),
+kb AS ({synth.KB_ALIAS_SQL})
+SELECT m.conv_id || '#' || CAST(m.turn_idx AS VARCHAR) || '#' ||
+       CAST(m.mention_idx AS VARCHAR)            AS subj,
+       'links_to'                                AS pred,
+       COALESCE(kb.ent_name, 'NIL')              AS obj,
+       COALESCE(kb.prior, 0.0)                   AS score,
+       m.conv_id, m.turn_idx, m.mention_idx, m.mention, m.doc_id
+FROM m LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb
+  ON m.mention = kb.mention
+"""
+
+
+@register("link_prior_argmax", _LINK_PRIOR_ORACLE)
+def q_link_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+    kb = synth.kb_alias(spark, sf_dir)
+    return cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb))
+
+
+# ---------------------------------------------------------------------------
+# 6. eval_micro_f1 — A8/J7 metrics of the prior linker vs planted gold
+# ---------------------------------------------------------------------------
+
+_EVAL_ORACLE = f"""
+WITH m AS ({mention_ops.mentions_sql()}),
+kb AS ({synth.KB_ALIAS_SQL}),
+pred AS (
+  SELECT m.conv_id || '#' || CAST(m.turn_idx AS VARCHAR) || '#' ||
+         CAST(m.mention_idx AS VARCHAR) AS subj,
+         COALESCE(kb.ent_name, 'NIL')   AS obj
+  FROM m LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb
+    ON m.mention = kb.mention
+),
+gold AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) || '#' ||
+         CAST(mention_idx AS VARCHAR) AS subj,
+         'E' || CAST({synth.gold_suffix_sql('doc_id', 'mention_idx')} AS VARCHAR)
+             || '_' || mention        AS gold_obj
+  FROM m
+),
+j AS (SELECT gold.gold_obj, pred.obj FROM gold LEFT JOIN pred USING (subj))
+SELECT CAST(SUM(CASE WHEN obj = gold_obj AND obj <> 'NIL' THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+       CAST(SUM(CASE WHEN obj <> 'NIL' THEN 1 ELSE 0 END) AS BIGINT)                    AS n_pred,
+       CAST(COUNT(*) AS BIGINT)                                                         AS n_gold,
+       ROUND(SUM(CASE WHEN obj = gold_obj AND obj <> 'NIL' THEN 1 ELSE 0 END)
+             * 1.0 / SUM(CASE WHEN obj <> 'NIL' THEN 1 ELSE 0 END), 6)                  AS precision,
+       ROUND(SUM(CASE WHEN obj = gold_obj AND obj <> 'NIL' THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6)                                                       AS recall,
+       ROUND(2.0 * (SUM(CASE WHEN obj = gold_obj AND obj <> 'NIL' THEN 1 ELSE 0 END)
+             * 1.0 / SUM(CASE WHEN obj <> 'NIL' THEN 1 ELSE 0 END))
+             * (SUM(CASE WHEN obj = gold_obj AND obj <> 'NIL' THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*))
+             / ((SUM(CASE WHEN obj = gold_obj AND obj <> 'NIL' THEN 1 ELSE 0 END)
+             * 1.0 / SUM(CASE WHEN obj <> 'NIL' THEN 1 ELSE 0 END))
+             + (SUM(CASE WHEN obj = gold_obj AND obj <> 'NIL' THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*))), 6)                                                     AS f1
+FROM j
+"""
+
+
+def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted gold links for every mention occurrence (closed-form)."""
+    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+    suffix = synth.gold_suffix_col(F.col("doc_id"), F.col("mention_idx"))
+    return m.select(
+        F.concat_ws("#", "conv_id", "turn_idx", "mention_idx").alias("subj"),
+        F.concat(F.lit("E"), suffix.cast("string"), F.lit("_"), F.col("mention")).alias(
+            "gold_obj"
+        ),
+    )
+
+
+@register("eval_micro_f1", _EVAL_ORACLE)
+def q_eval_micro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+    kb = synth.kb_alias(spark, sf_dir)
+    pred = cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb)).select("subj", "obj")
+    gold = gold_triples(spark, sf_dir)
+    return eval_ops.micro_prf(pred, gold)
