@@ -1,0 +1,97 @@
+"""Deterministic model-weight fixtures + embedding matrix loading.
+
+The reference trains its weights offline (deep-ed-pytorch learn_a.py; nel
+training loop); inference is pure tensor math given fixed weights
+(SURVEY.md §2.9). Here weights are a seed-42 fixture with the exact shapes
+of the reference modules (`local_ctx_att_ranker.py:22-28`,
+`mulrel_ranker.py:58-87`), and the word/entity embedding matrix comes from
+the driver-provided ``embeddings.parquet`` rows, md5-keyed:
+
+    vec_id(token)    = int(md5(token)[:6], 16)  % n_vectors
+    vec_id(ent_name) = int(md5(ent_name)[:8], 16) % n_vectors
+
+Rows are L2-normalized like the reference does at load
+(`mulrel-nel/nel/ed_ranker.py:32-39`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+EMB_DIMS = 64  # driver embeddings.parquet dimensionality
+HID_DIMS = 100  # main.py --hid_dims default
+N_RELS = 3  # 3-relation ment-norm model (mulrel-nel/README.md:33)
+
+
+def word_code(token: str) -> int:
+    return int(hashlib.md5(token.encode()).hexdigest()[:6], 16)
+
+
+def ent_code(ent_name: str) -> int:
+    return int(hashlib.md5(ent_name.encode()).hexdigest()[:8], 16)
+
+
+def load_embedding_matrix(spark, sf_dir: str) -> np.ndarray:
+    """(n_vectors, 64) float64, rows L2-normalized; row n_vectors is the unk
+    row set to 1e-10 (`ed_ranker.py:35,39`)."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    n = max(r["vec_id"] for r in rows) + 1
+    mat = np.zeros((n + 1, EMB_DIMS), dtype=np.float64)
+    for r in rows:
+        mat[r["vec_id"]] = np.asarray(r["embedding"], dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat = mat / norms
+    mat[n] = 1e-10  # unk row
+    return mat
+
+
+@dataclass(frozen=True)
+class ModelWeights:
+    """Inference-time parameters (shapes match the reference modules)."""
+
+    att_mat_diag: np.ndarray  # (d,)   local_ctx_att_ranker.py:22
+    tok_score_mat_diag: np.ndarray  # (d,)   local_ctx_att_ranker.py:23
+    comb_w1: np.ndarray  # (hid, 2) score_combine linear 1
+    comb_b1: np.ndarray  # (hid,)
+    comb_w2: np.ndarray  # (1, hid) score_combine linear 2
+    comb_b2: np.ndarray  # (1,)
+    ctx_w: np.ndarray  # (d, 3d)  mulrel ctx_layer linear
+    ctx_b: np.ndarray  # (d,)
+    rel_embs: np.ndarray  # (R, d)   mulrel_ranker.py:69-77
+    ew_embs: np.ndarray  # (R, d)   mulrel_ranker.py:79-80
+    pad_ent_emb: np.ndarray  # (d,)     mulrel_ranker.py:61
+    pad_ctx_vec: np.ndarray  # (d,)     mulrel_ranker.py:62
+    tok_top_n: int = 25  # main.py --tok_top_n
+    n_loops: int = 10  # main.py --n_loops
+    df: float = 0.5  # main.py --df (damping)
+
+
+def fixture_weights(seed: int = 42, d: int = EMB_DIMS, hid: int = HID_DIMS,
+                    n_rels: int = N_RELS) -> ModelWeights:
+    """Seed-42 weights, initialized like the reference modules initialize
+    theirs (diag vectors at 1, rel head near 1, small-noise elsewhere) so
+    score magnitudes are realistic."""
+    rs = np.random.RandomState(seed)
+    rel = rs.randn(n_rels, d) * 0.01
+    rel[0] = 1 + rs.randn(d) * 0.01  # mulrel_ranker.py:71
+    return ModelWeights(
+        att_mat_diag=1.0 + rs.randn(d) * 0.05,
+        tok_score_mat_diag=1.0 + rs.randn(d) * 0.05,
+        comb_w1=rs.randn(hid, 2) * 0.3,
+        comb_b1=rs.randn(hid) * 0.05,
+        comb_w2=rs.randn(1, hid) * 0.3,
+        comb_b2=rs.randn(1) * 0.05,
+        ctx_w=rs.randn(d, 3 * d) * (1.0 / np.sqrt(3 * d)),
+        ctx_b=rs.randn(d) * 0.05,
+        rel_embs=rel,
+        ew_embs=rs.randn(n_rels, d) * 0.01,
+        pad_ent_emb=rs.randn(d) * 0.1,
+        pad_ctx_vec=rs.randn(d) * 0.1,
+    )

@@ -1,0 +1,243 @@
+"""Pure-numpy inference kernels (SURVEY.md §2.9 K1-K6, T5, T7).
+
+Clean-room reimplementation of the reference's eval-time math — NTEE
+prerank, local context attention, multi-relational global model with loopy
+belief propagation, and the score⊕prior combiner — as vectorized float64
+numpy over one document (= conversation chunk) at a time. Reference cites:
+
+* K1 prerank: `mulrel-nel/nel/ntee.py:20-39`, `ed_ranker.py:65-151`
+* K2 local attention: `mulrel-nel/nel/local_ctx_att_ranker.py:52-96`
+* K3 combiner MLP: `local_ctx_att_ranker.py:26-28`, `mulrel_ranker.py:84-87,256-259`
+* K4 pairwise coherence: `mulrel_ranker.py:163-189`
+* K5 relation-weighted entity-pair scores (ment-norm): `mulrel_ranker.py:191-222`
+* K6 LBP: `mulrel_ranker.py:233-251`
+* T7 argmax + NIL fallback: `ed_ranker.py:433-436`
+
+These run inside `mapInPandas`/`applyInPandas` on executors, batched per
+conversation; no torch, no GPU — Arrow batches + BLAS matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ed_twitter_spark.functions.fixtures import ModelWeights
+
+BIG_NEG = 1e10
+
+
+def _softmax(x: np.ndarray, axis: int) -> np.ndarray:
+    m = np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
+def _log_softmax(x: np.ndarray, axis: int) -> np.ndarray:
+    m = np.max(x, axis=axis, keepdims=True)
+    s = x - m
+    return s - np.log(np.sum(np.exp(s), axis=axis, keepdims=True))
+
+
+def pad_token_ids(
+    tok_ids: list[list[int]], unk_id: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """make_equal_len (nel/utils.py:113-122): right-pad with unk + 0-mask;
+    empty lists become a single live unk token (ed_ranker.py:288-291)."""
+    tok_ids = [ids if len(ids) > 0 else [unk_id] for ids in tok_ids]
+    t = max(len(ids) for ids in tok_ids)
+    out = np.full((len(tok_ids), t), unk_id, dtype=np.int64)
+    mask = np.zeros((len(tok_ids), t), dtype=np.float64)
+    for i, ids in enumerate(tok_ids):
+        out[i, : len(ids)] = ids
+        mask[i, : len(ids)] = 1.0
+    return out, mask
+
+
+# ---------------------------------------------------------------------------
+# K1 — NTEE prerank + T5 candidate-set mix
+# ---------------------------------------------------------------------------
+
+
+def ntee_log_probs(
+    sum_vecs: np.ndarray, ent_vecs: np.ndarray, ent_mask: np.ndarray
+) -> np.ndarray:
+    """(M,d) context sums × (M,C,d) candidate vecs → masked log-softmax (M,C).
+
+    `ntee.py:29-39` with use_sum=True, then the mask trick of
+    `ed_ranker.py:94`."""
+    scores = np.einsum("mcd,md->mc", ent_vecs, sum_vecs)
+    log_probs = _log_softmax(scores, axis=1)
+    return log_probs * ent_mask + (ent_mask - 1.0) * BIG_NEG
+
+
+def prerank_select(
+    log_probs: np.ndarray, keep_ctx_ent: int = 4, keep_p_e_m: int = 4
+) -> list[np.ndarray]:
+    """T5 selection-set mix (`ed_ranker.py:95-125`): per mention, union of the
+    top-keep_ctx_ent candidates by context score with the first candidate
+    indices (p(e|m)-ordered input) filled from 0 upward, returned sorted."""
+    n_keep = keep_ctx_ent + keep_p_e_m
+    out = []
+    for row in log_probs:
+        top = np.argsort(-row, kind="stable")[:keep_ctx_ent]
+        selected = set(int(i) for i in top)
+        idx = 0
+        while len(selected) < n_keep:
+            if idx not in selected:
+                selected.add(idx)
+            idx += 1
+        out.append(np.array(sorted(selected), dtype=np.int64))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# K2 — local context attention
+# ---------------------------------------------------------------------------
+
+
+def local_attention_scores(
+    tok_vecs: np.ndarray,  # (M,T,d)
+    tok_mask: np.ndarray,  # (M,T)
+    ent_vecs: np.ndarray,  # (M,C,d)
+    ent_mask: np.ndarray,  # (M,C)
+    w: ModelWeights,
+) -> np.ndarray:
+    """(M,C) masked local scores (`local_ctx_att_ranker.py:52-96`, p_e_m=None
+    path: mask applied to the raw entity·context scores at line 84)."""
+    att = np.einsum("mcd,mtd->mct", ent_vecs * w.att_mat_diag, tok_vecs)
+    att = att * tok_mask[:, None, :] + (tok_mask[:, None, :] - 1.0) * BIG_NEG
+    tok_att = att.max(axis=1)  # (M,T) best candidate per token
+    k = min(w.tok_top_n, tok_vecs.shape[1])
+    top_ids = np.argsort(-tok_att, axis=1, kind="stable")[:, :k]  # (M,k)
+    top_scores = np.take_along_axis(tok_att, top_ids, axis=1)
+    att_probs = _softmax(top_scores, axis=1)
+    att_probs = att_probs / att_probs.sum(axis=1, keepdims=True)
+    sel = np.take_along_axis(tok_vecs, top_ids[:, :, None], axis=1)  # (M,k,d)
+    ctx_vec = ((sel * w.tok_score_mat_diag) * att_probs[:, :, None]).sum(axis=1)
+    scores = np.einsum("mcd,md->mc", ent_vecs, ctx_vec)
+    return scores * ent_mask + (ent_mask - 1.0) * BIG_NEG
+
+
+# ---------------------------------------------------------------------------
+# K3 — score ⊕ log-prior combiner MLP
+# ---------------------------------------------------------------------------
+
+
+def score_combine(model_scores: np.ndarray, p_e_m: np.ndarray, w: ModelWeights) -> np.ndarray:
+    """2-layer MLP over [score, log(p+1e-20)] (`mulrel_ranker.py:256-259`)."""
+    m, c = model_scores.shape
+    x = np.stack([model_scores.reshape(-1), np.log(p_e_m + 1e-20).reshape(-1)], axis=1)
+    h = np.maximum(x @ w.comb_w1.T + w.comb_b1, 0.0)
+    return (h @ w.comb_w2.T + w.comb_b2).reshape(m, c)
+
+
+# ---------------------------------------------------------------------------
+# K4-K6 — multi-relational global model (ment-norm, use_pad_ent) + LBP
+# ---------------------------------------------------------------------------
+
+
+def global_lbp_scores(
+    local_scores: np.ndarray,  # (M,C) masked local scores
+    ent_vecs: np.ndarray,  # (M,C,d)
+    ent_mask: np.ndarray,  # (M,C)
+    p_e_m: np.ndarray,  # (M,C)
+    bow_ctx_vecs: np.ndarray,  # (M,3d) [lctx_avg, ment_avg, rctx_avg]
+    w: ModelWeights,
+) -> np.ndarray:
+    """Final combined scores (M,C) per `mulrel_ranker.py:108-263`
+    (ment-norm, bilinear, use_pad_ent=True, eval mode → no dropout,
+    oracle=False). Note the pad entity is appended *before* the
+    `n_ments == 1` check (line 146 vs 159), so with use_pad_ent the global
+    path runs even for single-mention documents."""
+    m, c = local_scores.shape
+    d = ent_vecs.shape[2]
+    r = w.rel_embs.shape[0]
+
+    # pad entity (mulrel_ranker.py:136-146)
+    ent_vecs = np.concatenate(
+        [ent_vecs, np.broadcast_to(w.pad_ent_emb, (1, c, d))], axis=0
+    )
+    pad_row = np.zeros((1, c))
+    pad_row[0, 0] = 1.0
+    ent_mask = np.concatenate([ent_mask, pad_row], axis=0)
+    p_e_m = np.concatenate([p_e_m, pad_row], axis=0)
+    local_scores = np.concatenate([local_scores, np.zeros((1, c))], axis=0)
+    n = m + 1
+
+    # K4: pairwise coherence scores over ctx vectors
+    ctx = np.tanh(bow_ctx_vecs @ w.ctx_w.T + w.ctx_b)  # (M,d) ctx_layer, eval
+    ctx = np.concatenate([ctx, w.pad_ctx_vec[None, :]], axis=0)  # (n,d)
+    rel_ctx = ctx[None, :, :] * w.ew_embs[:, None, :]  # (R,n,d)
+    ctx_scores = np.einsum("rid,jd->rij", rel_ctx, ctx)  # (R,n,n)
+    # dist mask: within max_dist all pairs live, diagonal dead (lines 163-181)
+    eye = np.eye(n)
+    ctx_scores = ctx_scores + (eye[None, :, :]) * (-BIG_NEG)  # (1-dist)*-1e10
+    ctx_scores = ctx_scores + eye[None, :, :] * (-BIG_NEG)  # eye*-1e10
+    ctx_scores = ctx_scores / np.sqrt(d)  # 1/sqrt(ew_hid_dims)
+    probs = _softmax(ctx_scores, axis=2)
+    weights = probs + probs.transpose(0, 2, 1)  # ment-norm (line 193)
+
+    # K5: bilinear relation-weighted entity-pair scores
+    # rel_ent_ent[r,i,c1,j,c2] = Σ_d ent[i,c1,d]·rel[r,d]·ent[j,c2,d]
+    rel_ee = np.einsum("iad,rd,jbd->riajb", ent_vecs, w.rel_embs, ent_vecs)
+    rel_ee = rel_ee * ent_mask[None, None, None, :, :] + (
+        ent_mask[None, None, None, :, :] - 1.0
+    ) * BIG_NEG
+    ent_ent = (
+        np.einsum("riajb,rij->iajb", rel_ee, weights) / r
+    )  # (n,c,n,c) lines 220-222
+
+    # K6: loopy BP, max-product with damping (lines 233-251)
+    offdiag = 1.0 - eye  # (n,n)
+    prev_msgs = np.zeros((n, c, n))
+    for _ in range(w.n_loops):
+        # sum over k≠i of prev_msgs[j,c2,k] → (i,j,c2)
+        sum_msgs = np.einsum("jbk,ik->ijb", prev_msgs, offdiag)
+        votes = ent_ent + local_scores[None, None, :, :] + sum_msgs[:, None, :, :]
+        msgs = votes.max(axis=3)  # (i,c1,j)
+        msgs = np.log(
+            _softmax(msgs, axis=1) * w.df + np.exp(prev_msgs) * (1.0 - w.df)
+        )
+        prev_msgs = msgs
+
+    ent_scores = local_scores + np.einsum("icj,ij->ic", prev_msgs, offdiag)
+    ent_scores = _softmax(ent_scores, axis=1)
+
+    scores = score_combine(ent_scores, p_e_m, w)
+    return scores[:-1]  # drop pad row (line 261-262)
+
+
+# ---------------------------------------------------------------------------
+# T7 — argmax prediction with mask/NIL fallback chain
+# ---------------------------------------------------------------------------
+
+
+def argmax_with_fallback(
+    scores: np.ndarray, ent_mask: np.ndarray, named_cands: list[list[str]]
+) -> list[str]:
+    """`ed_ranker.py:433-436` verbatim semantics."""
+    pred_ids = np.argmax(scores, axis=1)
+    out = []
+    for i, (p, names) in enumerate(zip(pred_ids, named_cands)):
+        if ent_mask[i, p] == 1:
+            out.append(names[p])
+        elif ent_mask[i, 0] == 1:
+            out.append(names[0])
+        else:
+            out.append("NIL")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bow context averaging (A9) for the relation windows
+# ---------------------------------------------------------------------------
+
+
+def masked_mean_vecs(tok_ids: list[list[int]], emb: np.ndarray, unk_id: int) -> np.ndarray:
+    """Σ vec / (count + 1e-5) per mention (`mulrel_ranker.py:128-133`);
+    empty lists use a single unk token (`ed_ranker.py:226-235`)."""
+    out = np.zeros((len(tok_ids), emb.shape[1]))
+    for i, ids in enumerate(tok_ids):
+        ids = ids if len(ids) > 0 else [unk_id]
+        out[i] = emb[np.asarray(ids, dtype=np.int64)].sum(axis=0) / (len(ids) + 1e-5)
+    return out

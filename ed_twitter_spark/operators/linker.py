@@ -1,0 +1,298 @@
+"""The full embedding-based entity linker, distributed.
+
+Pipeline (SURVEY.md §3.3 "Spark lifecycle equivalent"):
+
+1. **window build** (W1-W5): `applyInPandas` over conv_id — sort turns by
+   turn_idx, build the conversation token stream, emit one row per mention
+   with its raw ±100 window sliced → stopword-filtered ±50 ids (W3), and the
+   turn-local ±3 relation window (W4). Exact slice chain of
+   `gen_aida_train.py:113-127` → `ed_ranker.py:196-235`.
+2. **candidate attach** (J1): broadcast join against the p(e|m) table,
+   collect per-mention candidate arrays in prior-desc order.
+3. **scoring** (K1-K6, T5, T7): `applyInPandas` over (conv_id, chunk) —
+   documents >100 mentions are chunked exactly like `ed_ranker.py:253-256`
+   — running the numpy kernels with the broadcast embedding matrix.
+
+Scale notes: stage 1 and 3 shuffle once each on conv_id (stage 3 reuses the
+partitioning modulo chunk salt — the chunk key also bounds LBP memory, which
+is O(M²·C²)); stage 2 is a broadcast join, no shuffle. Viral conversations
+are bounded by chunking; head mentions ride the broadcast join so key skew
+never hits a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ed_twitter_spark.functions import kernels
+from ed_twitter_spark.functions.fixtures import (
+    ModelWeights,
+    ent_code,
+    fixture_weights,
+    load_embedding_matrix,
+    word_code,
+)
+from ed_twitter_spark.functions.text import is_important_word
+from ed_twitter_spark.synth import MENTION_MIN_LEN
+
+RAW_WINDOW = 100  # ±100 raw tokens (gen_aida_train.py:113-127)
+CTX_WINDOW = 100  # filtered window total (main.py --ctx_window)
+PRERANK_WINDOW = 50  # main.py --prerank_ctx_window
+SND_WINDOW = 6  # main.py --snd_local_ctx_window
+N_CANDS_BEFORE_RANK = 30  # main.py --n_cands_before_rank
+KEEP_CTX_ENT = 4
+KEEP_P_E_M = 4
+DOC_CHUNK = 100  # ed_ranker.py:253-256
+
+_WINDOW_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("mention_idx", IntegerType()),
+        StructField("seq", IntegerType()),
+        StructField("mention", StringType()),
+        StructField("lctx_ids", ArrayType(LongType())),
+        StructField("rctx_ids", ArrayType(LongType())),
+        StructField("snd_l_ids", ArrayType(LongType())),
+        StructField("snd_m_ids", ArrayType(LongType())),
+        StructField("snd_r_ids", ArrayType(LongType())),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+_TRIPLE_SCHEMA = StructType(
+    [
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj", StringType()),
+        StructField("score", DoubleType()),
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("mention_idx", IntegerType()),
+        StructField("mention", StringType()),
+    ]
+)
+
+
+def build_mention_windows(transcripts_df: DataFrame, n_vectors: int) -> DataFrame:
+    """Stage 1: per-conversation ordered window build (grouped-map UDF)."""
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        conv_id = pdf["conv_id"].iloc[0]
+        # conversation token stream with (turn_idx, pos-in-turn, doc_id)
+        stream: list[str] = []
+        meta: list[tuple[int, int, int]] = []
+        turn_toks_map: dict[int, list[str]] = {}
+        for turn_idx, text, doc_id in zip(
+            pdf["turn_idx"], pdf["text"], pdf["doc_id"]
+        ):
+            toks = (text or "").split()
+            turn_toks_map[turn_idx] = toks
+            for p, t in enumerate(toks):
+                stream.append(t)
+                meta.append((turn_idx, p, doc_id))
+
+        def wid(tok: str) -> int:
+            return word_code(tok) % n_vectors
+
+        rows = []
+        seq = 0
+        for g, tok in enumerate(stream):
+            if len(tok) < MENTION_MIN_LEN:
+                continue
+            turn_idx, pos, doc_id = meta[g]
+            # W1 raw ±100, excluding the mention token
+            lraw = stream[max(0, g - RAW_WINDOW) : g]
+            rraw = stream[g + 1 : g + 1 + RAW_WINDOW]
+            # P4 filter then W3 ±50 slice (ed_ranker.py:196-204)
+            l_ids = [wid(t) for t in lraw if is_important_word(t)]
+            l_ids = l_ids[max(0, len(l_ids) - CTX_WINDOW // 2) :]
+            r_ids = [wid(t) for t in rraw if is_important_word(t)]
+            r_ids = r_ids[: CTX_WINDOW // 2]
+            # W4 turn-local ±3 relation window (sentence = turn)
+            turn_toks = turn_toks_map[turn_idx]
+            snd_l = [wid(t) for t in turn_toks[max(0, pos - SND_WINDOW // 2) : pos]]
+            snd_r = [wid(t) for t in turn_toks[pos + 1 : pos + 1 + SND_WINDOW // 2]]
+            snd_m = [wid(tok)]
+            rows.append(
+                (
+                    conv_id,
+                    int(turn_idx),
+                    int(pos),
+                    seq,
+                    tok,
+                    l_ids,
+                    r_ids,
+                    snd_l,
+                    snd_m,
+                    snd_r,
+                    int(doc_id),
+                )
+            )
+            seq += 1
+        return pd.DataFrame(rows, columns=[f.name for f in _WINDOW_SCHEMA.fields])
+
+    return transcripts_df.select(
+        "conv_id", "turn_idx", "text", "doc_id"
+    ).groupBy("conv_id").applyInPandas(per_conv, schema=_WINDOW_SCHEMA)
+
+
+def attach_candidates(windows_df: DataFrame, kb_df: DataFrame) -> DataFrame:
+    """Stage 2: broadcast J1 + per-mention candidate arrays (prior order)."""
+    joined = windows_df.join(F.broadcast(kb_df), on="mention", how="left")
+    return (
+        joined.groupBy(
+            "conv_id",
+            "turn_idx",
+            "mention_idx",
+            "seq",
+            "mention",
+            "lctx_ids",
+            "rctx_ids",
+            "snd_l_ids",
+            "snd_m_ids",
+            "snd_r_ids",
+            "doc_id",
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rank", "ent_name", "prior"))
+            ).alias("cands")
+        )
+        .select(
+            "*",
+            F.col("cands.ent_name").alias("cand_names"),
+            F.col("cands.prior").alias("cand_priors"),
+        )
+        .drop("cands")
+    )
+
+
+def score_mentions(
+    cands_df: DataFrame,
+    emb: np.ndarray,
+    weights: ModelWeights | None = None,
+) -> DataFrame:
+    """Stage 3: grouped-map kernel scoring per (conv_id, chunk)."""
+    w = weights or fixture_weights()
+    n_vec = emb.shape[0] - 1  # last row is unk
+    unk_id = n_vec
+    # ship the embedding matrix once per executor, not once per task
+    bc_emb = cands_df.sparkSession.sparkContext.broadcast(emb)
+
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        emb = bc_emb.value
+        pdf = pdf.sort_values("seq")
+        m = len(pdf)
+        c = N_CANDS_BEFORE_RANK
+
+        named: list[list[str]] = []
+        cand_rows = np.full((m, c), unk_id, dtype=np.int64)
+        pem = np.full((m, c), 1e-8, dtype=np.float64)
+        mask = np.zeros((m, c), dtype=np.float64)
+        for i, (names, priors) in enumerate(
+            zip(pdf["cand_names"], pdf["cand_priors"])
+        ):
+            names = list(names) if names is not None else []
+            priors = list(priors) if priors is not None else []
+            names, priors = names[:c], priors[:c]
+            nm = []
+            for j, (nme, pr) in enumerate(zip(names, priors)):
+                if nme is None:
+                    continue
+                nm.append(nme)
+                cand_rows[i, j] = ent_code(nme) % n_vec
+                pem[i, j] = min(1.0, max(1e-3, float(pr)))  # ed_ranker.py:164
+                mask[i, j] = 1.0
+            named.append(nm + ["#UNK#"] * (c - len(nm)))
+
+        ent_vecs = emb[cand_rows]  # (M,C,d)
+
+        # K1 prerank over ±25 slice of the filtered window (ed_ranker.py:75-81)
+        pr_tok = [
+            (list(l)[max(0, len(l) - PRERANK_WINDOW // 2) :])
+            + (list(r)[: PRERANK_WINDOW // 2])
+            for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
+        ]
+        sum_vecs = np.stack(
+            [
+                emb[np.asarray(ids if ids else [unk_id], dtype=np.int64)].sum(axis=0)
+                for ids in pr_tok
+            ]
+        )
+        log_probs = kernels.ntee_log_probs(sum_vecs, ent_vecs, mask)
+        selected = kernels.prerank_select(log_probs, KEEP_CTX_ENT, KEEP_P_E_M)
+
+        k = KEEP_CTX_ENT + KEEP_P_E_M
+        sel_rows = np.stack([cand_rows[i, s] for i, s in enumerate(selected)])
+        sel_pem = np.stack([pem[i, s] for i, s in enumerate(selected)])
+        sel_mask = np.stack([mask[i, s] for i, s in enumerate(selected)])
+        sel_named = [[named[i][j] for j in selected[i]] for i in range(m)]
+        sel_vecs = emb[sel_rows]  # (M,k,d)
+
+        # K2 local attention over the full filtered window
+        tok_lists = [
+            list(l) + list(r) for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
+        ]
+        tok_ids, tok_mask = kernels.pad_token_ids(tok_lists, unk_id)
+        local = kernels.local_attention_scores(
+            emb[tok_ids], tok_mask, sel_vecs, sel_mask, w
+        )
+
+        # A9 bow context for the relation model
+        lv = kernels.masked_mean_vecs([list(x) for x in pdf["snd_l_ids"]], emb, unk_id)
+        mv = kernels.masked_mean_vecs([list(x) for x in pdf["snd_m_ids"]], emb, unk_id)
+        rv = kernels.masked_mean_vecs([list(x) for x in pdf["snd_r_ids"]], emb, unk_id)
+        bow = np.concatenate([lv, mv, rv], axis=1)
+
+        scores = kernels.global_lbp_scores(local, sel_vecs, sel_mask, sel_pem, bow, w)
+        objs = kernels.argmax_with_fallback(scores, sel_mask, sel_named)
+        best = scores.max(axis=1)
+
+        return pd.DataFrame(
+            {
+                "subj": [
+                    f"{cid}#{t}#{mi}"
+                    for cid, t, mi in zip(
+                        pdf["conv_id"], pdf["turn_idx"], pdf["mention_idx"]
+                    )
+                ],
+                "pred": "links_to",
+                "obj": objs,
+                "score": best,
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "mention_idx": pdf["mention_idx"].values,
+                "mention": pdf["mention"].values,
+            }
+        )
+
+    chunked = cands_df.withColumn("chunk", (F.col("seq") / DOC_CHUNK).cast("int"))
+    return chunked.groupBy("conv_id", "chunk").applyInPandas(
+        per_chunk, schema=_TRIPLE_SCHEMA
+    )
+
+
+def link_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end full-fidelity linker over the synthetic transcripts."""
+    from ed_twitter_spark import synth
+
+    emb = load_embedding_matrix(spark, sf_dir)
+    t = synth.transcripts(spark, sf_dir)
+    kb = synth.kb_alias(spark, sf_dir)
+    windows = build_mention_windows(t, emb.shape[0] - 1)
+    cands = attach_candidates(windows, kb)
+    return score_mentions(cands, emb)

@@ -173,6 +173,39 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. link_cosine — embedding-similarity scoring, SQL-expressible distillation
+# ---------------------------------------------------------------------------
+
+
+def _register_cosine():
+    from ed_twitter_spark.operators.cosine_linker import (
+        link_cosine,
+        link_cosine_oracle_sql,
+    )
+
+    register("link_cosine", link_cosine_oracle_sql())(link_cosine)
+
+
+_register_cosine()
+
+
+# ---------------------------------------------------------------------------
+# 8. link_embed — full-fidelity K1-K6 linker (non-SQL-expressible: LBP +
+#    attention; rows-only driver check, parity tested vs a sequential
+#    single-process run in tests/test_linker_embed.py)
+# ---------------------------------------------------------------------------
+
+
+def _register_embed():
+    from ed_twitter_spark.operators.linker import link_embed
+
+    register("link_embed", None)(link_embed)
+
+
+_register_embed()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))

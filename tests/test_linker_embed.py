@@ -1,0 +1,146 @@
+"""Distributed-vs-sequential parity for the full K1-K6 linker.
+
+The Spark pipeline (grouped-map windows → broadcast join → grouped-map
+scoring) must emit exactly the triples a sequential single-process run
+produces. Transcripts + KB for the sequential side come from the DuckDB SQL
+derivations (independent of the Spark builders), so this also cross-checks
+stage boundaries end-to-end.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from ed_twitter_spark import synth
+from ed_twitter_spark.functions import kernels
+from ed_twitter_spark.functions.fixtures import (
+    ent_code,
+    fixture_weights,
+    load_embedding_matrix,
+    word_code,
+)
+from ed_twitter_spark.functions.text import is_important_word
+from ed_twitter_spark.operators import linker as L
+from tests.conftest import SF_SMOKE
+
+
+def _sequential_link(spark, sf_dir: str) -> dict[str, str]:
+    """Single-process reference run: plain python + numpy, no Spark ops."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    t = con.sql(synth.TRANSCRIPTS_SQL).df().sort_values(["conv_id", "turn_idx"])
+    kb = con.sql(synth.KB_ALIAS_SQL).df()
+    kb_map: dict[str, list[tuple[str, float]]] = {}
+    for _, r in kb.sort_values(["mention", "rank"]).iterrows():
+        kb_map.setdefault(r["mention"], []).append((r["ent_name"], float(r["prior"])))
+
+    emb = load_embedding_matrix(spark, sf_dir)
+    n_vec = emb.shape[0] - 1
+    unk = n_vec
+    w = fixture_weights()
+
+    preds: dict[str, str] = {}
+    for conv_id, g in t.groupby("conv_id", sort=True):
+        stream, meta = [], []
+        turn_toks = {}
+        for _, row in g.iterrows():
+            toks = (row["text"] or "").split()
+            turn_toks[row["turn_idx"]] = toks
+            for p, tok in enumerate(toks):
+                stream.append(tok)
+                meta.append((row["turn_idx"], p))
+        ments = []
+        for gpos, tok in enumerate(stream):
+            if len(tok) < synth.MENTION_MIN_LEN:
+                continue
+            ti, pos = meta[gpos]
+            lraw = stream[max(0, gpos - L.RAW_WINDOW) : gpos]
+            rraw = stream[gpos + 1 : gpos + 1 + L.RAW_WINDOW]
+            l_ids = [word_code(x) % n_vec for x in lraw if is_important_word(x)]
+            l_ids = l_ids[max(0, len(l_ids) - L.CTX_WINDOW // 2) :]
+            r_ids = [word_code(x) % n_vec for x in rraw if is_important_word(x)]
+            r_ids = r_ids[: L.CTX_WINDOW // 2]
+            tt = turn_toks[ti]
+            snd_l = [word_code(x) % n_vec for x in tt[max(0, pos - 3) : pos]]
+            snd_r = [word_code(x) % n_vec for x in tt[pos + 1 : pos + 4]]
+            ments.append(
+                {
+                    "subj": f"{conv_id}#{ti}#{pos}",
+                    "mention": tok,
+                    "l": l_ids,
+                    "r": r_ids,
+                    "sl": snd_l,
+                    "sm": [word_code(tok) % n_vec],
+                    "sr": snd_r,
+                    "cands": kb_map.get(tok, []),
+                }
+            )
+        # chunk at 100 (ed_ranker.py:253-256) and score
+        for k0 in range(0, len(ments), L.DOC_CHUNK):
+            chunk = ments[k0 : k0 + L.DOC_CHUNK]
+            m, c = len(chunk), L.N_CANDS_BEFORE_RANK
+            cand_rows = np.full((m, c), unk, dtype=np.int64)
+            pem = np.full((m, c), 1e-8)
+            mask = np.zeros((m, c))
+            named = []
+            for i, it in enumerate(chunk):
+                nm = []
+                for j, (nme, pr) in enumerate(it["cands"][:c]):
+                    cand_rows[i, j] = ent_code(nme) % n_vec
+                    pem[i, j] = min(1.0, max(1e-3, pr))
+                    mask[i, j] = 1.0
+                    nm.append(nme)
+                named.append(nm + ["#UNK#"] * (c - len(nm)))
+            ent_vecs = emb[cand_rows]
+            pr_tok = [
+                it["l"][max(0, len(it["l"]) - 25) :] + it["r"][:25] for it in chunk
+            ]
+            sum_vecs = np.stack(
+                [
+                    emb[np.asarray(ids if ids else [unk], dtype=np.int64)].sum(axis=0)
+                    for ids in pr_tok
+                ]
+            )
+            sel = kernels.prerank_select(
+                kernels.ntee_log_probs(sum_vecs, ent_vecs, mask), 4, 4
+            )
+            sel_rows = np.stack([cand_rows[i, s] for i, s in enumerate(sel)])
+            sel_pem = np.stack([pem[i, s] for i, s in enumerate(sel)])
+            sel_mask = np.stack([mask[i, s] for i, s in enumerate(sel)])
+            sel_named = [[named[i][j] for j in sel[i]] for i in range(m)]
+            tok_ids, tok_mask = kernels.pad_token_ids(
+                [it["l"] + it["r"] for it in chunk], unk
+            )
+            local = kernels.local_attention_scores(
+                emb[tok_ids], tok_mask, emb[sel_rows], sel_mask, w
+            )
+            bow = np.concatenate(
+                [
+                    kernels.masked_mean_vecs([it["sl"] for it in chunk], emb, unk),
+                    kernels.masked_mean_vecs([it["sm"] for it in chunk], emb, unk),
+                    kernels.masked_mean_vecs([it["sr"] for it in chunk], emb, unk),
+                ],
+                axis=1,
+            )
+            scores = kernels.global_lbp_scores(
+                local, emb[sel_rows], sel_mask, sel_pem, bow, w
+            )
+            objs = kernels.argmax_with_fallback(scores, sel_mask, sel_named)
+            for it, o in zip(chunk, objs):
+                preds[it["subj"]] = o
+    return preds
+
+
+def test_spark_linker_matches_sequential(spark):
+    seq = _sequential_link(spark, SF_SMOKE)
+    got = {
+        r["subj"]: r["obj"]
+        for r in L.link_embed(spark, SF_SMOKE).select("subj", "obj").collect()
+    }
+    assert len(got) == len(seq)
+    diffs = {k: (seq[k], got[k]) for k in seq if seq[k] != got.get(k)}
+    assert not diffs, f"{len(diffs)} mismatches, e.g. {list(diffs.items())[:5]}"
