@@ -1,0 +1,135 @@
+"""Canonicalization: connected components over surface-form equivalence.
+
+The reference's canonicalization signal is surface containment (coref,
+`dataset.py:184-217`) + redirect/alias unification (`wiki_redirects_index.py`,
+`ent_name_id.py:117-135`). The north rule generalizes this to connected
+components over an equivalence-edge list (SURVEY.md §2.11). No GraphFrames
+in this environment, so CC is **hash-min label propagation**: every node
+starts labeled with itself; each round every node takes the min label among
+itself and its neighbours; converges in O(graph diameter) rounds, each round
+one shuffle join. Lineage is cut per round with ``localCheckpoint`` so the
+plan stays flat (SURVEY.md §4 risk (e)).
+
+At 100 TB scale: edges are symmetrized once; each round is
+join(edges, labels) + groupBy-min — both shuffle on node id and AQE handles
+skewed hub nodes. The loop terminates by an aggregate change count, not a
+fixed iteration cap, and the label table stays (n_nodes × 2 strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node string, component string) — component = min node id reachable.
+
+    ``edges`` is an undirected edge list (direction ignored).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # candidate labels: own + min over neighbours
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"], "inner")
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            neigh.union(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def surface_equivalence_edges(triples: DataFrame, kb: DataFrame) -> DataFrame:
+    """Edge list for canonicalization:
+
+    * mention surface ↔ predicted entity  (shared-surface equivalence, J6 analog)
+    * top-2 alias entities of a surface   (redirect-pair analog, J3)
+
+    Nodes are namespaced 'm:<surface>' / 'e:<entity>'.
+    """
+    m_e = triples.where(F.col("obj") != "NIL").select(
+        F.concat(F.lit("m:"), F.col("mention")).alias("src"),
+        F.concat(F.lit("e:"), F.col("obj")).alias("dst"),
+    )
+    a = kb.where(F.col("rank") == 1).select("mention", F.col("ent_name").alias("e1"))
+    b = kb.where(F.col("rank") == 2).select("mention", F.col("ent_name").alias("e2"))
+    redirects = a.join(b, "mention").select(
+        F.concat(F.lit("e:"), F.col("e1")).alias("src"),
+        F.concat(F.lit("e:"), F.col("e2")).alias("dst"),
+    )
+    return m_e.union(redirects).distinct()
+
+
+CANONICALIZE_ORACLE_TEMPLATE = """
+WITH m AS ({mentions_sql}),
+kb AS ({kb_sql}),
+triple AS (
+  SELECT m.mention, COALESCE(kb1.ent_name, 'NIL') AS obj
+  FROM m LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb1 ON m.mention = kb1.mention
+),
+edges0 AS (
+  SELECT DISTINCT 'm:' || mention AS src, 'e:' || obj AS dst
+  FROM triple WHERE obj <> 'NIL'
+  UNION
+  SELECT DISTINCT 'e:' || a.ent_name AS src, 'e:' || b.ent_name AS dst
+  FROM kb a JOIN kb b ON a.mention = b.mention AND a.rank = 1 AND b.rank = 2
+),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION
+  SELECT dst AS src, src AS dst FROM edges0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, reach.r
+  FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+def canonicalize_oracle_sql() -> str:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.mentions import mentions_sql
+
+    sql = CANONICALIZE_ORACLE_TEMPLATE.format(
+        mentions_sql=mentions_sql(), kb_sql=synth.KB_ALIAS_SQL
+    ).lstrip()
+    return "WITH RECURSIVE" + sql[len("WITH") :]
+
+
+def canonicalize(spark, sf_dir: str) -> DataFrame:
+    """Registry query: CC labels over the prior-linker triples at sf_dir."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import candidates as cand_ops
+    from ed_twitter_spark.operators import mentions as mention_ops
+
+    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+    kb = synth.kb_alias(spark, sf_dir)
+    triples = cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb))
+    edges = surface_equivalence_edges(triples, kb)
+    return connected_components(edges)

@@ -206,6 +206,96 @@ def _register_embed():
 _register_embed()
 
 
+# ---------------------------------------------------------------------------
+# 9. canonicalize — connected components over surface-form equivalence
+#    (iterative hash-min label propagation; recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+def _register_canonicalize():
+    from ed_twitter_spark.operators.canonicalize import (
+        canonicalize,
+        canonicalize_oracle_sql,
+    )
+
+    register("canonicalize", canonicalize_oracle_sql())(canonicalize)
+
+
+_register_canonicalize()
+
+
+# ---------------------------------------------------------------------------
+# 10-12. KB-build aggregations: A4 entity counts, A5 word unigram counts,
+#        A6 per-page word repr (gen_ent_wiki_w_repr.py:79-103 analog)
+# ---------------------------------------------------------------------------
+
+_ENT_COUNTS_ORACLE = f"""
+WITH anchors AS ({synth.ANCHORS_SQL})
+SELECT ent_name,
+       {synth.ent_id_expr_sql("ent_name")} AS ent_id,
+       CAST(COUNT(*) AS BIGINT) AS freq
+FROM anchors
+GROUP BY ent_name
+HAVING COUNT(*) >= 10
+"""
+
+
+@register("ent_counts", _ENT_COUNTS_ORACLE)
+def q_ent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: entity → total anchor count, filter ≥10 (e_freq_gen.py:46-67)."""
+    return (
+        synth.anchors(spark, sf_dir)
+        .groupBy("ent_name")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 10)
+        .select("ent_name", synth.ent_id_col(F.col("ent_name")).alias("ent_id"), "freq")
+    )
+
+
+_WORD_COUNTS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+FROM tok GROUP BY word HAVING COUNT(*) >= 10
+"""
+
+
+@register("word_counts", _WORD_COUNTS_ORACLE)
+def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: word unigram counts, filter ≥10 (w_freq_gen.py:19-49)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 10)
+    )
+
+
+_DOC_WORD_REPR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_sort(list(DISTINCT word)), ' ') AS words,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+FROM tok GROUP BY doc_id
+"""
+
+
+@register("doc_word_repr", _DOC_WORD_REPR_ORACLE)
+def q_doc_word_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-page word aggregation (gen_ent_wiki_w_repr.py:79-103); emitted
+    as sorted-distinct for order-stable comparison."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+    return tok.groupBy("doc_id").agg(
+        F.array_join(F.array_sort(F.collect_set("word")), " ").alias("words"),
+        F.countDistinct("word").alias("n_distinct"),
+    )
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))

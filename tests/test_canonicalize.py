@@ -1,0 +1,60 @@
+"""Connected-components correctness vs a union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from ed_twitter_spark.operators.canonicalize import connected_components
+
+
+class UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _check(spark, edges):
+    uf = UF()
+    for a, b in edges:
+        uf.union(a, b)
+    expected = {}
+    comp_min = {}
+    for n in uf.p:
+        r = uf.find(n)
+        comp_min.setdefault(r, []).append(n)
+    root_to_min = {r: min(ns) for r, ns in comp_min.items()}
+    for n in uf.p:
+        expected[n] = root_to_min[uf.find(n)]
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_cc_random_graph(spark):
+    rng = random.Random(42)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    _check(spark, edges)
+
+
+def test_cc_long_chain(spark):
+    """Path graph of diameter 40 — exercises multi-round convergence."""
+    edges = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(40)]
+    _check(spark, edges)
+
+
+def test_cc_disjoint_components(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
+    _check(spark, edges)
