@@ -81,13 +81,24 @@ def fixture_weights(seed: int = 42, d: int = EMB_DIMS, hid: int = HID_DIMS,
     rs = np.random.RandomState(seed)
     rel = rs.randn(n_rels, d) * 0.01
     rel[0] = 1 + rs.randn(d) * 0.01  # mulrel_ranker.py:71
+    # "trained-like" combiner: exact ReLU decomposition of
+    #   out = 2·model_score + 0.5·log p(e|m)
+    # (model_score is a softmax prob ≥ 0, log p ≤ 0, so both halves pass
+    # through ReLU unclipped). A random MLP here would scramble the prior
+    # signal; a trained one learns a monotone combination like this.
+    comb_w1 = np.zeros((hid, 2))
+    comb_w1[0, 0] = 2.0
+    comb_w1[1, 1] = -0.5
+    comb_w2 = np.zeros((1, hid))
+    comb_w2[0, 0] = 1.0
+    comb_w2[0, 1] = -1.0
     return ModelWeights(
         att_mat_diag=1.0 + rs.randn(d) * 0.05,
         tok_score_mat_diag=1.0 + rs.randn(d) * 0.05,
-        comb_w1=rs.randn(hid, 2) * 0.3,
-        comb_b1=rs.randn(hid) * 0.05,
-        comb_w2=rs.randn(1, hid) * 0.3,
-        comb_b2=rs.randn(1) * 0.05,
+        comb_w1=comb_w1,
+        comb_b1=np.zeros(hid),
+        comb_w2=comb_w2,
+        comb_b2=np.zeros(1),
         ctx_w=rs.randn(d, 3 * d) * (1.0 / np.sqrt(3 * d)),
         ctx_b=rs.randn(d) * 0.05,
         rel_embs=rel,
