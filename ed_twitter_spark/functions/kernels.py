@@ -104,7 +104,7 @@ def local_attention_scores(
 ) -> np.ndarray:
     """(M,C) masked local scores (`local_ctx_att_ranker.py:52-96`, p_e_m=None
     path: mask applied to the raw entity·context scores at line 84)."""
-    att = np.einsum("mcd,mtd->mct", ent_vecs * w.att_mat_diag, tok_vecs)
+    att = np.matmul(ent_vecs * w.att_mat_diag, tok_vecs.transpose(0, 2, 1))
     att = att * tok_mask[:, None, :] + (tok_mask[:, None, :] - 1.0) * BIG_NEG
     tok_att = att.max(axis=1)  # (M,T) best candidate per token
     k = min(w.tok_top_n, tok_vecs.shape[1])
@@ -168,7 +168,7 @@ def global_lbp_scores(
     ctx = np.tanh(bow_ctx_vecs @ w.ctx_w.T + w.ctx_b)  # (M,d) ctx_layer, eval
     ctx = np.concatenate([ctx, w.pad_ctx_vec[None, :]], axis=0)  # (n,d)
     rel_ctx = ctx[None, :, :] * w.ew_embs[:, None, :]  # (R,n,d)
-    ctx_scores = np.einsum("rid,jd->rij", rel_ctx, ctx)  # (R,n,n)
+    ctx_scores = np.matmul(rel_ctx, ctx.T)  # (R,n,n)
     # dist mask: within max_dist all pairs live, diagonal dead (lines 163-181)
     eye = np.eye(n)
     ctx_scores = ctx_scores + (eye[None, :, :]) * (-BIG_NEG)  # (1-dist)*-1e10
@@ -179,20 +179,24 @@ def global_lbp_scores(
 
     # K5: bilinear relation-weighted entity-pair scores
     # rel_ent_ent[r,i,c1,j,c2] = Σ_d ent[i,c1,d]·rel[r,d]·ent[j,c2,d]
-    rel_ee = np.einsum("iad,rd,jbd->riajb", ent_vecs, w.rel_embs, ent_vecs)
+    # — computed as R BLAS matmuls over the (n·c, d) flattened entity matrix
+    flat = ent_vecs.reshape(n * c, d)
+    rel_ee = np.stack(
+        [((flat * w.rel_embs[ri]) @ flat.T).reshape(n, c, n, c) for ri in range(r)]
+    )
     rel_ee = rel_ee * ent_mask[None, None, None, :, :] + (
         ent_mask[None, None, None, :, :] - 1.0
     ) * BIG_NEG
     ent_ent = (
-        np.einsum("riajb,rij->iajb", rel_ee, weights) / r
+        np.einsum("riajb,rij->iajb", rel_ee, weights, optimize=True) / r
     )  # (n,c,n,c) lines 220-222
 
     # K6: loopy BP, max-product with damping (lines 233-251)
     offdiag = 1.0 - eye  # (n,n)
     prev_msgs = np.zeros((n, c, n))
     for _ in range(w.n_loops):
-        # sum over k≠i of prev_msgs[j,c2,k] → (i,j,c2)
-        sum_msgs = np.einsum("jbk,ik->ijb", prev_msgs, offdiag)
+        # sum over k≠i of prev_msgs[j,c2,k] → (i,j,c2): one BLAS matmul
+        sum_msgs = (prev_msgs.reshape(n * c, n) @ offdiag.T).reshape(n, c, n).transpose(2, 0, 1)
         votes = ent_ent + local_scores[None, None, :, :] + sum_msgs[:, None, :, :]
         msgs = votes.max(axis=3)  # (i,c1,j)
         msgs = np.log(
@@ -233,11 +237,29 @@ def argmax_with_fallback(
 # ---------------------------------------------------------------------------
 
 
+def _segment_sums(
+    tok_ids: list[list[int]], emb: np.ndarray, unk_id: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-list Σ vec via one gather + ``np.add.reduceat`` (no Python loop
+    over rows); empty lists are replaced by [unk]. Returns (sums, lens)."""
+    if not tok_ids:
+        return np.zeros((0, emb.shape[1])), np.zeros(0, dtype=np.int64)
+    lists = [ids if len(ids) > 0 else [unk_id] for ids in tok_ids]
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+    offsets = np.zeros(len(lists), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    return np.add.reduceat(emb[flat], offsets, axis=0), lens
+
+
+def segment_sum_vecs(tok_ids: list[list[int]], emb: np.ndarray, unk_id: int) -> np.ndarray:
+    """Σ vec per list (A10 NTEE EmbeddingBag-sum, `ntee.py:20-27`)."""
+    sums, _ = _segment_sums(tok_ids, emb, unk_id)
+    return sums
+
+
 def masked_mean_vecs(tok_ids: list[list[int]], emb: np.ndarray, unk_id: int) -> np.ndarray:
     """Σ vec / (count + 1e-5) per mention (`mulrel_ranker.py:128-133`);
     empty lists use a single unk token (`ed_ranker.py:226-235`)."""
-    out = np.zeros((len(tok_ids), emb.shape[1]))
-    for i, ids in enumerate(tok_ids):
-        ids = ids if len(ids) > 0 else [unk_id]
-        out[i] = emb[np.asarray(ids, dtype=np.int64)].sum(axis=0) / (len(ids) + 1e-5)
-    return out
+    sums, lens = _segment_sums(tok_ids, emb, unk_id)
+    return sums / (lens[:, None] + 1e-5)

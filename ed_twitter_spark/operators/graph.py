@@ -1,0 +1,176 @@
+"""Graph materialization: KG vertex + edge tables from triples + components.
+
+The north star ends with "canonicalization … and graph materialization to
+Iceberg edge/vertex tables". Vertices are canonical entities — one per
+connected component of the surface-form-equivalence graph
+(operators/canonicalize.py) — with a deterministic canonical name: the
+lexicographically-min *entity* member of the component (the reference's
+analog is redirect-target unification, `wiki_redirects_index.py:21-25`:
+many surface nodes, one canonical title). Edges are the linker's triples
+re-pointed at canonical vertex ids.
+
+Both are plain joins/aggregations: the components table is tiny relative to
+the triple stream (≤ |KB| + |distinct surfaces|), so the edge re-pointing is
+a broadcast join — no shuffle on the 10^12-row side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kg_vertices(components: DataFrame) -> DataFrame:
+    """(vertex_id, canonical_name, n_members, n_entities, n_surfaces).
+
+    vertex_id is the component label; canonical_name strips the 'e:'
+    namespace off the min entity member.
+    """
+    is_ent = F.col("node").startswith("e:")
+    return (
+        components.groupBy(F.col("component").alias("vertex_id"))
+        .agg(
+            F.substring(F.min(F.when(is_ent, F.col("node"))), 3, 1_000_000).alias(
+                "canonical_name"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(is_ent.cast("long")).alias("n_entities"),
+            F.sum((~is_ent).cast("long")).alias("n_surfaces"),
+        )
+    )
+
+
+def kg_edges(triples: DataFrame, components: DataFrame) -> DataFrame:
+    """(subj, pred, obj, obj_vertex, score, conv_id, turn_idx, mention_idx).
+
+    Non-NIL triples re-pointed at their canonical vertex via the component
+    label of the predicted entity node. Broadcast join: components ≪ triples.
+    """
+    labels = components.select(
+        F.substring("node", 3, 1_000_000).alias("obj"),
+        F.col("component").alias("obj_vertex"),
+    ).where(F.col("node").startswith("e:"))
+    return (
+        triples.where(F.col("obj") != "NIL")
+        .join(F.broadcast(labels), on="obj", how="left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "obj_vertex",
+            "score",
+            "conv_id",
+            "turn_idx",
+            "mention_idx",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (extend the recursive-CTE CC oracle of canonicalize.py)
+# ---------------------------------------------------------------------------
+
+_GRAPH_BASE_TEMPLATE = """
+WITH m AS ({mentions_sql}),
+kb AS ({kb_sql}),
+triple AS (
+  SELECT m.conv_id || '#' || CAST(m.turn_idx AS VARCHAR) || '#' ||
+         CAST(m.mention_idx AS VARCHAR)     AS subj,
+         'links_to'                         AS pred,
+         COALESCE(kb1.ent_name, 'NIL')      AS obj,
+         COALESCE(kb1.prior, 0.0)           AS score,
+         m.conv_id, m.turn_idx, m.mention_idx
+  FROM m LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb1 ON m.mention = kb1.mention
+),
+edges0 AS (
+  SELECT DISTINCT 'm:' || mention AS src, 'e:' || obj AS dst
+  FROM (SELECT m.mention, COALESCE(kb1.ent_name, 'NIL') AS obj
+        FROM m LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb1
+          ON m.mention = kb1.mention) t
+  WHERE obj <> 'NIL'
+  UNION
+  SELECT DISTINCT 'e:' || a.ent_name AS src, 'e:' || b.ent_name AS dst
+  FROM kb a JOIN kb b ON a.mention = b.mention AND a.rank = 1 AND b.rank = 2
+),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION
+  SELECT dst AS src, src AS dst FROM edges0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, reach.r
+  FROM edges e JOIN reach ON e.dst = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+"""
+
+
+def _graph_base_sql() -> str:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.mentions import mentions_sql
+
+    sql = _GRAPH_BASE_TEMPLATE.format(
+        mentions_sql=mentions_sql(), kb_sql=synth.KB_ALIAS_SQL
+    ).lstrip()
+    return "WITH RECURSIVE" + sql[len("WITH") :]
+
+
+def kg_vertices_oracle_sql() -> str:
+    return (
+        _graph_base_sql()
+        + """
+SELECT component AS vertex_id,
+       substr(MIN(CASE WHEN node LIKE 'e:%' THEN node END), 3) AS canonical_name,
+       CAST(COUNT(*) AS BIGINT)                                AS n_members,
+       CAST(SUM(CASE WHEN node LIKE 'e:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_entities,
+       CAST(SUM(CASE WHEN node LIKE 'e:%' THEN 0 ELSE 1 END) AS BIGINT) AS n_surfaces
+FROM comp GROUP BY component
+"""
+    )
+
+
+def kg_edges_oracle_sql() -> str:
+    return (
+        _graph_base_sql()
+        + """
+SELECT t.subj, t.pred, t.obj, c.component AS obj_vertex, t.score,
+       t.conv_id, t.turn_idx, t.mention_idx
+FROM triple t LEFT JOIN comp c ON c.node = 'e:' || t.obj
+WHERE t.obj <> 'NIL'
+"""
+    )
+
+
+def _prior_triples(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import candidates as cand_ops
+    from ed_twitter_spark.operators import mentions as mention_ops
+
+    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+    kb = synth.kb_alias(spark, sf_dir)
+    return cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb)), kb
+
+
+def q_kg_vertices(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark.operators.canonicalize import (
+        connected_components,
+        surface_equivalence_edges,
+    )
+
+    triples, kb = _prior_triples(spark, sf_dir)
+    comps = connected_components(surface_equivalence_edges(triples, kb))
+    return kg_vertices(comps)
+
+
+def q_kg_edges(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark.operators.canonicalize import (
+        connected_components,
+        surface_equivalence_edges,
+    )
+
+    triples, kb = _prior_triples(spark, sf_dir)
+    comps = connected_components(surface_equivalence_edges(triples, kb))
+    return kg_edges(triples, comps)

@@ -87,26 +87,54 @@ _TRIPLE_SCHEMA = StructType(
 
 
 def build_mention_windows(transcripts_df: DataFrame, n_vectors: int) -> DataFrame:
-    """Stage 1: per-conversation ordered window build (grouped-map UDF)."""
+    """Stage 1: per-conversation ordered window build (grouped-map UDF).
+
+    Each stream token is coded (md5) and importance-tested exactly once, with
+    a per-batch memo over distinct tokens; the ±100/±50 window slices are
+    then O(log n) ``searchsorted`` probes over the precomputed important-token
+    position array instead of re-filtering every window — the same output as
+    the naive per-window loop at ~100× less Python work per mention."""
+    half_ctx = CTX_WINDOW // 2
 
     def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
         conv_id = pdf["conv_id"].iloc[0]
+        wid_memo: dict[str, int] = {}
+        imp_memo: dict[str, bool] = {}
+
+        def wid(tok: str) -> int:
+            v = wid_memo.get(tok)
+            if v is None:
+                v = word_code(tok) % n_vectors
+                wid_memo[tok] = v
+            return v
+
+        def imp(tok: str) -> bool:
+            v = imp_memo.get(tok)
+            if v is None:
+                v = is_important_word(tok)
+                imp_memo[tok] = v
+            return v
+
         # conversation token stream with (turn_idx, pos-in-turn, doc_id)
         stream: list[str] = []
         meta: list[tuple[int, int, int]] = []
-        turn_toks_map: dict[int, list[str]] = {}
+        turn_ids_map: dict[int, list[int]] = {}
         for turn_idx, text, doc_id in zip(
             pdf["turn_idx"], pdf["text"], pdf["doc_id"]
         ):
             toks = (text or "").split()
-            turn_toks_map[turn_idx] = toks
+            turn_ids_map[turn_idx] = [wid(t) for t in toks]
             for p, t in enumerate(toks):
                 stream.append(t)
                 meta.append((turn_idx, p, doc_id))
 
-        def wid(tok: str) -> int:
-            return word_code(tok) % n_vectors
+        n = len(stream)
+        ids = np.fromiter((wid(t) for t in stream), dtype=np.int64, count=n)
+        imp_pos = np.fromiter(
+            (g for g in range(n) if imp(stream[g])), dtype=np.int64
+        )
+        imp_ids = ids[imp_pos]
 
         rows = []
         seq = 0
@@ -114,19 +142,20 @@ def build_mention_windows(transcripts_df: DataFrame, n_vectors: int) -> DataFram
             if len(tok) < MENTION_MIN_LEN:
                 continue
             turn_idx, pos, doc_id = meta[g]
-            # W1 raw ±100, excluding the mention token
-            lraw = stream[max(0, g - RAW_WINDOW) : g]
-            rraw = stream[g + 1 : g + 1 + RAW_WINDOW]
-            # P4 filter then W3 ±50 slice (ed_ranker.py:196-204)
-            l_ids = [wid(t) for t in lraw if is_important_word(t)]
-            l_ids = l_ids[max(0, len(l_ids) - CTX_WINDOW // 2) :]
-            r_ids = [wid(t) for t in rraw if is_important_word(t)]
-            r_ids = r_ids[: CTX_WINDOW // 2]
+            # W1 raw ±100 (mention excluded) → P4 filter → W3 ±50 slice
+            # (gen_aida_train.py:113-127 → ed_ranker.py:196-204)
+            lo = np.searchsorted(imp_pos, g - RAW_WINDOW, side="left")
+            mid_l = np.searchsorted(imp_pos, g, side="left")
+            l_all = imp_ids[lo:mid_l]
+            l_ids = l_all[max(0, len(l_all) - half_ctx) :].tolist()
+            mid_r = np.searchsorted(imp_pos, g, side="right")
+            hi = np.searchsorted(imp_pos, g + RAW_WINDOW, side="right")
+            r_ids = imp_ids[mid_r:hi][:half_ctx].tolist()
             # W4 turn-local ±3 relation window (sentence = turn)
-            turn_toks = turn_toks_map[turn_idx]
-            snd_l = [wid(t) for t in turn_toks[max(0, pos - SND_WINDOW // 2) : pos]]
-            snd_r = [wid(t) for t in turn_toks[pos + 1 : pos + 1 + SND_WINDOW // 2]]
-            snd_m = [wid(tok)]
+            turn_ids = turn_ids_map[turn_idx]
+            snd_l = turn_ids[max(0, pos - SND_WINDOW // 2) : pos]
+            snd_r = turn_ids[pos + 1 : pos + 1 + SND_WINDOW // 2]
+            snd_m = [turn_ids[pos]]
             rows.append(
                 (
                     conv_id,
@@ -151,34 +180,28 @@ def build_mention_windows(transcripts_df: DataFrame, n_vectors: int) -> DataFram
 
 
 def attach_candidates(windows_df: DataFrame, kb_df: DataFrame) -> DataFrame:
-    """Stage 2: broadcast J1 + per-mention candidate arrays (prior order)."""
-    joined = windows_df.join(F.broadcast(kb_df), on="mention", how="left")
-    return (
-        joined.groupBy(
-            "conv_id",
-            "turn_idx",
-            "mention_idx",
-            "seq",
-            "mention",
-            "lctx_ids",
-            "rctx_ids",
-            "snd_l_ids",
-            "snd_m_ids",
-            "snd_r_ids",
-            "doc_id",
-        )
+    """Stage 2: broadcast J1 with candidate arrays pre-aggregated KB-side.
+
+    The per-mention candidate list is rolled up on the *small* side before
+    the join (|KB| rows → |distinct surface| rows), so the mention stream —
+    the 10^12-row side — sees a pure broadcast hash join and **zero
+    shuffle**. The earlier formulation (join-then-groupBy on the stream)
+    shuffled every window row once; this one moves the groupBy to the dim
+    table where it costs nothing at any scale."""
+    kb_arrays = (
+        kb_df.groupBy("mention")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("rank", "ent_name", "prior"))
             ).alias("cands")
         )
         .select(
-            "*",
+            "mention",
             F.col("cands.ent_name").alias("cand_names"),
             F.col("cands.prior").alias("cand_priors"),
         )
-        .drop("cands")
     )
+    return windows_df.join(F.broadcast(kb_arrays), on="mention", how="left")
 
 
 def score_mentions(
@@ -227,12 +250,7 @@ def score_mentions(
             + (list(r)[: PRERANK_WINDOW // 2])
             for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
         ]
-        sum_vecs = np.stack(
-            [
-                emb[np.asarray(ids if ids else [unk_id], dtype=np.int64)].sum(axis=0)
-                for ids in pr_tok
-            ]
-        )
+        sum_vecs = kernels.segment_sum_vecs(pr_tok, emb, unk_id)
         log_probs = kernels.ntee_log_probs(sum_vecs, ent_vecs, mask)
         selected = kernels.prerank_select(log_probs, KEEP_CTX_ENT, KEEP_P_E_M)
 

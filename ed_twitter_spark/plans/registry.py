@@ -296,6 +296,21 @@ def q_doc_word_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 13-14. graph materialization: KG vertex/edge tables (north-star final stage)
+# ---------------------------------------------------------------------------
+
+
+def _register_graph():
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    register("kg_vertices", graph_ops.kg_vertices_oracle_sql())(graph_ops.q_kg_vertices)
+    register("kg_edges", graph_ops.kg_edges_oracle_sql())(graph_ops.q_kg_edges)
+
+
+_register_graph()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
