@@ -36,9 +36,36 @@ def ent_code(ent_name: str) -> int:
 
 def load_embedding_matrix(spark, sf_dir: str) -> np.ndarray:
     """(n_vectors, 64) float64, rows L2-normalized; row n_vectors is the unk
-    row set to 1e-10 (`ed_ranker.py:35,39`)."""
+    row set to 1e-10 (`ed_ranker.py:35,39`).
+
+    Read driver-side with pyarrow when the path is a plain local file (a
+    Spark collect of the same rows costs seconds of serial driver time per
+    run); falls back to a Spark collect for non-local storage."""
+    path = f"{sf_dir}/embeddings.parquet"
+    import os
+
+    if os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        vec_ids = t.column("vec_id").to_numpy()
+        col = t.column("embedding").combine_chunks()
+        embs = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(col), EMB_DIMS)
+        )
+        n = int(vec_ids.max()) + 1
+        mat = np.zeros((n + 1, EMB_DIMS), dtype=np.float64)
+        mat[vec_ids] = embs
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        mat = mat / norms
+        mat[n] = 1e-10  # unk row
+        return mat
+
     rows = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        spark.read.parquet(path)
         .select("vec_id", "embedding")
         .collect()
     )

@@ -61,7 +61,7 @@ _WINDOW_SCHEMA = StructType(
         StructField("conv_id", StringType()),
         StructField("turn_idx", IntegerType()),
         StructField("mention_idx", IntegerType()),
-        StructField("seq", IntegerType()),
+        StructField("seq", LongType()),  # global per-conv mention index (10^12-scale safe)
         StructField("mention", StringType()),
         StructField("lctx_ids", ArrayType(LongType())),
         StructField("rctx_ids", ArrayType(LongType())),
@@ -86,19 +86,72 @@ _TRIPLE_SCHEMA = StructType(
 )
 
 
-def build_mention_windows(transcripts_df: DataFrame, n_vectors: int) -> DataFrame:
-    """Stage 1: per-conversation ordered window build (grouped-map UDF).
+# Segment length (tokens) for halo partitioning of the window build: a
+# conversation's stream is cut into SEG_TOKENS-token segments, each sent to
+# its own task together with ±RAW_WINDOW halo tokens from the neighbours,
+# so a viral conversation parallelizes instead of becoming one straggler
+# task. Halo duplication overhead ≈ 2·RAW_WINDOW/SEG_TOKENS ≈ 5%.
+SEG_TOKENS = 4096
 
-    Each stream token is coded (md5) and importance-tested exactly once, with
-    a per-batch memo over distinct tokens; the ±100/±50 window slices are
-    then O(log n) ``searchsorted`` probes over the precomputed important-token
-    position array instead of re-filtering every window — the same output as
-    the naive per-window loop at ~100× less Python work per mention."""
+
+def build_mention_windows(
+    transcripts_df: DataFrame, n_vectors: int, seg_tokens: int = SEG_TOKENS
+) -> DataFrame:
+    """Stage 1: ordered window build, halo-partitioned per conversation.
+
+    Two steps, both shuffle-light:
+
+    1. **JVM-side segment assignment**: per-turn token/mention counts
+       (Arrow-vectorized) + running offsets (window function) place every
+       turn's token span on the conversation's global token axis; each turn
+       is then exploded to the segment(s) whose ±RAW_WINDOW context range it
+       overlaps. Skewed (viral) conversations fan out over
+       ceil(n_tokens/seg_tokens) independent tasks — the reference's own
+       doc-chunking trick (`ed_ranker.py:253-256`) applied at window scope.
+    2. **grouped-map per (conv_id, segment)**: rebuild the local stream with
+       global positions, code each distinct token once (md5 memo), and slice
+       the ±100/±50 windows via O(log n) ``searchsorted`` probes over the
+       important-token position array. A mention is emitted only by its
+       owning segment; halo turns contribute context tokens only, so the
+       output is row-identical to an unpartitioned per-conversation build.
+    """
+    from pyspark.sql import Window
+
     half_ctx = CTX_WINDOW // 2
 
-    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+    @F.pandas_udf("struct<ntok:int,nment:int>")
+    def turn_counts(texts: pd.Series) -> pd.DataFrame:
+        ntok, nment = [], []
+        for t in texts:
+            toks = (t or "").split()
+            ntok.append(len(toks))
+            nment.append(sum(1 for x in toks if len(x) >= MENTION_MIN_LEN))
+        return pd.DataFrame({"ntok": ntok, "nment": nment})
+
+    wconv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    before = wconv.rowsBetween(Window.unboundedPreceding, -1)
+    turns = (
+        transcripts_df.select("conv_id", "turn_idx", "text", "doc_id")
+        .withColumn("c", turn_counts("text"))
+        .select("*", F.col("c.ntok").alias("ntok"), F.col("c.nment").alias("nment"))
+        .drop("c")
+        .withColumn("tok_off", F.coalesce(F.sum("ntok").over(before), F.lit(0)).cast("long"))
+        .withColumn("ment_off", F.coalesce(F.sum("nment").over(before), F.lit(0)).cast("long"))
+    )
+    # segments whose context range [s·seg − RAW, (s+1)·seg + RAW) this turn
+    # overlaps: s_lo = floor(max(0, tok_off − RAW)/seg),
+    # s_hi = floor((tok_off + ntok + RAW − 1)/seg)
+    seg = F.lit(seg_tokens)
+    s_lo = F.floor(F.greatest(F.col("tok_off") - RAW_WINDOW, F.lit(0)) / seg)
+    s_hi = F.floor((F.col("tok_off") + F.col("ntok") + RAW_WINDOW - 1) / seg)
+    segmented = turns.withColumn("seg", F.explode(F.sequence(s_lo, s_hi)))
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
         conv_id = pdf["conv_id"].iloc[0]
+        seg_id = int(pdf["seg"].iloc[0])
+        own_lo = seg_id * seg_tokens
+        own_hi = own_lo + seg_tokens
         wid_memo: dict[str, int] = {}
         imp_memo: dict[str, bool] = {}
 
@@ -116,40 +169,49 @@ def build_mention_windows(transcripts_df: DataFrame, n_vectors: int) -> DataFram
                 imp_memo[tok] = v
             return v
 
-        # conversation token stream with (turn_idx, pos-in-turn, doc_id)
+        # local stream over the received turns, on the global token axis
         stream: list[str] = []
-        meta: list[tuple[int, int, int]] = []
+        gpos_list: list[int] = []
+        meta: list[tuple[int, int, int, int]] = []  # turn_idx, pos, doc_id, ment_off
         turn_ids_map: dict[int, list[int]] = {}
-        for turn_idx, text, doc_id in zip(
-            pdf["turn_idx"], pdf["text"], pdf["doc_id"]
+        for turn_idx, text, doc_id, tok_off, ment_off in zip(
+            pdf["turn_idx"], pdf["text"], pdf["doc_id"], pdf["tok_off"], pdf["ment_off"]
         ):
             toks = (text or "").split()
             turn_ids_map[turn_idx] = [wid(t) for t in toks]
             for p, t in enumerate(toks):
                 stream.append(t)
-                meta.append((turn_idx, p, doc_id))
+                gpos_list.append(tok_off + p)
+                meta.append((turn_idx, p, doc_id, ment_off))
 
         n = len(stream)
+        gpos = np.asarray(gpos_list, dtype=np.int64)
         ids = np.fromiter((wid(t) for t in stream), dtype=np.int64, count=n)
-        imp_pos = np.fromiter(
-            (g for g in range(n) if imp(stream[g])), dtype=np.int64
+        imp_idx = np.fromiter(
+            (i for i in range(n) if imp(stream[i])), dtype=np.int64
         )
-        imp_ids = ids[imp_pos]
+        imp_gpos = gpos[imp_idx]
+        imp_ids = ids[imp_idx]
 
         rows = []
-        seq = 0
-        for g, tok in enumerate(stream):
+        ment_in_turn: dict[int, int] = {}
+        for i, tok in enumerate(stream):
             if len(tok) < MENTION_MIN_LEN:
                 continue
-            turn_idx, pos, doc_id = meta[g]
+            turn_idx, pos, doc_id, ment_off = meta[i]
+            g = gpos[i]
+            ordinal = ment_in_turn.get(turn_idx, 0)
+            ment_in_turn[turn_idx] = ordinal + 1
+            if not (own_lo <= g < own_hi):
+                continue  # halo context token — owned by a neighbour segment
             # W1 raw ±100 (mention excluded) → P4 filter → W3 ±50 slice
             # (gen_aida_train.py:113-127 → ed_ranker.py:196-204)
-            lo = np.searchsorted(imp_pos, g - RAW_WINDOW, side="left")
-            mid_l = np.searchsorted(imp_pos, g, side="left")
+            lo = np.searchsorted(imp_gpos, g - RAW_WINDOW, side="left")
+            mid_l = np.searchsorted(imp_gpos, g, side="left")
             l_all = imp_ids[lo:mid_l]
             l_ids = l_all[max(0, len(l_all) - half_ctx) :].tolist()
-            mid_r = np.searchsorted(imp_pos, g, side="right")
-            hi = np.searchsorted(imp_pos, g + RAW_WINDOW, side="right")
+            mid_r = np.searchsorted(imp_gpos, g, side="right")
+            hi = np.searchsorted(imp_gpos, g + RAW_WINDOW, side="right")
             r_ids = imp_ids[mid_r:hi][:half_ctx].tolist()
             # W4 turn-local ±3 relation window (sentence = turn)
             turn_ids = turn_ids_map[turn_idx]
@@ -161,7 +223,7 @@ def build_mention_windows(transcripts_df: DataFrame, n_vectors: int) -> DataFram
                     conv_id,
                     int(turn_idx),
                     int(pos),
-                    seq,
+                    int(ment_off) + ordinal,
                     tok,
                     l_ids,
                     r_ids,
@@ -171,12 +233,11 @@ def build_mention_windows(transcripts_df: DataFrame, n_vectors: int) -> DataFram
                     int(doc_id),
                 )
             )
-            seq += 1
         return pd.DataFrame(rows, columns=[f.name for f in _WINDOW_SCHEMA.fields])
 
-    return transcripts_df.select(
-        "conv_id", "turn_idx", "text", "doc_id"
-    ).groupBy("conv_id").applyInPandas(per_conv, schema=_WINDOW_SCHEMA)
+    return segmented.groupBy("conv_id", "seg").applyInPandas(
+        per_segment, schema=_WINDOW_SCHEMA
+    )
 
 
 def attach_candidates(windows_df: DataFrame, kb_df: DataFrame) -> DataFrame:
@@ -298,7 +359,7 @@ def score_mentions(
             }
         )
 
-    chunked = cands_df.withColumn("chunk", (F.col("seq") / DOC_CHUNK).cast("int"))
+    chunked = cands_df.withColumn("chunk", (F.col("seq") / DOC_CHUNK).cast("long"))
     return chunked.groupBy("conv_id", "chunk").applyInPandas(
         per_chunk, schema=_TRIPLE_SCHEMA
     )

@@ -33,6 +33,13 @@ def get_spark(
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
 
+    # One BLAS thread per Python worker: Spark provides the parallelism
+    # (one task per core); letting OpenBLAS/MKL also fan out oversubscribes
+    # cores and silently skews any N-vs-4N scaling measurement. Set before
+    # the JVM launches so python workers inherit it.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
