@@ -1,0 +1,295 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+The dedup ladder a pretraining-data pipeline runs, each expressed
+Spark-first and each with a value-exact DuckDB oracle (all hashes are
+md5-derived so both engines agree bit-for-bit):
+
+* ``dedup_exact``     — content-hash groupBy; canonical = min doc_id.
+  One map-side-combined aggregation; the only full-width scan.
+* ``dedup_minhash_lsh`` — word-3-gram shingles → 16 md5 minhashes →
+  4 bands × 4 rows → bucket self-join → candidate pairs with estimated
+  Jaccard (fraction of agreeing minhash components). The self-join is on
+  (band, band_key) buckets, so cluster-wide cost is Σ bucket², not n² —
+  the standard web-scale near-dup design (the banding/bucket math of
+  Broder's resemblance sketches).
+* ``dedup_ngram_jaccard`` — *exact* shingle Jaccard via an inverted-index
+  join (shingle → docs, pair counts per shingle, |A∩B| / (|A|+|B|−|A∩B|)),
+  with a document-frequency cap dropping shingles in >25% of docs — the
+  skew guard that keeps the hottest posting lists out of the pair
+  explosion.
+* ``dedup_simhash``   — 16-bit simhash fingerprint per document
+  (bit b = sign of Σ_tokens ±1 by token-hash bit b); hamming-near pairs
+  join on rotated bands of the fingerprint.
+
+Embedding-cosine near-dup lives in operators/similarity.py (same blocked
+join it uses for ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ed_twitter_spark.functions.hashing import TOKS_SQL, h32_col, h32_sql, toks_col
+
+N_MINHASH = 16
+N_BANDS = 4
+BAND_ROWS = N_MINHASH // N_BANDS
+DF_CAP_FRACTION = 0.25  # drop shingles present in > 25% of docs (skew guard)
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.md5(F.lower("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(text))            AS content_hash,
+       CAST(COUNT(*) AS BIGINT)    AS n_docs,
+       MIN(doc_id)                 AS canonical_doc_id
+FROM documents GROUP BY md5(lower(text))
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by minhash + exact jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+    )
+    return (
+        docs.select("doc_id", toks_col().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id,
+       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+     UNNEST(range(1, len(toks) - 1)) AS t(i)
+WHERE len(toks) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc1, doc2, est_jaccard) — LSH candidate pairs, est = matching
+    minhash components / 16."""
+    sh = _shingles(spark, sf_dir)
+    mh = (
+        sh.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"), "shingle"
+        )
+        .select(
+            "doc_id",
+            "i",
+            h32_col(F.concat_ws("#", "shingle", "i")).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("i") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("i", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bkey")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    m1 = mh.select(F.col("doc_id").alias("doc1"), "i", F.col("mh").alias("mh1"))
+    m2 = mh.select(F.col("doc_id").alias("doc2"), "i", F.col("mh").alias("mh2"))
+    return (
+        cand.join(m1, "doc1")
+        .join(m2, ["doc2", "i"])
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0))
+                / F.lit(float(N_MINHASH)),
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id, i,
+         MIN({h32_sql("shingle || '#' || CAST(i AS VARCHAR)")}) AS mh
+  FROM sh, UNNEST(range(0, {N_MINHASH})) AS t(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {BAND_ROWS} AS INTEGER) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+  FROM mh GROUP BY doc_id, i // {BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       ROUND(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / {float(N_MINHASH)}, 6)
+         AS est_jaccard
+FROM cand c
+JOIN mh m1 ON m1.doc_id = c.doc1
+JOIN mh m2 ON m2.doc_id = c.doc2 AND m2.i = m1.i
+GROUP BY c.doc1, c.doc2
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+JACCARD_MIN = 0.1
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc1, doc2, jaccard) — exact shingle Jaccard ≥ 0.1 over pairs that
+    share ≥1 non-stophot shingle."""
+    sh = _shingles(spark, sf_dir)
+    n_docs = sh.select("doc_id").distinct().count()
+    cap = int(n_docs * DF_CAP_FRACTION)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= cap)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    p1 = shr.select(F.col("doc_id").alias("doc1"), "shingle")
+    p2 = shr.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        p1.join(p2, "shingle")
+        .where(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("sz1") + F.col("sz2") - F.col("n_shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_MIN)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) <= (SELECT CAST(COUNT(DISTINCT doc_id) * {DF_CAP_FRACTION} AS BIGINT) FROM sh)
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc1, doc2,
+       ROUND(n_shared * 1.0 / (s1.sz + s2.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE ROUND(n_shared * 1.0 / (s1.sz + s2.sz - n_shared), 6) >= {JACCARD_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 16-bit simhash over token hashes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select("doc_id", F.explode(toks_col()).alias("tok")).select(
+        "doc_id", h32_col(F.col("tok")).alias("h")
+    )
+    bit = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).select("doc_id", "b", F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("w"))
+    return (
+        bit.groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END").alias("v"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("v").alias("simhash"))
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {h32_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
+  FROM tok, UNNEST(range(0, {SIMHASH_BITS})) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+Beyond the reference's own operator set: the per-document quality/selection
+signals a large-scale pretraining-data pipeline computes before dedup and
+filtering. All four are pure JVM column algebra (no Python in the hot
+path), so they ride whole-stage codegen and scan-prune to exactly the
+``text`` column at any scale:
+
+* ``text_stats``    — token/char counts, stopword ratio, mean token length,
+                      a monotone quality score, and n-gram-heuristic
+                      language ID (stopword hit-rate over the English
+                      function-word list the reference ships,
+                      `mulrel-nel/nel/utils.py:7-41`).
+* ``token_counts``  — whitespace tokens + a BPE-ish subword segmentation
+                      count (`[a-z]{1,4}` chunks + digit runs + residue),
+                      the standard proxy for tokenizer cost estimation.
+* ``doc_fingerprint`` — order-sensitive polynomial rolling hash over token
+                      hashes (position-weighted sum mod 2^61), the cheap
+                      containment/identity fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ed_twitter_spark.functions.hashing import TOKS_SQL, h32_col, h32_sql, toks_col
+from ed_twitter_spark.functions.text import STOPWORDS
+
+_MOD = (1 << 61) - 1
+_BPE_RE = "[a-z]{1,4}|[0-9]+|[^a-z0-9]"
+
+# SQL array literal of the stopword list (307 words — constant-folded by
+# both engines)
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = toks_col()
+    sw = F.lit(sorted(STOPWORDS)).cast("array<string>")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    avg_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / n_tok,
+        6,
+    )
+    stop_ratio = F.round(n_stop / n_tok, 6)
+    # monotone quality heuristic: length saturation × function-word presence
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio * 5)),
+        6,
+    )
+    lang_pred = F.when(stop_ratio >= 0.03, F.lit("en")).otherwise(F.lit("unk"))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT)   AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6)
+                                   AS avg_token_len,
+       ROUND(len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x))))
+             * 1.0 / len(toks), 6) AS stopword_ratio,
+       ROUND(LEAST(1.0, len(toks) / 100.0)
+             * (0.5 + LEAST(0.5, ROUND(len(list_filter(toks, x ->
+                  list_contains({_SW_SQL}, lower(x)))) * 1.0 / len(toks), 6) * 5)), 6)
+                                   AS quality,
+       CASE WHEN ROUND(len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x))))
+                  * 1.0 / len(toks), 6) >= 0.03
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM t
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(toks_col()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKS_SQL}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.posexplode(toks_col()).alias("pos", "tok")
+    )
+    return (
+        tok.select("doc_id", ((F.col("pos") + 1) * h32_col(F.col("tok"))).alias("term"))
+        .groupBy("doc_id")
+        .agg((F.sum("term") % _MOD).alias("fingerprint"))
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({TOKS_SQL}) AS tok,
+         CAST(unnest(range(len({TOKS_SQL}))) AS BIGINT) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST(SUM((pos + 1) * {h32_sql('tok')}) % {_MOD} AS BIGINT) AS fingerprint
+FROM tok GROUP BY doc_id
+"""

@@ -311,6 +311,36 @@ def _register_graph():
 _register_graph()
 
 
+# ---------------------------------------------------------------------------
+# 15-25. training-data pipeline operators (text analysis, dedup ladder,
+#        similarity search, multimodal plumbing) — SURVEY.md-adjacent ops a
+#        100 TB corpus pipeline needs; all but mm_decode oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def _register_corpus_ops():
+    from ed_twitter_spark.operators import dedup as dd
+    from ed_twitter_spark.operators import multimodal as mm
+    from ed_twitter_spark.operators import similarity as sim
+    from ed_twitter_spark.operators import textstats as ts
+
+    register("text_stats", ts.TEXT_STATS_SQL)(ts.text_stats)
+    register("token_counts", ts.TOKEN_COUNTS_SQL)(ts.token_counts)
+    register("doc_fingerprint", ts.DOC_FINGERPRINT_SQL)(ts.doc_fingerprint)
+    register("dedup_exact", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
+    register("dedup_minhash_lsh", dd.DEDUP_MINHASH_SQL)(dd.dedup_minhash_lsh)
+    register("dedup_ngram_jaccard", dd.DEDUP_JACCARD_SQL)(dd.dedup_ngram_jaccard)
+    register("dedup_simhash", dd.DEDUP_SIMHASH_SQL)(dd.dedup_simhash)
+    register("ann_cosine_topk", sim.ANN_COSINE_SQL)(sim.ann_cosine_topk)
+    register("ann_ivf_topk", sim.ANN_IVF_SQL)(sim.ann_ivf_topk)
+    register("embed_cosine_pairs", sim.EMBED_PAIRS_SQL)(sim.embed_cosine_pairs)
+    register("mm_assets", mm.MM_ASSETS_SQL)(mm.mm_assets)
+    register("mm_decode_features", None)(mm.mm_decode_features)
+
+
+_register_corpus_ops()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))

@@ -1,0 +1,135 @@
+"""Value tests for the training-data corpus operators (dedup / similarity /
+textstats / multimodal) against independent pure-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from conftest import SF_SMOKE
+
+from ed_twitter_spark.operators import multimodal as mm
+from ed_twitter_spark.operators.dedup import (
+    SIMHASH_BITS,
+    dedup_exact,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from ed_twitter_spark.operators.similarity import TOP_K, ann_cosine_topk
+from ed_twitter_spark.operators.textstats import doc_fingerprint
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+
+
+def test_dedup_exact_matches_pandas(spark, docs_pdf):
+    got = dedup_exact(spark, SF_SMOKE).toPandas()
+    ref = (
+        docs_pdf.assign(h=[hashlib.md5(t.lower().encode()).hexdigest() for t in docs_pdf["text"]])
+        .groupby("h")
+        .agg(n=("doc_id", "size"), canon=("doc_id", "min"))
+    )
+    assert len(got) == len(ref)
+    got_map = dict(zip(got["content_hash"], zip(got["n_docs"], got["canonical_doc_id"])))
+    for h, row in ref.iterrows():
+        assert got_map[h] == (row["n"], row["canon"])
+
+
+def test_simhash_matches_python(spark, docs_pdf):
+    got = dedup_simhash(spark, SF_SMOKE).toPandas().set_index("doc_id")["simhash"]
+    for _, row in docs_pdf.head(20).iterrows():
+        sums = [0] * SIMHASH_BITS
+        for tok in row["text"].split():
+            h = _h32(tok)
+            for b in range(SIMHASH_BITS):
+                sums[b] += 2 * ((h >> b) & 1) - 1
+        want = sum(1 << b for b in range(SIMHASH_BITS) if sums[b] > 0)
+        assert got[row["doc_id"]] == want
+
+
+def test_fingerprint_is_order_sensitive(spark, docs_pdf):
+    got = doc_fingerprint(spark, SF_SMOKE).toPandas().set_index("doc_id")["fingerprint"]
+    row = docs_pdf.iloc[0]
+    toks = row["text"].split()
+    want = sum((i + 1) * _h32(t) for i, t in enumerate(toks)) % ((1 << 61) - 1)
+    assert got[row["doc_id"]] == want
+    # permuting two distinct tokens changes the fingerprint
+    i, j = next(
+        (i, j)
+        for i in range(len(toks))
+        for j in range(i + 1, len(toks))
+        if toks[i] != toks[j]
+    )
+    toks[i], toks[j] = toks[j], toks[i]
+    perm = sum((k + 1) * _h32(t) for k, t in enumerate(toks)) % ((1 << 61) - 1)
+    assert perm != want
+
+
+def test_ngram_jaccard_exact_on_known_pair(spark):
+    got = dedup_ngram_jaccard(spark, SF_SMOKE).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas().set_index("doc_id")
+    )
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    for _, r in got.head(5).iterrows():
+        s1, s2 = shingles(docs.loc[r["doc1"], "text"]), shingles(docs.loc[r["doc2"], "text"])
+        want = round(len(s1 & s2) / len(s1 | s2), 6)
+        # operator drops hot shingles (df cap) before pair counting, so its
+        # intersection is a subset — but sizes sz1/sz2 are uncapped, so the
+        # reported jaccard can only be ≤ the exact one
+        assert r["jaccard"] <= want + 1e-9
+
+
+def test_ann_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").toPandas()
+    mat = np.stack(emb.sort_values("vec_id")["embedding"].map(np.asarray)).astype(np.float64)
+    ids = emb.sort_values("vec_id")["vec_id"].to_numpy()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    got = ann_cosine_topk(spark, SF_SMOKE).toPandas()
+    for qi in got["query_id"].unique():
+        qrow = np.flatnonzero(ids == qi)[0]
+        cos = np.round(norm @ norm[qrow], 4)
+        cos[qrow] = -2
+        order = sorted(range(len(ids)), key=lambda k: (-cos[k], ids[k]))[:TOP_K]
+        want = [ids[k] for k in order]
+        have = got[got["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert have == want
+
+
+def test_mm_decode_matches_python(spark):
+    feats = mm.mm_decode_features(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    assets = mm.mm_assets(spark, SF_SMOKE).toPandas().head(10)
+    for _, r in assets.iterrows():
+        blob = bytes.fromhex(r["blob_hex"])
+        want = mm.decode_blob_features(blob)
+        have = feats.loc[r["doc_id"]]
+        for k, v in want.items():
+            assert have[k] == pytest.approx(v)
+    # blob synthesis is the md5 chain and dims are in range
+    t0 = assets.iloc[0]
+    assert len(bytes.fromhex(t0["blob_hex"])) == 16 * mm.BLOB_REPEATS == t0["n_bytes"]
+    assert 16 <= t0["width"] < 16 + 512 and 16 <= t0["height"] < 16 + 512
+
+
+def test_mm_decode_batch_plumbing(spark):
+    # mapInPandas must preserve row count and schema across Arrow batches
+    df = mm.mm_decode_features(spark, SF_SMOKE)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert df.count() == n_docs
+    assert [f.name for f in df.schema.fields][:3] == ["doc_id", "n_bytes", "byte_mean"]
