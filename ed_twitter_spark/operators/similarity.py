@@ -141,3 +141,100 @@ FROM embeddings q JOIN embeddings c
   ON c.label = q.label AND q.vec_id < c.vec_id
 WHERE {_COS_SQL} >= {COS_MIN}
 """
+
+
+# ---------------------------------------------------------------------------
+# K10/T8 — relatedness eval: MAP + NDCG@{1,5,10} of cosine rankings
+# ---------------------------------------------------------------------------
+
+N_REL_QUERIES = 30
+
+
+def relatedness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (map, ndcg1, ndcg5, ndcg10): rank the corpus by cosine per
+    query vector, relevance = shared coarse label, metrics averaged over
+    queries (`deep-ed-pytorch/entities/relatedness/relatedness.py:212-286`
+    semantics: ranked-list MAP and binary-gain NDCG)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < N_REL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        _cos(F.col("qe"), F.col("embedding")).alias("cos"),
+        (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cum = Window.partitionBy("query_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = ranked.withColumn("cum_rel", F.sum("rel").over(cum))
+
+    def _dcg(k: int):
+        return F.sum(
+            F.when(F.col("rn") <= k, F.col("rel") / F.log2(F.col("rn") + 1)).otherwise(0.0)
+        )
+
+    per_q = ranked.groupBy("query_id").agg(
+        (F.sum(F.col("rel") * F.col("cum_rel") / F.col("rn")) / F.sum("rel")).alias("ap"),
+        _dcg(1).alias("dcg1"),
+        _dcg(5).alias("dcg5"),
+        _dcg(10).alias("dcg10"),
+        F.sum("rel").alias("n_rel"),
+    )
+    for k in (1, 5, 10):
+        idcg = F.expr(
+            f"aggregate(sequence(1, int(least({k}, n_rel))), 0.0D, (a, i) -> a + 1.0D / log2(i + 1))"
+        )
+        per_q = per_q.withColumn(f"ndcg{k}", F.col(f"dcg{k}") / idcg)
+    return per_q.agg(
+        F.round(F.avg("ap"), 6).alias("map"),
+        F.round(F.avg("ndcg1"), 6).alias("ndcg1"),
+        F.round(F.avg("ndcg5"), 6).alias("ndcg5"),
+        F.round(F.avg("ndcg10"), 6).alias("ndcg10"),
+    )
+
+
+RELATEDNESS_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos,
+         CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_REL_QUERIES}
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn,
+         SUM(rel) OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM scored
+),
+per_q AS (
+  SELECT query_id,
+         SUM(rel * cum_rel * 1.0 / rn) / SUM(rel) AS ap,
+         SUM(CASE WHEN rn <= 1  THEN rel / log2(rn + 1) ELSE 0 END) AS dcg1,
+         SUM(CASE WHEN rn <= 5  THEN rel / log2(rn + 1) ELSE 0 END) AS dcg5,
+         SUM(CASE WHEN rn <= 10 THEN rel / log2(rn + 1) ELSE 0 END) AS dcg10,
+         SUM(rel) AS n_rel
+  FROM ranked GROUP BY query_id
+),
+norm AS (
+  SELECT query_id, ap,
+         dcg1  / list_sum(list_transform(range(1, CAST(LEAST(1,  n_rel) AS BIGINT) + 1),
+                  i -> 1.0 / log2(i + 1))) AS ndcg1,
+         dcg5  / list_sum(list_transform(range(1, CAST(LEAST(5,  n_rel) AS BIGINT) + 1),
+                  i -> 1.0 / log2(i + 1))) AS ndcg5,
+         dcg10 / list_sum(list_transform(range(1, CAST(LEAST(10, n_rel) AS BIGINT) + 1),
+                  i -> 1.0 / log2(i + 1))) AS ndcg10
+  FROM per_q
+)
+SELECT ROUND(AVG(ap), 6)    AS map,
+       ROUND(AVG(ndcg1), 6) AS ndcg1,
+       ROUND(AVG(ndcg5), 6) AS ndcg5,
+       ROUND(AVG(ndcg10), 6) AS ndcg10
+FROM norm
+"""

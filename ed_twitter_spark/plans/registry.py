@@ -341,6 +341,57 @@ def _register_corpus_ops():
 _register_corpus_ops()
 
 
+# ---------------------------------------------------------------------------
+# 26-29. KB-build chain: multi-source prior merge (U1/A2/A3), normalization
+#        (P1/P2/J3), restricted-set filter (J4)
+# ---------------------------------------------------------------------------
+
+
+def _register_kb_build():
+    from ed_twitter_spark.operators import kb_build as kbb
+
+    register("kb_alias_merged", kbb.KB_MERGED_SQL)(kbb.kb_alias_merged)
+    register("ent_name_normalize", kbb.ENT_NORMALIZE_SQL)(kbb.ent_name_normalize)
+    register("mention_normalize", kbb.mention_normalize_sql())(kbb.mention_normalize)
+    register("rltd_filter", kbb.rltd_filter_sql())(kbb.rltd_filter)
+
+
+_register_kb_build()
+
+
+# ---------------------------------------------------------------------------
+# 30-31. W6 span merge + K10 relatedness metrics
+# ---------------------------------------------------------------------------
+
+
+def _register_spans_rel():
+    from ed_twitter_spark.operators import spans as sp
+    from ed_twitter_spark.operators.similarity import RELATEDNESS_SQL, relatedness_eval
+
+    register("bio_span_merge", sp.BIO_SPAN_SQL)(sp.bio_span_merge)
+    register("relatedness_eval", RELATEDNESS_SQL)(relatedness_eval)
+
+
+_register_spans_rel()
+
+
+# ---------------------------------------------------------------------------
+# 32. W1/W3 conversation windows under the oracle (linker stage-1 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _register_windows():
+    from ed_twitter_spark.operators.window_query import (
+        MENTION_WINDOWS_SQL,
+        mention_windows,
+    )
+
+    register("mention_windows", MENTION_WINDOWS_SQL)(mention_windows)
+
+
+_register_windows()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
