@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# headline set: the KG pipeline stages + KB build (kept in dependency order)
+# headline set: the KG pipeline stages + KB build (dependency order), plus
+# one representative per corpus-operator family (dedup / ANN / text stats /
+# sessionization)
 HEADLINE = [
     "transcripts",
     "kb_alias",
@@ -31,6 +33,11 @@ HEADLINE = [
     "link_embed",
     "canonicalize",
     "eval_micro_f1",
+    "kg_edges",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "text_stats",
+    "event_sessions",
 ]
 
 

@@ -392,6 +392,20 @@ def _register_windows():
 _register_windows()
 
 
+# ---------------------------------------------------------------------------
+# 33. gap-based sessionization over the events stream table
+# ---------------------------------------------------------------------------
+
+
+def _register_sessions():
+    from ed_twitter_spark.operators.sessions import EVENT_SESSIONS_SQL, event_sessions
+
+    register("event_sessions", EVENT_SESSIONS_SQL)(event_sessions)
+
+
+_register_sessions()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
