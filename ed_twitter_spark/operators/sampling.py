@@ -1,0 +1,125 @@
+"""K8/K9 — the embedding-training support operators, made deterministic.
+
+* ``negative_sampling`` — the reference samples negative words from the
+  unigram^0.6 distribution by binary-searching a cumulative-frequency
+  table with uniform randoms (`w_freq_index.py:106-122`,
+  `minibatch_a.py:97-111`). Distributed + testable, the randoms become
+  **deterministic stratified probes** u_k = (k+½)/K · total — the inverse-
+  CDF structure (power weighting, cumulative table, first-bucket-≥-probe
+  search) is identical, only the RNG is pinned. The search is a range
+  join against the cumulative table + a min-aggregate.
+* ``ent_vec_init`` — entity-embedding initialization as the average of
+  the entity's title-word vectors (`entities/learn_e2v/model_a.py:22-53`),
+  emitted per (entity, dim) so the oracle hashes every component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ed_twitter_spark import synth
+from ed_twitter_spark.functions.hashing import TOKS_SQL
+
+N_PROBES = 100
+POW = 0.6
+MIN_FREQ = 10
+
+
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, word) — the word each stratified probe lands on."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= MIN_FREQ)
+    )
+    worder = Window.orderBy(F.desc("freq"), F.asc("word"))
+    p = wc.select(
+        "word",
+        F.pow("freq", F.lit(POW)).alias("w"),
+        F.row_number().over(worder).alias("wid"),
+    )
+    c = p.withColumn(
+        "cum",
+        F.sum("w").over(
+            Window.orderBy("wid").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = p.agg(F.sum("w").alias("total"))
+    probes = spark.range(N_PROBES).select(F.col("id").cast("int").alias("k")).crossJoin(
+        F.broadcast(total)
+    ).select("k", ((F.col("k") + 0.5) / N_PROBES * F.col("total")).alias("u"))
+    hit = (
+        probes.join(F.broadcast(c), F.col("cum") >= F.col("u"))
+        .groupBy("k")
+        .agg(F.min("wid").alias("wid"))
+    )
+    return hit.join(F.broadcast(c.select("wid", "word")), "wid").select("k", "word")
+
+
+NEGATIVE_SAMPLING_SQL = f"""
+WITH tok AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
+wc AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word HAVING COUNT(*) >= {MIN_FREQ}),
+p AS (
+  SELECT word, power(freq, {POW}) AS w,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS wid
+  FROM wc
+),
+c AS (
+  SELECT *, SUM(w) OVER (ORDER BY wid ROWS UNBOUNDED PRECEDING) AS cum FROM p
+),
+probes AS (
+  SELECT CAST(k AS INTEGER) AS k,
+         (k + 0.5) / {N_PROBES} * (SELECT SUM(w) FROM p) AS u
+  FROM UNNEST(range(0, {N_PROBES})) AS t(k)
+),
+hit AS (
+  SELECT probes.k, MIN(c.wid) AS wid
+  FROM probes JOIN c ON c.cum >= probes.u
+  GROUP BY probes.k
+)
+SELECT hit.k, c.word FROM hit JOIN c ON c.wid = hit.wid
+"""
+
+
+def ent_vec_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ent_name, dim, val) — average of md5-keyed title-word vectors."""
+    kb = synth.kb_alias(spark, sf_dir).select("ent_name").distinct()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.agg(F.max("vec_id") + 1).first()[0]
+    words = kb.select(
+        "ent_name", F.explode(F.split("ent_name", "_")).alias("tw")
+    ).select(
+        "ent_name",
+        (F.conv(F.substring(F.md5("tw"), 1, 6), 16, 10).cast("long") % n_vec).alias(
+            "vec_id"
+        ),
+    )
+    comp = words.join(emb, "vec_id").select(
+        "ent_name", F.posexplode("embedding").alias("dim", "v")
+    )
+    return comp.groupBy("ent_name", "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("val")
+    )
+
+
+ENT_VEC_INIT_SQL = f"""
+WITH kb AS ({synth.KB_ALIAS_SQL}),
+ents AS (SELECT DISTINCT ent_name FROM kb),
+words AS (
+  SELECT ent_name,
+         CAST(('0x' || substr(md5(tw), 1, 6)) AS BIGINT)
+           % (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id
+  FROM (SELECT ent_name, unnest(string_split(ent_name, '_')) AS tw FROM ents)
+),
+comp AS (
+  SELECT w.ent_name,
+         CAST(unnest(range(len(e.embedding))) AS INTEGER) AS dim,
+         CAST(unnest(e.embedding) AS DOUBLE) AS v
+  FROM words w JOIN embeddings e ON e.vec_id = w.vec_id
+)
+SELECT ent_name, dim, ROUND(AVG(v), 6) AS val
+FROM comp GROUP BY ent_name, dim
+"""

@@ -406,6 +406,21 @@ def _register_sessions():
 _register_sessions()
 
 
+# ---------------------------------------------------------------------------
+# 34-35. K8 deterministic negative sampling + K9 entity-vector init
+# ---------------------------------------------------------------------------
+
+
+def _register_sampling():
+    from ed_twitter_spark.operators import sampling as smp
+
+    register("negative_sampling", smp.NEGATIVE_SAMPLING_SQL)(smp.negative_sampling)
+    register("ent_vec_init", smp.ENT_VEC_INIT_SQL)(smp.ent_vec_init)
+
+
+_register_sampling()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))

@@ -1,0 +1,101 @@
+"""Physical-plan audits: the scale properties the operators claim must be
+visible in the optimized plan, not just in docstrings.
+
+Each assertion inspects ``explain(formatted)`` output: broadcast joins stay
+broadcast, scans prune to the referenced columns, filters reach the parquet
+reader, and the zero-shuffle claims hold (no Exchange where none is
+needed)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from conftest import SF_SMOKE
+
+from ed_twitter_spark import synth
+from ed_twitter_spark.functions.fixtures import load_embedding_matrix
+from ed_twitter_spark.operators.linker import attach_candidates, build_mention_windows
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_candidate_join_is_broadcast(spark):
+    from ed_twitter_spark.operators.candidates import gen_candidates
+    from ed_twitter_spark.operators.mentions import detect_mentions
+
+    m = detect_mentions(synth.transcripts(spark, SF_SMOKE))
+    kb = synth.kb_alias(spark, SF_SMOKE)
+    plan = plan_of(gen_candidates(m, kb))
+    assert "BroadcastHashJoin" in plan
+    # the mention stream side must not shuffle for the join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_attach_candidates_zero_shuffle_on_stream(spark):
+    emb = load_embedding_matrix(spark, SF_SMOKE)
+    w = build_mention_windows(synth.transcripts(spark, SF_SMOKE), emb.shape[0] - 1)
+    plan = plan_of(attach_candidates(w, synth.kb_alias(spark, SF_SMOKE)))
+    assert "BroadcastHashJoin" in plan
+    # exchanges may exist on the KB (dim) side / upstream window build, but
+    # the window stream must flow into the join without a hash exchange on
+    # the join key
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_mentions_scan_prunes_columns(spark):
+    from ed_twitter_spark.operators.mentions import detect_mentions
+
+    plan = plan_of(detect_mentions(synth.transcripts(spark, SF_SMOKE)))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # transcripts derivation needs doc_id + text only — lang/source/n_chars
+    # must be pruned out of the parquet scan
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_documents_filter_pushdown(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    plan = plan_of(docs.where(F.col("doc_id") > 100).select("doc_id"))
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(doc_id,100\)", plan), plan
+
+
+def test_text_stats_is_jvm_only_single_pass(spark):
+    from ed_twitter_spark.operators.textstats import text_stats
+
+    plan = plan_of(text_stats(spark, SF_SMOKE))
+    # pure column algebra: no python UDF evaluation nodes, no shuffle —
+    # the whole query is one Project over the parquet scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_event_sessions_single_exchange(spark):
+    from ed_twitter_spark.operators.sessions import event_sessions
+
+    plan = plan_of(event_sessions(spark, SF_SMOKE))
+    # the window and the session groupBy share the user_id partitioning:
+    # exactly one exchange node in the whole plan (formatted mode lists
+    # each operator once as "(n) Exchange")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+
+
+@pytest.mark.parametrize("qname", ["kg_edges"])
+def test_component_join_is_broadcast(spark, qname):
+    from ed_twitter_spark.plans import registry
+
+    plan = plan_of(registry.queries()[qname](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
