@@ -59,11 +59,13 @@ def write_stage(
     stage: str,
     fp: str,
     deps: list[str],
-    wall_s: float,
+    started_at: float,
 ) -> dict:
     """Materialize a stage: data + per-partition metrics + lineage row.
 
-    Returns the lineage record (also written as a 1-row table).
+    ``started_at`` is the wall-clock when the stage's build began; the
+    recorded wall_s spans build + execution + write. Returns the lineage
+    record (also written as a 1-row table).
     """
     spark = df.sparkSession
     cat = _iceberg_catalog(spark)
@@ -96,7 +98,7 @@ def write_stage(
         "deps": json.dumps(deps),
         "schema": written.schema.json(),
         "rows": n_rows,
-        "wall_s": round(wall_s, 3),
+        "wall_s": round(time.time() - started_at, 3),
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     spark.createDataFrame([record]).write.mode("overwrite").parquet(

@@ -91,3 +91,56 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        CAST(COUNT(*) AS BIGINT)          AS n_toks
 FROM spans GROUP BY doc_id, span_id
 """
+
+
+# ---------------------------------------------------------------------------
+# J6 — coref containment pairs over merged spans
+# ---------------------------------------------------------------------------
+
+
+def coref_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, short_span, long_span, short_mention, long_mention) — the
+    reference's coref signal: a mention whose word sequence is contained,
+    word-aligned, in a strictly longer mention of the same document
+    (`mulrel-nel/nel/dataset.py:184-207` ``find_coref``; persons-only there,
+    all spans here). The containment test is the padded-LIKE word-boundary
+    match; the join is per-document (doc_id equi-key), so cluster-wide cost
+    is Σ spans_per_doc², bounded by document size — never a global product.
+    """
+    s = bio_span_merge(spark, sf_dir)
+    a = s.select(
+        "doc_id",
+        F.col("span_id").alias("short_span"),
+        F.col("mention").alias("short_mention"),
+        F.col("n_toks").alias("nt_short"),
+    )
+    b = s.select(
+        "doc_id",
+        F.col("span_id").alias("long_span"),
+        F.col("mention").alias("long_mention"),
+        F.col("n_toks").alias("nt_long"),
+    )
+    padded_long = F.concat(F.lit(" "), F.col("long_mention"), F.lit(" "))
+    padded_short = F.concat(F.lit(" "), F.col("short_mention"), F.lit(" "))
+    return (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("nt_short") < F.col("nt_long"))
+            & padded_long.contains(padded_short)
+        )
+        .select("doc_id", "short_span", "long_span", "short_mention", "long_mention")
+    )
+
+
+COREF_SQL_TEMPLATE = """
+WITH spans AS ({spans_sql})
+SELECT a.doc_id, a.span_id AS short_span, b.span_id AS long_span,
+       a.mention AS short_mention, b.mention AS long_mention
+FROM spans a JOIN spans b
+  ON a.doc_id = b.doc_id AND a.n_toks < b.n_toks
+ AND strpos(' ' || b.mention || ' ', ' ' || a.mention || ' ') > 0
+"""
+
+
+def coref_containment_sql() -> str:
+    return COREF_SQL_TEMPLATE.format(spans_sql=BIO_SPAN_SQL)

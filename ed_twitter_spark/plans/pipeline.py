@@ -122,19 +122,27 @@ def run_pipeline(
     """
     results: dict[str, dict] = {}
     fps: dict[str, str] = {}
+    rebuilt: set[str] = set()
     for st in STAGES:
         fp = kgio.fingerprint(st.name, st.version, sf_dir, *(fps[d] for d in st.deps))
         fps[st.name] = fp
         lineage = kgio.read_lineage(spark, root, st.name) if resume else None
-        if lineage is not None and lineage["fingerprint"] == fp and st.name not in force:
+        must_run = (
+            lineage is None
+            or lineage["fingerprint"] != fp
+            or st.name in force
+            # a forced/invalidated ancestor rebuilt this run: its output may
+            # differ from what this stage's checkpoint was built from
+            or any(d in rebuilt for d in st.deps)
+        )
+        if not must_run:
             results[st.name] = {**lineage, "skipped": True}
             continue
+        rebuilt.add(st.name)
         inputs = {d: kgio.read_stage(spark, root, d) for d in st.deps}
         t0 = time.time()
         df = st.build(spark, sf_dir, inputs)
-        record = kgio.write_stage(
-            df, root, st.name, fp, list(st.deps), wall_s=time.time() - t0
-        )
+        record = kgio.write_stage(df, root, st.name, fp, list(st.deps), started_at=t0)
         results[st.name] = {**record, "skipped": False}
     return results
 

@@ -369,6 +369,7 @@ def _register_spans_rel():
     from ed_twitter_spark.operators.similarity import RELATEDNESS_SQL, relatedness_eval
 
     register("bio_span_merge", sp.BIO_SPAN_SQL)(sp.bio_span_merge)
+    register("coref_containment", sp.coref_containment_sql())(sp.coref_containment)
     register("relatedness_eval", RELATEDNESS_SQL)(relatedness_eval)
 
 

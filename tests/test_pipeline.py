@@ -24,14 +24,15 @@ def test_pipeline_runs_resumes_and_invalidates(spark, tmp_path):
         n: rec["rows"] for n, rec in r1.items()
     }
 
-    # force mid-pipeline: candidates and its descendants re-run, ancestors
-    # stay skipped — but force only invalidates the named stage's *write*;
-    # descendants re-run because we pass them too (fingerprint unchanged).
-    r3 = run_pipeline(spark, SF_SMOKE, root, force=("candidates", "triples"))
+    # force mid-pipeline: the named stage and every descendant re-run
+    # (a distrusted checkpoint invalidates everything built from it);
+    # ancestors stay skipped
+    r3 = run_pipeline(spark, SF_SMOKE, root, force=("candidates",))
     assert r3["transcripts"]["skipped"] and r3["kb_alias"]["skipped"]
-    assert not r3["candidates"]["skipped"] and not r3["triples"]["skipped"]
-    assert r3["candidates"]["rows"] == r1["candidates"]["rows"]
-    assert r3["triples"]["rows"] == r1["triples"]["rows"]
+    assert r3["windows"]["skipped"]
+    for st in ("candidates", "triples", "components", "vertices", "edges"):
+        assert not r3[st]["skipped"], st
+        assert r3[st]["rows"] == r1[st]["rows"], st
 
 
 def test_metrics_per_partition_sum_to_total(spark, tmp_path):
