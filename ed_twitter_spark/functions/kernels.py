@@ -2,8 +2,10 @@
 
 Clean-room reimplementation of the reference's eval-time math — NTEE
 prerank, local context attention, multi-relational global model with loopy
-belief propagation, and the score⊕prior combiner — as vectorized float64
-numpy over one document (= conversation chunk) at a time. Reference cites:
+belief propagation, and the score⊕prior combiner — as vectorized numpy
+over one document (= conversation chunk) at a time (float64 control path;
+the O(n²c²) K5/K6 region runs float32 like the reference's torch model —
+see global_lbp_scores). Reference cites:
 
 * K1 prerank: `mulrel-nel/nel/ntee.py:20-39`, `ed_ranker.py:65-151`
 * K2 local attention: `mulrel-nel/nel/local_ctx_att_ranker.py:52-96`
@@ -179,32 +181,56 @@ def global_lbp_scores(
 
     # K5: bilinear relation-weighted entity-pair scores
     # rel_ent_ent[r,i,c1,j,c2] = Σ_d ent[i,c1,d]·rel[r,d]·ent[j,c2,d]
-    # — computed as R BLAS matmuls over the (n·c, d) flattened entity matrix
-    flat = ent_vecs.reshape(n * c, d)
-    rel_ee = np.stack(
-        [((flat * w.rel_embs[ri]) @ flat.T).reshape(n, c, n, c) for ri in range(r)]
-    )
-    rel_ee = rel_ee * ent_mask[None, None, None, :, :] + (
-        ent_mask[None, None, None, :, :] - 1.0
-    ) * BIG_NEG
-    ent_ent = (
-        np.einsum("riajb,rij->iajb", rel_ee, weights, optimize=True) / r
-    )  # (n,c,n,c) lines 220-222
+    # — R matmuls over the (n·c, d) flattened entity matrix. The whole
+    # O(n²c²) region runs in float32 (the reference computes this model in
+    # float32 torch) with buffers allocated once per call and reused via
+    # out=: the LBP loop is memory-bandwidth-bound when every core runs a
+    # chunk, so halving element width nearly halves the DRAM traffic that
+    # limits many-core scaling, and fresh 5 MB allocations per round would
+    # additionally pay mmap page-fault cost.
+    f32 = np.float32
+    flat = ent_vecs.reshape(n * c, d).astype(f32)
+    mask_mul = ent_mask.astype(f32)
+    mask_add = ((ent_mask - 1.0) * BIG_NEG).astype(f32)
+    rel32 = w.rel_embs.astype(f32)
+    w32 = weights.astype(f32)
+    ree2d = np.empty((n * c, n * c), dtype=f32)
+    ree4 = ree2d.reshape(n, c, n, c)
+    tmp4 = np.empty((n, c, n, c), dtype=f32)
+    ent_ent = np.zeros((n, c, n, c), dtype=f32)
+    for ri in range(r):
+        np.matmul(flat * rel32[ri], flat.T, out=ree2d)
+        ree4 *= mask_mul[None, None, :, :]
+        ree4 += mask_add[None, None, :, :]
+        # Σ_r weights[r,i,j]·ree[i,a,j,b]: broadcast the (i,j) weight plane
+        np.multiply(ree4, w32[ri][:, None, :, None], out=tmp4)
+        ent_ent += tmp4
+    ent_ent /= np.float32(r)  # (n,c,n,c) lines 220-222
 
     # K6: loopy BP, max-product with damping (lines 233-251)
     offdiag = 1.0 - eye  # (n,n)
-    prev_msgs = np.zeros((n, c, n))
+    off32 = offdiag.astype(f32)
+    base = ent_ent + local_scores[None, None, :, :].astype(f32)  # loop-invariant
+    prev_msgs = np.zeros((n, c, n), dtype=f32)
+    votes = tmp4  # reuse the (n,c,n,c) scratch
+    sm2d = np.empty((n, n * c), dtype=f32)
+    msgs = np.empty((n, c, n), dtype=f32)
     for _ in range(w.n_loops):
-        # sum over k≠i of prev_msgs[j,c2,k] → (i,j,c2): one BLAS matmul
-        sum_msgs = (prev_msgs.reshape(n * c, n) @ offdiag.T).reshape(n, c, n).transpose(2, 0, 1)
-        votes = ent_ent + local_scores[None, None, :, :] + sum_msgs[:, None, :, :]
-        msgs = votes.max(axis=3)  # (i,c1,j)
+        # sum over k≠i of prev_msgs[j,c2,k] → (i,(j,c2)): one GEMM into the
+        # preallocated buffer (prev.reshape(nc,n).T is a no-copy view)
+        np.matmul(off32, prev_msgs.reshape(n * c, n).T, out=sm2d)
+        np.add(base, sm2d.reshape(n, n, c)[:, None, :, :], out=votes)
+        votes.max(axis=3, out=msgs)  # (i,c1,j)
         msgs = np.log(
-            _softmax(msgs, axis=1) * w.df + np.exp(prev_msgs) * (1.0 - w.df)
+            _softmax(msgs, axis=1) * np.float32(w.df)
+            + np.exp(prev_msgs) * np.float32(1.0 - w.df)
         )
         prev_msgs = msgs
+        msgs = np.empty((n, c, n), dtype=f32)
 
-    ent_scores = local_scores + np.einsum("icj,ij->ic", prev_msgs, offdiag)
+    ent_scores = local_scores + np.einsum(
+        "icj,ij->ic", prev_msgs.astype(np.float64), offdiag
+    )
     ent_scores = _softmax(ent_scores, axis=1)
 
     scores = score_combine(ent_scores, p_e_m, w)

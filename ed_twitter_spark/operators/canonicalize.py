@@ -22,16 +22,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Below this many (distinct, symmetrized) edges the whole graph fits on the
+# driver and a local union-find beats O(diameter) rounds of shuffle jobs by
+# orders of magnitude. The equivalence graph is KB-sized (surfaces +
+# entities), not stream-sized, so most deployments take the local path; the
+# iterative loop is the correctness-identical big-graph fallback.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _local_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps the hash-min labeling: root = min member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    max_iter: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """(node string, component string) — component = min node id reachable.
 
-    ``edges`` is an undirected edge list (direction ignored).
+    ``edges`` is an undirected edge list (direction ignored). Graphs up to
+    ``driver_max_edges`` distinct edges run as a driver-side union-find
+    (same labeling: component = min member); larger graphs run the
+    distributed hash-min loop.
     """
+    spark = edges.sparkSession
+    dedup = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    if dedup.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        labels = _local_union_find(
+            [(r["a"], r["b"]) for r in dedup.collect()]
+        )
+        return spark.createDataFrame(
+            sorted(labels.items()), schema="node string, component string"
+        )
+
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        dedup.select("a", "b")
+        .union(dedup.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()

@@ -235,8 +235,19 @@ def build_mention_windows(
             )
         return pd.DataFrame(rows, columns=[f.name for f in _WINDOW_SCHEMA.fields])
 
-    return segmented.groupBy("conv_id", "seg").applyInPandas(
-        per_segment, schema=_WINDOW_SCHEMA
+    # Explicit numbered repartition on the group keys: the segment rows are
+    # tiny (bytes per turn) but each group costs real Python CPU, so AQE's
+    # size-based coalescing would fold the whole grouped map into one task.
+    # A user-numbered repartition is exempt from AQE coalescing, and
+    # applyInPandas reuses the compatible hash partitioning (no second
+    # exchange — see tests/test_plans.py).
+    n_parts = max(
+        2 * transcripts_df.sparkSession.sparkContext.defaultParallelism, 8
+    )
+    return (
+        segmented.repartition(n_parts, "conv_id", "seg")
+        .groupBy("conv_id", "seg")
+        .applyInPandas(per_segment, schema=_WINDOW_SCHEMA)
     )
 
 

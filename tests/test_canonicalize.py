@@ -38,8 +38,16 @@ def _check(spark, edges):
         expected[n] = root_to_min[uf.find(n)]
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
-    assert got == expected
+    # both execution paths must agree with the oracle: driver-side
+    # union-find (default for small graphs) and the distributed hash-min
+    # loop (forced via a zero threshold)
+    got_local = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got_local == expected
+    assert got_dist == expected
 
 
 def test_cc_random_graph(spark):

@@ -99,3 +99,18 @@ def test_component_join_is_broadcast(spark, qname):
 
     plan = plan_of(registry.queries()[qname](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+
+
+def test_window_build_stays_parallel(spark):
+    """Regression: AQE once coalesced the tiny segment-row shuffle into a
+    single partition, serializing the Python-heavy window build. The
+    explicit numbered repartition must keep the grouped map spread over
+    multiple tasks."""
+    from pyspark.sql import functions as F
+
+    emb = load_embedding_matrix(spark, SF_SMOKE)
+    w = build_mention_windows(synth.transcripts(spark, SF_SMOKE), emb.shape[0] - 1)
+    n_parts = (
+        w.select(F.spark_partition_id().alias("pid")).distinct().count()
+    )
+    assert n_parts > 1, "window build collapsed to a single task"
