@@ -422,6 +422,21 @@ def _register_sampling():
 _register_sampling()
 
 
+# ---------------------------------------------------------------------------
+# 36-37. S2 anchor-markup parser + JSON props extraction
+# ---------------------------------------------------------------------------
+
+
+def _register_parse():
+    from ed_twitter_spark.operators import anchors_parse as ap
+
+    register("anchor_parse", ap.ANCHOR_PARSE_SQL)(ap.anchor_parse)
+    register("events_props", ap.EVENTS_PROPS_SQL)(ap.events_props)
+
+
+_register_parse()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
