@@ -1,0 +1,110 @@
+"""Hypothesis property tests for the subtle kernel semantics (SURVEY.md §7
+hard parts (b)/(d)): prerank selection-set logic vs a direct transcription,
+tie determinism, and the union-find CC labeling."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ed_twitter_spark.functions import kernels
+from ed_twitter_spark.operators.canonicalize import _local_union_find
+
+
+def _prerank_reference(row: np.ndarray, keep_ctx_ent: int, keep_p_e_m: int) -> list[int]:
+    """Direct clean-room transcription of `ed_ranker.py:95-125`: take the
+    top-keep_ctx_ent indices by score (stable order), then fill from index
+    0 upward, skipping already-selected, until keep_ctx_ent+keep_p_e_m;
+    return sorted."""
+    order = sorted(range(len(row)), key=lambda i: (-row[i], i))
+    selected = set(order[:keep_ctx_ent])
+    idx = 0
+    while len(selected) < keep_ctx_ent + keep_p_e_m:
+        if idx not in selected:
+            selected.add(idx)
+        idx += 1
+    return sorted(selected)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False), min_size=8, max_size=30
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+)
+def test_prerank_select_matches_transcription(scores, kc, kp):
+    row = np.array(scores, dtype=np.float64)
+    got = kernels.prerank_select(row[None, :], keep_ctx_ent=kc, keep_p_e_m=kp)[0]
+    want = _prerank_reference(row, kc, kp)
+    assert list(got) == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=99), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pad_token_ids_properties(lists):
+    out, mask = kernels.pad_token_ids([list(x) for x in lists], unk_id=999)
+    assert out.shape == mask.shape
+    # each row's live prefix reproduces the input (or a single unk if empty)
+    for i, ids in enumerate(lists):
+        live = int(mask[i].sum())
+        if ids:
+            assert live == len(ids)
+            assert list(out[i, :live]) == list(ids)
+        else:
+            assert live == 1 and out[i, 0] == 999
+        # padding is all-unk
+        assert (out[i, live:] == 999).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=60
+    )
+)
+def test_union_find_labels_are_min_of_component(pairs):
+    edges = [(f"n{a:02d}", f"n{b:02d}") for a, b in pairs]
+    labels = _local_union_find(edges)
+    # reflexive closure: component label is reachable-min — verify by BFS
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for start in adj:
+        seen = {start}
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        assert labels[start] == min(seen)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_argmax_fallback_never_out_of_range(seed):
+    rs = np.random.RandomState(seed)
+    m, c = 5, 4
+    scores = rs.randn(m, c)
+    mask = (rs.rand(m, c) > 0.5).astype(float)
+    names = [[f"e{i}_{j}" for j in range(c)] for i in range(m)]
+    out = kernels.argmax_with_fallback(scores, mask, names)
+    for i, o in enumerate(out):
+        if mask[i].sum() == 0 and mask[i, 0] == 0:
+            pass  # NIL allowed
+        assert o == "NIL" or o in names[i]
+        # if the row argmax is live, it must be chosen
+        p = int(np.argmax(scores[i]))
+        if mask[i, p] == 1:
+            assert o == names[i][p]
