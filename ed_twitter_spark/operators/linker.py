@@ -63,11 +63,14 @@ _WINDOW_SCHEMA = StructType(
         StructField("mention_idx", IntegerType()),
         StructField("seq", LongType()),  # global per-conv mention index (10^12-scale safe)
         StructField("mention", StringType()),
-        StructField("lctx_ids", ArrayType(LongType())),
-        StructField("rctx_ids", ArrayType(LongType())),
-        StructField("snd_l_ids", ArrayType(LongType())),
-        StructField("snd_m_ids", ArrayType(LongType())),
-        StructField("snd_r_ids", ArrayType(LongType())),
+        # int32 ids: word codes are md5[:6] mod n_vectors (< 2^24), and the
+        # arrays dominate the Arrow/shuffle bytes of stages 1-3 — halving
+        # element width halves that traffic
+        StructField("lctx_ids", ArrayType(IntegerType())),
+        StructField("rctx_ids", ArrayType(IntegerType())),
+        StructField("snd_l_ids", ArrayType(IntegerType())),
+        StructField("snd_m_ids", ArrayType(IntegerType())),
+        StructField("snd_r_ids", ArrayType(IntegerType())),
         StructField("doc_id", LongType()),
     ]
 )
