@@ -35,6 +35,10 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") >= MIN_FREQ)
     )
+    # global (unpartitioned) window: the cumulative-frequency table is
+    # vocabulary-sized (≪ corpus), so the single-partition prefix sum is
+    # intentional; at a larger vocab this becomes the standard two-pass
+    # per-partition-offset prefix sum
     worder = Window.orderBy(F.desc("freq"), F.asc("word"))
     p = wc.select(
         "word",
