@@ -83,14 +83,17 @@ def write_stage(
         .agg(F.count(F.lit(1)).alias("rows"))
         .select(F.lit(stage).alias("stage"), "partition_id", "rows")
     )
-    totals = part_counts.groupBy("stage").agg(
-        F.lit(-1).alias("partition_id"), F.sum("rows").alias("rows")
+    # global aggregate (not groupBy) so an *empty* stage still yields its
+    # (stage, -1, 0) totals row — lineage must record empty-but-complete
+    totals = part_counts.agg(
+        F.coalesce(F.sum("rows"), F.lit(0)).cast("long").alias("rows")
+    ).select(
+        F.lit(stage).alias("stage"), F.lit(-1).alias("partition_id"), "rows"
     )
     metrics = part_counts.unionByName(totals).orderBy("partition_id")
     metrics.write.mode("overwrite").parquet(f"{root}/{stage}/_metrics")
-    n_rows = int(
-        metrics.where(F.col("partition_id") == -1).select("rows").first()[0]
-    )
+    totals_row = metrics.where(F.col("partition_id") == -1).select("rows").first()
+    n_rows = int(totals_row[0]) if totals_row is not None else 0
 
     record = {
         "stage": stage,

@@ -3,9 +3,22 @@
 The SQL-expressible distillation of the reference's disambiguation kernel:
 score(candidate e | mention m) = Σ_{w ∈ ±25-token window} n(e)·n(w)  +  ln p(e|m)
 where n(·) is L2 normalization (`ed_ranker.py:32-39`) and the sum-of-dots is
-dot-of-sum by linearity (`ntee.py:20-27` EmbeddingBag sum). Arrow-batched
-numpy inside ``mapInPandas`` with a broadcast embedding matrix; the DuckDB
-oracle computes the identical sum via ``list_dot_product``.
+dot-of-sum by linearity (`ntee.py:20-27` EmbeddingBag sum).
+
+Scale shape (the linker.py pattern, no driver-side state):
+
+* mention detection, word-id coding (md5[:6] mod n) and the ±25 turn-local
+  context slices are **pure JVM column algebra** — posexplode + transform +
+  slice, whole-stage codegen, no Python;
+* the candidate table is pre-aggregated **KB-side** into per-surface arrays
+  (names, md5[:8] codes, priors — all computed in the JVM) and attached via
+  a broadcast hash join, so the 10^12-row mention stream never shuffles and
+  the driver never collects the KB;
+* scoring is one Arrow-batched ``mapInPandas`` doing a batched gather +
+  einsum against the broadcast embedding matrix — no per-mention or
+  per-candidate Python loop.
+
+The DuckDB oracle computes the identical sum via ``list_dot_product``.
 """
 
 from __future__ import annotations
@@ -22,7 +35,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ed_twitter_spark.functions.fixtures import ent_code, load_embedding_matrix, word_code
+from ed_twitter_spark.functions import kernels
+from ed_twitter_spark.functions.fixtures import load_embedding_matrix
 from ed_twitter_spark.synth import MENTION_MIN_LEN
 
 COS_WINDOW = 25  # ±25 tokens, turn-local (prerank_ctx_window // 2)
@@ -40,71 +54,138 @@ _OUT_SCHEMA = StructType(
     ]
 )
 
+_OUT_COLS = [f.name for f in _OUT_SCHEMA.fields]
+
+
+def _word_id_col(tok, n_vec: int):
+    return (F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long") % n_vec).cast(
+        "int"
+    )
+
+
+def _ent_code_col(name, n_vec: int):
+    return (F.conv(F.substring(F.md5(name), 1, 8), 16, 10).cast("long") % n_vec).cast(
+        "int"
+    )
+
 
 def link_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ed_twitter_spark import synth
 
     emb = load_embedding_matrix(spark, sf_dir)  # already L2-normalized
     n_vec = emb.shape[0] - 1
+    unk_id = n_vec
     bc = spark.sparkContext.broadcast(emb)
 
     t = synth.transcripts(spark, sf_dir)
     kb = synth.kb_alias(spark, sf_dir)
 
-    # one row per turn with its token array; mentions derived in the UDF so
-    # the window slice shares the tokenization exactly
-    turns = t.select("conv_id", "turn_idx", "text")
+    # KB-side candidate arrays, ent_name asc so the scorer's first-max
+    # argmax reproduces the ent_name tie-break; entity codes computed in
+    # the JVM so the scorer never hashes
+    kb_arrays = (
+        kb.groupBy("mention")
+        .agg(F.sort_array(F.collect_list(F.struct("ent_name", "prior"))).alias("c"))
+        .select(
+            "mention",
+            F.col("c.ent_name").alias("cand_names"),
+            F.transform(F.col("c.ent_name"), lambda e: _ent_code_col(e, n_vec)).alias(
+                "cand_codes"
+            ),
+            F.col("c.prior").alias("cand_priors"),
+        )
+    )
 
-    # candidate map shipped as a broadcast python dict (small dim side)
-    kb_rows = kb.select("mention", "ent_name", "prior").collect()
-    kb_map: dict[str, list[tuple[str, float]]] = {}
-    for r in kb_rows:
-        kb_map.setdefault(r["mention"], []).append((r["ent_name"], float(r["prior"])))
-    for v in kb_map.values():
-        v.sort(key=lambda x: x[0])
-    bc_kb = spark.sparkContext.broadcast(kb_map)
+    # JVM-side tokenization + word-id coding + ±25 slices (mention excluded)
+    toks = F.split("text", r"\s+")
+    turns = t.select(
+        "conv_id",
+        "turn_idx",
+        toks.alias("toks"),
+        F.transform(toks, lambda tk: _word_id_col(tk, n_vec)).alias("wids"),
+    )
+    p = F.col("mention_idx")
+    lo = F.greatest(p - COS_WINDOW, F.lit(0))
+    left = F.slice("wids", lo + 1, p - lo)
+    right = F.slice(
+        "wids", p + 2, F.least(F.size("wids") - p - 1, F.lit(COS_WINDOW))
+    )
+    m = (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "wids",
+            F.posexplode("toks").alias("mention_idx", "mention"),
+        )
+        .where(F.length("mention") >= MENTION_MIN_LEN)
+        .select(
+            "conv_id",
+            "turn_idx",
+            p.cast("int").alias("mention_idx"),
+            "mention",
+            F.concat(left, right).alias("ctx_ids"),
+        )
+    )
+    cands = m.join(F.broadcast(kb_arrays), "mention")  # inner: KB surfaces only
 
     def score_batches(it):
         emb_m = bc.value
-        kbm = bc_kb.value
         for pdf in it:
-            out = []
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
-                toks = (text or "").split()
-                wids = np.array([word_code(tk) % n_vec for tk in toks], dtype=np.int64)
-                for p, tok in enumerate(toks):
-                    if len(tok) < MENTION_MIN_LEN or tok not in kbm:
-                        continue
-                    lo, hi = max(0, p - COS_WINDOW), min(len(toks), p + COS_WINDOW + 1)
-                    ctx = np.concatenate([wids[lo:p], wids[p + 1 : hi]])
-                    ctx_sum = (
-                        emb_m[ctx].sum(axis=0) if len(ctx) else np.zeros(emb_m.shape[1])
-                    )
-                    best_name, best_score = None, -np.inf
-                    for ent_name, prior in kbm[tok]:
-                        s = float(
-                            emb_m[ent_code(ent_name) % n_vec] @ ctx_sum
-                        ) + float(np.log(prior + 1e-20))
-                        # ties broken by ent_name asc (list pre-sorted)
-                        if s > best_score:
-                            best_name, best_score = ent_name, s
-                    out.append(
-                        (
-                            f"{conv_id}#{turn_idx}#{p}",
-                            "links_to",
-                            best_name,
-                            conv_id,
-                            int(turn_idx),
-                            p,
-                            tok,
-                            round(best_score, 4),
-                        )
-                    )
-            yield pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields])
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=_OUT_COLS)
+                continue
+            ctx_sums = kernels.segment_sum_vecs(
+                [list(x) for x in pdf["ctx_ids"]], emb_m, unk_id
+            )
+            lens = np.fromiter(
+                (len(x) for x in pdf["cand_codes"]), dtype=np.int64, count=n
+            )
+            cmax = int(lens.max())
+            rows = np.repeat(np.arange(n), lens)
+            cols = np.concatenate([np.arange(k) for k in lens])
+            codes = np.full((n, cmax), unk_id, dtype=np.int64)
+            codes[rows, cols] = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["cand_codes"]]
+            )
+            priors = np.zeros((n, cmax))
+            priors[rows, cols] = np.concatenate(
+                [np.asarray(x, dtype=np.float64) for x in pdf["cand_priors"]]
+            )
+            names = np.empty((n, cmax), dtype=object)
+            names[rows, cols] = np.concatenate(
+                [np.asarray(x, dtype=object) for x in pdf["cand_names"]]
+            )
+            mask = np.zeros((n, cmax), dtype=bool)
+            mask[rows, cols] = True
 
-    return turns.mapInPandas(score_batches, schema=_OUT_SCHEMA)
+            scores = np.einsum("md,mcd->mc", ctx_sums, emb_m[codes]) + np.log(
+                priors + 1e-20
+            )
+            scores[~mask] = -np.inf
+            best = scores.argmax(axis=1)  # first max = ent_name asc tie-break
+            ar = np.arange(n)
+            out = pd.DataFrame(
+                {
+                    "subj": (
+                        pdf["conv_id"].astype(str)
+                        + "#"
+                        + pdf["turn_idx"].astype(str)
+                        + "#"
+                        + pdf["mention_idx"].astype(str)
+                    ).values,
+                    "pred": "links_to",
+                    "obj": names[ar, best],
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].values,
+                    "mention_idx": pdf["mention_idx"].values,
+                    "mention": pdf["mention"].values,
+                    "score_r4": np.round(scores[ar, best], 4),
+                }
+            )
+            yield out[_OUT_COLS]
+
+    return cands.mapInPandas(score_batches, schema=_OUT_SCHEMA)
 
 
 def link_cosine_oracle_sql() -> str:

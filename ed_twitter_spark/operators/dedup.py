@@ -12,14 +12,21 @@ md5-derived so both engines agree bit-for-bit):
   (band, band_key) buckets, so cluster-wide cost is Σ bucket², not n² —
   the standard web-scale near-dup design (the banding/bucket math of
   Broder's resemblance sketches).
-* ``dedup_ngram_jaccard`` — *exact* shingle Jaccard via an inverted-index
-  join (shingle → docs, pair counts per shingle, |A∩B| / (|A|+|B|−|A∩B|)),
-  with a document-frequency cap dropping shingles in >25% of docs — the
-  skew guard that keeps the hottest posting lists out of the pair
-  explosion.
+* ``dedup_ngram_jaccard`` — *exact* shingle Jaccard via an inverted
+  index: one linear pipeline (shingle build → per-doc size window →
+  posting list per shingle → in-list pair expansion → pair counts →
+  |A∩B| / (|A|+|B|−|A∩B|)). Shingles whose posting list exceeds an
+  **absolute** document-frequency cap are dropped — the skew guard that
+  bounds per-shingle pair work at C(DF_CAP, 2) regardless of corpus
+  size (a fractional cap would still admit ~10¹⁶ pairs at 10⁹ docs).
+  The corpus is scanned exactly once; no count/size job runs at plan
+  build time.
 * ``dedup_simhash``   — 16-bit simhash fingerprint per document
-  (bit b = sign of Σ_tokens ±1 by token-hash bit b); hamming-near pairs
-  join on rotated bands of the fingerprint.
+  (bit b = sign of Σ_tokens ±1 by token-hash bit b).
+* ``dedup_simhash_pairs`` — hamming-near pairs over those fingerprints:
+  4 bands × 4 bits; by pigeonhole any pair at hamming ≤ 3 agrees exactly
+  on ≥ 1 band, so the banded bucket self-join finds all such pairs with
+  Σ bucket² work, then ``bit_count(xor)`` filters to the true distance.
 
 Embedding-cosine near-dup lives in operators/similarity.py (same blocked
 join it uses for ANN).
@@ -27,7 +34,7 @@ join it uses for ANN).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ed_twitter_spark.functions.hashing import TOKS_SQL, h32_col, h32_sql, toks_col
@@ -35,8 +42,15 @@ from ed_twitter_spark.functions.hashing import TOKS_SQL, h32_col, h32_sql, toks_
 N_MINHASH = 16
 N_BANDS = 4
 BAND_ROWS = N_MINHASH // N_BANDS
-DF_CAP_FRACTION = 0.25  # drop shingles present in > 25% of docs (skew guard)
+# absolute document-frequency cap: drop shingles shared by more than
+# DF_CAP documents. Real pipelines cap df at O(100), never at a fraction
+# of the corpus — C(DF_CAP, 2) bounds the pair fan-out per shingle at any
+# corpus size.
+DF_CAP = 100
 SIMHASH_BITS = 16
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = SIMHASH_BANDS - 1  # pigeonhole-complete for ≤ bands-1 flipped bits
 
 
 # ---------------------------------------------------------------------------
@@ -193,31 +207,43 @@ JACCARD_MIN = 0.1
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc1, doc2, jaccard) — exact shingle Jaccard ≥ 0.1 over pairs that
-    share ≥1 non-stophot shingle."""
+    share ≥1 shingle with document frequency ≤ DF_CAP.
+
+    One linear pipeline over a single corpus scan: the per-doc shingle
+    count rides a window on the shingle stream, the inverted index is a
+    groupBy(shingle) posting list (the size filter IS the df cap — no
+    separate frequency pass), and pairs are expanded inside each capped
+    posting list, so no self-join re-reads the input and nothing runs at
+    plan-construction time.
+    """
     sh = _shingles(spark, sf_dir)
-    n_docs = sh.select("doc_id").distinct().count()
-    cap = int(n_docs * DF_CAP_FRACTION)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = (
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    posting = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= cap)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= DF_CAP))
     )
-    shr = sh.join(rare, "shingle")
-    p1 = shr.select(F.col("doc_id").alias("doc1"), "shingle")
-    p2 = shr.select(F.col("doc_id").alias("doc2"), "shingle")
-    inter = (
-        p1.join(p2, "shingle")
-        .where(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda b: F.struct(
+                            a["doc_id"].alias("doc1"),
+                            b["doc_id"].alias("doc2"),
+                            a["sz"].alias("sz1"),
+                            b["sz"].alias("sz2"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
     return (
-        inter.join(s1, "doc1")
-        .join(s2, "doc2")
+        pairs.groupBy("doc1", "doc2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .withColumn(
             "jaccard",
             F.round(
@@ -234,7 +260,7 @@ WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 rare AS (
   SELECT shingle FROM sh GROUP BY shingle
-  HAVING COUNT(*) <= (SELECT CAST(COUNT(DISTINCT doc_id) * {DF_CAP_FRACTION} AS BIGINT) FROM sh)
+  HAVING COUNT(*) <= {DF_CAP}
 ),
 shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 inter AS (
@@ -292,4 +318,74 @@ bits AS (
 SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-near pairs (banded bucket join)
+# ---------------------------------------------------------------------------
+
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc1, doc2, hamming) — all pairs at hamming distance ≤ HAMMING_MAX.
+
+    The fingerprint splits into SIMHASH_BANDS disjoint bit bands; a pair
+    with ≤ bands−1 differing bits must match exactly on at least one band
+    (pigeonhole), so the (band, band_key) bucket self-join is *complete*
+    for the threshold while doing Σ bucket² work instead of n². The exact
+    distance then filters candidates via ``bit_count(xor)``. Fingerprints
+    are persisted so the corpus simhash build runs once, not once per
+    join side."""
+    fp = dedup_simhash(spark, sf_dir).persist()
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(
+            f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {_BAND_MASK}"
+        ).alias("bkey"),
+    )
+    a = bands.select(
+        "band", "bkey", F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1")
+    )
+    b = bands.select(
+        "band", "bkey", F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2")
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "s1", "s2")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc1",
+            "doc2",
+            F.expr("bit_count(s1 ^ s2)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH fp AS ({DEDUP_SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> (b * {SIMHASH_BAND_BITS})) & {_BAND_MASK} AS bkey
+  FROM fp, UNNEST(range(0, {SIMHASH_BANDS})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+                  a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
 """

@@ -24,10 +24,25 @@ from ed_twitter_spark.functions.hashing import TOKS_SQL
 N_PROBES = 100
 POW = 0.6
 MIN_FREQ = 10
+CUM_PARTS = 8  # range partitions of the two-pass distributed prefix sum
+# power weights are quantized to integer micro-units so every partial sum
+# is exact — the prefix sum is then identical under ANY summation order
+# (per-partition + offset in Spark, sequential window in DuckDB) and no
+# probe can flip buckets on a floating-point ulp
+W_SCALE = 1_000_000
 
 
 def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(k, word) — the word each stratified probe lands on."""
+    """(k, word) — the word each stratified probe lands on.
+
+    The cumulative table is built with the standard **two-pass
+    per-partition-offset prefix sum**: range-repartition by the rank order,
+    rank + cumulate locally per partition (parallel), then shift each
+    partition by the counts/sums of its predecessors (a CUM_PARTS-row
+    triangular self-join — constant size at any vocab). No global
+    single-partition sort/window touches the vocabulary-sized table, so
+    the plan survives a vocab 1000× this one.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wc = (
         docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
@@ -35,48 +50,74 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") >= MIN_FREQ)
     )
-    # global (unpartitioned) window: the cumulative-frequency table is
-    # vocabulary-sized (≪ corpus), so the single-partition prefix sum is
-    # intentional; at a larger vocab this becomes the standard two-pass
-    # per-partition-offset prefix sum
-    worder = Window.orderBy(F.desc("freq"), F.asc("word"))
-    p = wc.select(
+    wq = wc.select(
         "word",
-        F.pow("freq", F.lit(POW)).alias("w"),
-        F.row_number().over(worder).alias("wid"),
+        "freq",
+        F.round(F.pow("freq", F.lit(POW)) * W_SCALE).cast("long").alias("w"),
     )
-    c = p.withColumn(
-        "cum",
-        F.sum("w").over(
-            Window.orderBy("wid").rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    # pass 1: range partitions follow the global (freq desc, word) order, so
+    # partition-local rank/cumsum + predecessor offsets = the global ones.
+    # The ranked table is persisted — it is vocab-sized (≪ corpus) and every
+    # downstream branch reads it, so the corpus word-count runs exactly once.
+    ranged = wq.repartitionByRange(CUM_PARTS, F.desc("freq"), F.asc("word"))
+    part = ranged.withColumn("pid", F.spark_partition_id())
+    wloc = Window.partitionBy("pid").orderBy(F.desc("freq"), F.asc("word"))
+    local = part.withColumn("lrn", F.row_number().over(wloc)).withColumn(
+        "lcum", F.sum("w").over(wloc.rowsBetween(Window.unboundedPreceding, 0))
+    ).persist()
+    # pass 2: per-partition totals (CUM_PARTS rows) → exclusive prefix
+    # offsets via a triangular self-join (no global window anywhere)
+    per_part = local.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("w").alias("wsum")
     )
-    total = p.agg(F.sum("w").alias("total"))
+    prev = per_part.select(
+        F.col("pid").alias("ppid"),
+        F.col("cnt").alias("pcnt"),
+        F.col("wsum").alias("pwsum"),
+    )
+    offs = (
+        per_part.join(F.broadcast(prev), F.col("ppid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(
+            F.coalesce(F.sum("pcnt"), F.lit(0)).cast("long").alias("n_off"),
+            F.coalesce(F.sum("pwsum"), F.lit(0)).cast("long").alias("w_off"),
+        )
+    )
+    c = local.join(F.broadcast(offs), "pid").select(
+        "word",
+        (F.col("lrn") + F.col("n_off")).alias("wid"),
+        (F.col("lcum") + F.col("w_off")).alias("cum"),
+    )
+    # with integer micro-unit weights, Σ per-partition sums ≡ max(cum) ≡ the
+    # oracle's sequential running sum — summation order cannot matter, so
+    # the probe positions derive from the identical total as the buckets
+    total = per_part.agg(F.sum("wsum").alias("total"))
     probes = spark.range(N_PROBES).select(F.col("id").cast("int").alias("k")).crossJoin(
         F.broadcast(total)
     ).select("k", ((F.col("k") + 0.5) / N_PROBES * F.col("total")).alias("u"))
-    hit = (
+    return (
         probes.join(F.broadcast(c), F.col("cum") >= F.col("u"))
         .groupBy("k")
-        .agg(F.min("wid").alias("wid"))
+        .agg(F.min_by("word", "wid").alias("word"))
     )
-    return hit.join(F.broadcast(c.select("wid", "word")), "wid").select("k", "word")
 
 
 NEGATIVE_SAMPLING_SQL = f"""
 WITH tok AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
 wc AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word HAVING COUNT(*) >= {MIN_FREQ}),
 p AS (
-  SELECT word, power(freq, {POW}) AS w,
+  SELECT word, CAST(ROUND(power(freq, {POW}) * {W_SCALE}) AS BIGINT) AS w,
          ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS wid
   FROM wc
 ),
 c AS (
-  SELECT *, SUM(w) OVER (ORDER BY wid ROWS UNBOUNDED PRECEDING) AS cum FROM p
+  SELECT word, wid,
+         CAST(SUM(w) OVER (ORDER BY wid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM p
 ),
 probes AS (
   SELECT CAST(k AS INTEGER) AS k,
-         (k + 0.5) / {N_PROBES} * (SELECT SUM(w) FROM p) AS u
+         (k + 0.5) / {N_PROBES} * (SELECT MAX(cum) FROM c) AS u
   FROM UNNEST(range(0, {N_PROBES})) AS t(k)
 ),
 hit AS (

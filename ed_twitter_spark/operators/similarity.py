@@ -186,6 +186,10 @@ def relatedness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dcg(10).alias("dcg10"),
         F.sum("rel").alias("n_rel"),
     )
+    # queries with zero relevant rows are excluded from the averages: their
+    # ap is 0/0 and sequence(1, least(k, 0)) = [1, 0] would fold through
+    # log2(1)=0 — both with engine-dependent NULL/NaN semantics
+    per_q = per_q.where(F.col("n_rel") > 0)
     for k in (1, 5, 10):
         idcg = F.expr(
             f"aggregate(sequence(1, int(least({k}, n_rel))), 0.0D, (a, i) -> a + 1.0D / log2(i + 1))"
@@ -231,6 +235,7 @@ norm AS (
          dcg10 / list_sum(list_transform(range(1, CAST(LEAST(10, n_rel) AS BIGINT) + 1),
                   i -> 1.0 / log2(i + 1))) AS ndcg10
   FROM per_q
+  WHERE n_rel > 0
 )
 SELECT ROUND(AVG(ap), 6)    AS map,
        ROUND(AVG(ndcg1), 6) AS ndcg1,

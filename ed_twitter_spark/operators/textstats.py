@@ -106,14 +106,19 @@ FROM documents
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tok = docs.select(
-        "doc_id", F.posexplode(toks_col()).alias("pos", "tok")
+    # Modular fold over the token array: each (pos+1)*h32 term is reduced
+    # mod 2^61-1 before accumulation and the accumulator is re-reduced per
+    # step, so it stays < 2^62 and the int64 sum cannot wrap on long
+    # documents (a plain SUM wraps past ~90k tokens while DuckDB's SUM
+    # promotes to HUGEINT — a silent cross-engine divergence). Per-row
+    # array algebra: no explode, no shuffle.
+    mod = F.lit(_MOD)
+    terms = F.transform(
+        toks_col(),
+        lambda t, i: ((i + 1).cast("long") * h32_col(t)) % mod,
     )
-    return (
-        tok.select("doc_id", ((F.col("pos") + 1) * h32_col(F.col("tok"))).alias("term"))
-        .groupBy("doc_id")
-        .agg((F.sum("term") % _MOD).alias("fingerprint"))
-    )
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: (a + x) % mod)
+    return docs.select("doc_id", fp.alias("fingerprint"))
 
 
 DOC_FINGERPRINT_SQL = f"""
@@ -124,6 +129,6 @@ WITH tok AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(SUM((pos + 1) * {h32_sql('tok')}) % {_MOD} AS BIGINT) AS fingerprint
+       CAST(SUM((pos + 1) * {h32_sql('tok')} % {_MOD}) % {_MOD} AS BIGINT) AS fingerprint
 FROM tok GROUP BY doc_id
 """

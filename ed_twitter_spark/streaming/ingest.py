@@ -5,12 +5,12 @@ execution model is batch over Iceberg snapshots — but a transcripts table
 at 10^12 turns is *fed* by a stream, so the engine ships the ingestion
 path: a file-source ``readStream`` over the transcript layout with
 
-* **event-time watermarking** on ``ts`` (late turns beyond 10 minutes are
-  dropped at the aggregation, not silently double-counted),
+* **event-time watermarking** on ``ts`` (late turns beyond the watermark
+  horizon are dropped at the aggregation, not silently double-counted),
 * **streaming dedup** on (conv_id, turn_idx) within the watermark — the
   per-turn idempotence guard for at-least-once upstream delivery,
-* a windowed per-conversation mention-rate aggregate (5-minute tumbling
-  windows) as the running data-quality signal, and
+* a windowed per-conversation mention-rate aggregate (tumbling windows)
+  as the running data-quality signal, and
 * ``foreachBatch`` handoff into the same checkpointed batch pipeline
   (io.write_stage), so the stream and batch paths share one storage
   contract.
@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 
 from ed_twitter_spark.synth import MENTION_MIN_LEN
 
-WATERMARK = "10 minutes"
-WINDOW = "5 minutes"
+WATERMARK = "2 minutes"  # late-data horizon (event time)
+WINDOW = "1 minute"  # tumbling aggregate window
 
 
 def read_transcript_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,13 +83,20 @@ def run_ingest_once(
     spark: SparkSession, src_dir: str, checkpoint_dir: str
 ) -> list:
     """Bounded replay (availableNow) of the stream into a memory sink;
-    returns the collected windowed aggregate rows."""
+    returns the collected windowed aggregate rows.
+
+    ``append`` output mode is what makes the watermark contract real: a
+    window row is emitted exactly once, when the watermark passes its end
+    (finalized — late turns past the horizon can no longer change it), and
+    its aggregation state is then evicted. Windows still within the
+    watermark horizon at end-of-replay stay in state for the next run —
+    ``complete`` mode would re-emit everything and never drop late data."""
     stream = read_transcript_stream(spark, src_dir)
     agg = mention_rate(deduped_turns(stream))
     q = (
         agg.writeStream.format("memory")
         .queryName("mention_rate")
-        .outputMode("complete")
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -77,6 +77,47 @@ def test_fingerprint_is_order_sensitive(spark, docs_pdf):
     assert perm != want
 
 
+def test_fingerprint_long_document_no_wrap(spark, tmp_path):
+    """A ~120k-token document overflows a naive int64 Σ(pos+1)·h32 — the
+    modular fold must agree with exact Python big-int arithmetic and stay
+    non-negative."""
+    mod = (1 << 61) - 1
+    toks = [f"w{i % 97}" for i in range(120_000)]
+    text = " ".join(toks)
+    src = str(tmp_path / "longdoc")
+    spark.createDataFrame([(1, text)], "doc_id long, text string").write.parquet(src)
+    # doc_fingerprint reads <dir>/documents.parquet
+    import os
+
+    os.rename(src, str(tmp_path / "documents.parquet"))
+    got = doc_fingerprint(spark, str(tmp_path)).first()
+    want = sum((i + 1) * _h32(t) for i, t in enumerate(toks)) % mod
+    # the naive sum really does exceed int64 here — the test is meaningful
+    assert sum((i + 1) * _h32(t) for i, t in enumerate(toks)) > 2**63
+    assert got["fingerprint"] == want >= 0
+
+
+def test_simhash_pairs_complete_and_exact(spark, docs_pdf):
+    """Every reported pair's hamming distance is exact, and the banded
+    join is complete: brute-force over the fingerprints finds no pair at
+    distance ≤ HAMMING_MAX that the operator missed."""
+    from ed_twitter_spark.operators.dedup import HAMMING_MAX, dedup_simhash_pairs
+
+    fp = dedup_simhash(spark, SF_SMOKE).toPandas().set_index("doc_id")["simhash"]
+    got = dedup_simhash_pairs(spark, SF_SMOKE).toPandas()
+    got_pairs = {(r["doc1"], r["doc2"]): r["hamming"] for _, r in got.iterrows()}
+
+    ids = sorted(fp.index)
+    want = {}
+    arr = [int(v) for v in fp.loc[ids]]
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(arr[i] ^ arr[j]).count("1")
+            if d <= HAMMING_MAX:
+                want[(ids[i], ids[j])] = d
+    assert got_pairs == want and len(want) > 0
+
+
 def test_ngram_jaccard_exact_on_known_pair(spark):
     got = dedup_ngram_jaccard(spark, SF_SMOKE).toPandas()
     docs = (

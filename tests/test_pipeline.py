@@ -48,6 +48,22 @@ def test_metrics_per_partition_sum_to_total(spark, tmp_path):
     assert lineage["deps"] == '["candidates"]'
 
 
+def test_write_stage_empty_output(spark, tmp_path):
+    """A stage that legitimately produces zero rows still checkpoints: the
+    (stage, -1, 0) totals row exists and lineage records rows=0 — an empty
+    stage is complete, not broken."""
+    import time
+
+    root = str(tmp_path / "ckpt_empty")
+    empty = spark.range(0).selectExpr("id AS x")
+    rec = kgio.write_stage(empty, root, "nothing", fp="f0", deps=[], started_at=time.time())
+    assert rec["rows"] == 0
+    m = kgio.read_metrics(spark, root, "nothing").collect()
+    totals = [r for r in m if r["partition_id"] == -1]
+    assert len(totals) == 1 and totals[0]["rows"] == 0
+    assert kgio.read_lineage(spark, root, "nothing")["rows"] == 0
+
+
 def test_graph_tables_consistent(spark, tmp_path):
     root = str(tmp_path / "ckpt")
     run_pipeline(spark, SF_SMOKE, root)

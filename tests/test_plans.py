@@ -101,6 +101,45 @@ def test_component_join_is_broadcast(spark, qname):
     assert "BroadcastHashJoin" in plan
 
 
+def test_negative_sampling_no_global_sort(spark):
+    """The cumulative-frequency table must be built with the two-pass
+    per-partition-offset prefix sum: range partitioning present, and no
+    global (single-partition) sort anywhere in the executed plan."""
+    from ed_twitter_spark.operators.sampling import negative_sampling
+
+    df = negative_sampling(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    # a global sort prints as "Sort [...], true, 0" (global flag set)
+    assert not re.search(r"Sort \[[^\]]*\], true,", plan), plan
+    # the vocab table is cached: both passes read one materialization
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_ngram_jaccard_single_scan(spark):
+    """The inverted-index jaccard is one linear pipeline: the corpus is
+    scanned once (posting-list pair expansion, no self-join re-reading the
+    shingle build) and nothing (no count job) runs at plan-build time."""
+    from ed_twitter_spark.operators.dedup import dedup_ngram_jaccard
+
+    df = dedup_ngram_jaccard(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_link_cosine_broadcast_no_driver_kb(spark):
+    """The cosine linker's candidate attach must be a broadcast hash join
+    of KB-side pre-aggregated arrays — the mention stream never shuffles
+    and the KB is never collected to the driver (no dict side-channel: the
+    join is in the plan). Scoring is the single MapInPandas stage."""
+    from ed_twitter_spark.operators.cosine_linker import link_cosine
+
+    plan = plan_of(link_cosine(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+
+
 def test_window_build_stays_parallel(spark):
     """Regression: AQE once coalesced the tiny segment-row shuffle into a
     single partition, serializing the Python-heavy window build. The
