@@ -98,6 +98,7 @@ class ModelWeights:
     tok_top_n: int = 25  # main.py --tok_top_n
     n_loops: int = 10  # main.py --n_loops
     df: float = 0.5  # main.py --df (damping)
+    ent_top_n: int = 1000  # mulrel_ranker.py:34 (threshold off at default)
 
 
 def fixture_weights(seed: int = 42, d: int = EMB_DIMS, hid: int = HID_DIMS,

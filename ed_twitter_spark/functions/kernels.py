@@ -138,6 +138,22 @@ def score_combine(model_scores: np.ndarray, p_e_m: np.ndarray, w: ModelWeights) 
 # ---------------------------------------------------------------------------
 
 
+def top_n_neighbour_threshold(ctx_scores: np.ndarray, top_n: int) -> np.ndarray:
+    """T6: ent_top_n neighbour thresholding (mulrel_ranker.py:185-189).
+
+    Per (relation, mention) row keep only the top_n neighbour scores —
+    ties at the threshold value all survive, exactly like the reference's
+    ``topk`` last value + ``>=`` mask — and push the rest to -1e10 before
+    the softmax. At the reference default (1000 ≥ n_ments) this is the
+    identity, so the ment-norm softmax path is unchanged."""
+    n = ctx_scores.shape[2]
+    if top_n >= n:
+        return ctx_scores
+    k = min(top_n, n)
+    thr = np.partition(ctx_scores, n - k, axis=2)[:, :, n - k][:, :, None]
+    return ctx_scores + (ctx_scores < thr) * (-BIG_NEG)
+
+
 def global_lbp_scores(
     local_scores: np.ndarray,  # (M,C) masked local scores
     ent_vecs: np.ndarray,  # (M,C,d)
@@ -176,6 +192,7 @@ def global_lbp_scores(
     ctx_scores = ctx_scores + (eye[None, :, :]) * (-BIG_NEG)  # (1-dist)*-1e10
     ctx_scores = ctx_scores + eye[None, :, :] * (-BIG_NEG)  # eye*-1e10
     ctx_scores = ctx_scores / np.sqrt(d)  # 1/sqrt(ew_hid_dims)
+    ctx_scores = top_n_neighbour_threshold(ctx_scores, w.ent_top_n)
     probs = _softmax(ctx_scores, axis=2)
     weights = probs + probs.transpose(0, 2, 1)  # ment-norm (line 193)
 

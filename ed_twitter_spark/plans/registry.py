@@ -438,6 +438,20 @@ def _register_parse():
 _register_parse()
 
 
+# ---------------------------------------------------------------------------
+# 38. W5 hyperlink-context training-data emitter (gen_wiki_hyp_train_data)
+# ---------------------------------------------------------------------------
+
+
+def _register_hyperlinks():
+    from ed_twitter_spark.operators import hyperlinks as hl
+
+    register("hyperlink_contexts", hl.HYPERLINK_CONTEXTS_SQL)(hl.hyperlink_contexts)
+
+
+_register_hyperlinks()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))

@@ -118,3 +118,27 @@ def test_pad_token_ids():
     ids, mask = kernels.pad_token_ids([[1, 2], [], [3]], unk_id=9)
     np.testing.assert_array_equal(ids, [[1, 2], [9, 9], [3, 9]])
     np.testing.assert_array_equal(mask, [[1, 1], [1, 0], [1, 0]])
+
+
+def test_top_n_neighbour_threshold_matches_transcription():
+    """Direct transcription of mulrel_ranker.py:185-189 (torch.topk last
+    value + >= mask) vs the partition-based kernel, ties included."""
+    import numpy as np
+
+    from ed_twitter_spark.functions import kernels
+
+    rs = np.random.RandomState(7)
+    x = rs.randn(3, 6, 6)
+    x[0, 1, 2] = x[0, 1, 4]  # force a tie at a potential threshold
+    for top_n in (1, 2, 3, 5, 6, 1000):
+        got = kernels.top_n_neighbour_threshold(x.copy(), top_n)
+        # transcription: sort desc, threshold = k-th value, mask = 1-(x>=thr)
+        k = min(top_n, x.shape[2])
+        srt = np.sort(x, axis=2)[:, :, ::-1]
+        thr = srt[:, :, k - 1 : k]
+        want = x + (1.0 - (x >= thr)) * (-1e10)
+        if top_n >= x.shape[2]:
+            want = x
+        assert np.allclose(got, want), top_n
+    # default knob is the identity
+    assert np.array_equal(kernels.top_n_neighbour_threshold(x, 1000), x)

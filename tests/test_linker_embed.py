@@ -26,7 +26,7 @@ from ed_twitter_spark.operators import linker as L
 from tests.conftest import SF_SMOKE
 
 
-def _sequential_link(spark, sf_dir: str) -> dict[str, str]:
+def _sequential_link(spark, sf_dir: str, w=None) -> dict[str, str]:
     """Single-process reference run: plain python + numpy, no Spark ops."""
     con = duckdb.connect()
     con.execute(
@@ -41,7 +41,7 @@ def _sequential_link(spark, sf_dir: str) -> dict[str, str]:
     emb = load_embedding_matrix(spark, sf_dir)
     n_vec = emb.shape[0] - 1
     unk = n_vec
-    w = fixture_weights()
+    w = w or fixture_weights()
 
     preds: dict[str, str] = {}
     for conv_id, g in t.groupby("conv_id", sort=True):
@@ -144,3 +144,31 @@ def test_spark_linker_matches_sequential(spark):
     assert len(got) == len(seq)
     diffs = {k: (seq[k], got[k]) for k in seq if seq[k] != got.get(k)}
     assert not diffs, f"{len(diffs)} mismatches, e.g. {list(diffs.items())[:5]}"
+
+
+def test_spark_linker_parity_with_ent_top_n(spark):
+    """T6 knob on (ent_top_n=2 < chunk mention counts): the neighbour
+    thresholding must flow identically through the distributed and the
+    sequential paths."""
+    import dataclasses
+
+    w2 = dataclasses.replace(fixture_weights(), ent_top_n=2)
+    seq = _sequential_link(spark, SF_SMOKE, w=w2)
+
+    emb = load_embedding_matrix(spark, SF_SMOKE)
+    t = synth.transcripts(spark, SF_SMOKE)
+    kb = synth.kb_alias(spark, SF_SMOKE)
+    windows = L.build_mention_windows(t, emb.shape[0] - 1)
+    cands = L.attach_candidates(windows, kb)
+    got = {
+        r["subj"]: r["obj"]
+        for r in L.score_mentions(cands, emb, weights=w2)
+        .select("subj", "obj")
+        .collect()
+    }
+    assert len(got) == len(seq)
+    diffs = {k: (seq[k], got[k]) for k in seq if seq[k] != got.get(k)}
+    assert not diffs, f"{len(diffs)} mismatches, e.g. {list(diffs.items())[:5]}"
+    # and the knob genuinely changes some predictions vs the default run
+    base = _sequential_link(spark, SF_SMOKE)
+    assert any(base[k] != seq[k] for k in base)

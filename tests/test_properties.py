@@ -108,3 +108,79 @@ def test_argmax_fallback_never_out_of_range(seed):
         p = int(np.argmax(scores[i]))
         if mask[i, p] == 1:
             assert o == names[i][p]
+
+
+# ---------------------------------------------------------------------------
+# P5 escape repair vs a direct transcription of the reference loop
+# ---------------------------------------------------------------------------
+
+from ed_twitter_spark.functions.text import (  # noqa: E402
+    UNICODE_ESCAPE_CODES,
+    repair_unicode_escapes,
+    split_in_words,
+)
+
+_ESC_TABLE = {
+    f"\\u{c:04x}": ("" if c == 0x00A0 else "ʼ" if c == 0x030D else chr(c))
+    for c in UNICODE_ESCAPE_CODES
+}
+
+
+def _repair_reference(s: str) -> str:
+    """Direct transcription of `gen_p_e_m_from_yago.py:64-79`: find '\\u',
+    take the 6-char code, replace ALL its occurrences (with the '%'→'%%'
+    quirk), rescan until no known escape remains."""
+    x = s.find("\\u")
+    while x != -1:
+        code = s[x : x + 6]
+        replace = _ESC_TABLE.get(code)
+        if replace is None:  # unknown code: the reference crashes; we skip
+            x = s.find("\\u", x + 1)
+            continue
+        if replace == "%":
+            replace = "%%"
+        s = s.replace(code, replace)
+        x = s.find("\\u")
+    return s
+
+
+_known_escape = st.sampled_from(sorted(_ESC_TABLE))
+_chunk = st.one_of(
+    _known_escape,
+    st.text(max_size=6),
+    st.just("\\uffff"),  # unknown code
+    st.just("\\u0"),  # truncated escape
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_chunk, max_size=12))
+def test_escape_repair_matches_reference_loop(chunks):
+    s = "".join(chunks)
+    got = repair_unicode_escapes(s)
+    want = _repair_reference(s)
+    # the transcription loops until no *known* escape remains, so the
+    # fixpoint property must hold for it too
+    assert got == want
+    assert repair_unicode_escapes(got) == got  # idempotent
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_tokenizer_spans_match_regex_reference(s):
+    """split_in_words tokenizes exactly like the reference's
+    RegexpTokenizer(r'\\w+') (same \\w+ spans, unicode-aware); the vendored
+    fold is idempotent and ASCII-preserving on every non-Latin-1 input."""
+    import re as _re
+
+    toks = split_in_words(s)
+    spans = _re.findall(r"\w+", s, _re.UNICODE)
+    assert len(toks) == len(spans)
+    for got, raw in zip(toks, spans):
+        # fold only rewrites Latin-1 accents; length and ASCII chars survive
+        assert len(got) == len(raw)
+        assert all(
+            g == r for g, r in zip(got, raw) if ord(r) < 128
+        ), (got, raw)
+    # repaired escape text round-trips through the tokenizer without error
+    assert isinstance(split_in_words(repair_unicode_escapes(s)), list)
