@@ -58,13 +58,27 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    algorithm: str = "hashmin",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node string, component string) — component = min node id reachable.
 
     ``edges`` is an undirected edge list (direction ignored). Graphs up to
     ``driver_max_edges`` distinct edges run as a driver-side union-find
-    (same labeling: component = min member); larger graphs run the
-    distributed hash-min loop.
+    (same labeling: component = min member); larger graphs run a
+    distributed loop:
+
+    * ``algorithm="hashmin"`` — classic min-label propagation, one shuffle
+      round per hop: O(diameter) rounds. Right for the low-diameter
+      surface-equivalence graphs the pipeline produces.
+    * ``algorithm="star"`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      every round re-points whole subtrees at their minimum, so rounds are
+      O(log n) even on a path graph. Right for high-diameter graphs where
+      hash-min would pay thousands of shuffle rounds.
+
+    ``stats['rounds']`` records the executed round count when a dict is
+    passed (the chain-graph benchmark in tests asserts star ≪ hashmin).
     """
     spark = edges.sparkSession
     dedup = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
@@ -72,10 +86,19 @@ def connected_components(
         labels = _local_union_find(
             [(r["a"], r["b"]) for r in dedup.collect()]
         )
+        if stats is not None:
+            stats["rounds"] = 0
         return spark.createDataFrame(
             sorted(labels.items()), schema="node string, component string"
         )
+    if algorithm == "star":
+        return _star_components(dedup, max_iter, stats)
+    return _hashmin_components(dedup, max_iter, stats)
 
+
+def _hashmin_components(
+    dedup: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
     sym = (
         dedup.select("a", "b")
         .union(dedup.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -84,6 +107,7 @@ def connected_components(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
 
+    rounds = 0
     for _ in range(max_iter):
         # candidate labels: own + min over neighbours
         neigh = (
@@ -103,9 +127,90 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        rounds += 1
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
+
+
+def _star_components(
+    dedup: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
+    """Alternating large-star/small-star min-contraction.
+
+    Invariant: the edge set always connects the same components as the
+    input. Each round:
+
+    * **large-star**: per node u with m = min(Γ(u) ∪ {u}), re-point every
+      strictly larger neighbour at m;
+    * **small-star**: per node u over its ≤ neighbours, re-point them (and
+      u) at the minimum of that closed set.
+
+    Fixpoint = every edge already points at its component minimum (a star);
+    detected when small-star leaves the edge set unchanged (count + content
+    check via exceptAll on the tiny contracted set).
+    """
+    # work on (hi, lo) ordered pairs; self-loops dropped
+    e = (
+        dedup.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        # large-star over the symmetrized view
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.union(sym.select("u", F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        e1 = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (hi → lo) edges
+        mins2 = (
+            e1.union(e1.select("u", F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        e2 = (
+            e1.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        unchanged = (
+            e2.exceptAll(e).count() == 0 and e.exceptAll(e2).count() == 0
+        )
+        e = e2
+        if unchanged:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at the fixpoint every (u, v) is node→component-min; roots self-label
+    nodes = dedup.select(F.col("a").alias("node")).union(
+        dedup.select(F.col("b").alias("node"))
+    ).distinct()
+    return (
+        nodes.join(e.select(F.col("u").alias("node"), "v"), "node", "left")
+        .select(
+            "node", F.coalesce("v", F.col("node")).alias("component")
+        )
+    )
 
 
 def surface_equivalence_edges(triples: DataFrame, kb: DataFrame) -> DataFrame:

@@ -46,8 +46,15 @@ def _check(spark, edges):
         r["node"]: r["component"]
         for r in connected_components(df, driver_max_edges=0).collect()
     }
+    got_star = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, driver_max_edges=0, algorithm="star"
+        ).collect()
+    }
     assert got_local == expected
     assert got_dist == expected
+    assert got_star == expected
 
 
 def test_cc_random_graph(spark):
@@ -66,3 +73,31 @@ def test_cc_long_chain(spark):
 def test_cc_disjoint_components(spark):
     edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
     _check(spark, edges)
+
+
+def test_star_beats_hashmin_on_chain(spark):
+    """The alternating large-/small-star contraction must produce the same
+    labels as hash-min on a path graph while converging in O(log n) rounds
+    instead of O(diameter) — the scale case for high-diameter graphs."""
+    edges = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(24)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    s_hash, s_star = {}, {}
+    hm = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, driver_max_edges=0, stats=s_hash
+        ).collect()
+    }
+    st = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, driver_max_edges=0, algorithm="star", stats=s_star
+        ).collect()
+    }
+    assert hm == st
+    assert set(hm.values()) == {"p000"}
+    # diameter 24 → hash-min pays ~24 rounds; star contracts in O(log n)
+    assert s_hash["rounds"] >= 20
+    assert s_star["rounds"] <= 8
+    assert s_star["rounds"] < s_hash["rounds"] / 2
