@@ -81,11 +81,17 @@ def connected_components(
     passed (the chain-graph benchmark in tests asserts star ≪ hashmin).
     """
     spark = edges.sparkSession
-    dedup = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    # persisted: the size probe, the collect (or the loop's symmetrize)
+    # all read one materialization instead of rebuilding the upstream plan
+    dedup = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .persist()
+    )
     if dedup.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        labels = _local_union_find(
-            [(r["a"], r["b"]) for r in dedup.collect()]
-        )
+        pairs = [(r["a"], r["b"]) for r in dedup.collect()]
+        dedup.unpersist()
+        labels = _local_union_find(pairs)
         if stats is not None:
             stats["rounds"] = 0
         return spark.createDataFrame(

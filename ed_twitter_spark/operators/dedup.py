@@ -114,34 +114,39 @@ WHERE len(toks) >= 3
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc1, doc2, est_jaccard) — LSH candidate pairs, est = matching
-    minhash components / 16."""
+    minhash components / 16.
+
+    The 16-component sketch is one *wide* map-side-combined aggregation
+    (16 min() columns over the shingle stream) — not a 16× row explosion
+    through the shuffle — and the signature stays wide end-to-end: band
+    keys project off the sketch row and the pair-similarity join compares
+    the two 16-column sketches in a single projection instead of 16 rows
+    per pair. One shuffle to doc granularity, then only sketch-sized data
+    moves."""
     sh = _shingles(spark, sf_dir)
-    mh = (
-        sh.select(
-            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"), "shingle"
-        )
-        .select(
-            "doc_id",
-            "i",
-            h32_col(F.concat_ws("#", "shingle", "i")).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("i") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(h32_col(F.concat_ws("#", "shingle", F.lit(str(i))))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    ).persist()  # sketch table: built once, read by bands + both join sides
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("i", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"mh{b * BAND_ROWS + j}").cast("string")
+                        for j in range(BAND_ROWS)
+                    ],
                 )
-            ).alias("bkey")
+            ).alias("bkey"),
         )
+        for b in range(N_BANDS)
+    ]
+    bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("s")).select(
+        "doc_id", "s.band", "s.bkey"
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -154,18 +159,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    m1 = mh.select(F.col("doc_id").alias("doc1"), "i", F.col("mh").alias("mh1"))
-    m2 = mh.select(F.col("doc_id").alias("doc2"), "i", F.col("mh").alias("mh2"))
+    m1 = mh.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    m2 = mh.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
     return (
         cand.join(m1, "doc1")
-        .join(m2, ["doc2", "i"])
-        .groupBy("doc1", "doc2")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0))
-                / F.lit(float(N_MINHASH)),
-                6,
-            ).alias("est_jaccard")
+        .join(m2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(matches / F.lit(float(N_MINHASH)), 6).alias("est_jaccard"),
         )
     )
 

@@ -122,22 +122,21 @@ def build_mention_windows(
 
     half_ctx = CTX_WINDOW // 2
 
-    @F.pandas_udf("struct<ntok:int,nment:int>")
-    def turn_counts(texts: pd.Series) -> pd.DataFrame:
-        ntok, nment = [], []
-        for t in texts:
-            toks = (t or "").split()
-            ntok.append(len(toks))
-            nment.append(sum(1 for x in toks if len(x) >= MENTION_MIN_LEN))
-        return pd.DataFrame({"ntok": ntok, "nment": nment})
-
+    # per-turn token/mention counts in pure JVM column algebra (identical
+    # to the grouped map's Python .split() on the single-space transcript
+    # text — the mention_windows oracle and the sequential-parity test pin
+    # the equivalence); keeping this stage whole-stage-codegen removes an
+    # Arrow round trip over every turn
+    _toks = F.split("text", r"\s+")
     wconv = Window.partitionBy("conv_id").orderBy("turn_idx")
     before = wconv.rowsBetween(Window.unboundedPreceding, -1)
     turns = (
         transcripts_df.select("conv_id", "turn_idx", "text", "doc_id")
-        .withColumn("c", turn_counts("text"))
-        .select("*", F.col("c.ntok").alias("ntok"), F.col("c.nment").alias("nment"))
-        .drop("c")
+        .withColumn("ntok", F.size(_toks))
+        .withColumn(
+            "nment",
+            F.size(F.filter(_toks, lambda t: F.length(t) >= MENTION_MIN_LEN)),
+        )
         .withColumn("tok_off", F.coalesce(F.sum("ntok").over(before), F.lit(0)).cast("long"))
         .withColumn("ment_off", F.coalesce(F.sum("nment").over(before), F.lit(0)).cast("long"))
     )

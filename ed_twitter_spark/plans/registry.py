@@ -432,6 +432,8 @@ def _register_parse():
     from ed_twitter_spark.operators import anchors_parse as ap
 
     register("anchor_parse", ap.ANCHOR_PARSE_SQL)(ap.anchor_parse)
+    register("anchor_parse_marked", ap.ANCHOR_MARKED_SQL)(ap.anchor_parse_marked)
+    register("doc_titles", ap.doc_titles_sql())(ap.doc_titles)
     register("events_props", ap.EVENTS_PROPS_SQL)(ap.events_props)
 
 
