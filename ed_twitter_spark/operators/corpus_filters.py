@@ -1,0 +1,165 @@
+"""Corpus-hygiene operators a large-scale training-data pipeline runs
+before/alongside dedup: PII redaction, deterministic dataset splitting,
+and eval-set decontamination. Beyond the reference's own operator set
+(like the dedup/similarity ladder) — first-class per the build brief.
+
+All three are single-scan, shuffle-minimal designs:
+
+* ``pii_redact``   — regex redaction of emails / URLs / phone-like spans,
+  pure JVM ``regexp_replace`` chain (patterns restricted to syntax RE2
+  and Java regex interpret identically — no lookaround, no backrefs).
+  The synthetic corpus carries no PII, so a deterministic contact line
+  derived from doc_id is appended before redaction — the operator is
+  exercised on every row, and both engines construct the same input.
+* ``dataset_split`` — stable train/val/test assignment by md5 hash
+  bucket (80/10/10): reproducible across runs/engines, no global sort,
+  no sampling state.
+* ``decontaminate`` — n-gram overlap against a held-out eval subset
+  (the standard 8-gram collision rule): eval shingles form the (small)
+  build side of a semi-join against training-doc shingles; output is
+  per-training-doc collision counts. Σ cost is one shingle scan + one
+  hash join keyed on the shingle — no pairwise document comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ed_twitter_spark.functions.hashing import TOKS_SQL, toks_col
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9./_%\-?=&#]+"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+_CONTACT = "contact user{d}@example.com https://ex.org/u/{d} +1-555-{d4}"
+
+
+def _with_contact(docs: DataFrame) -> DataFrame:
+    d4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    contact = F.format_string(
+        "contact user%s@example.com https://ex.org/u/%s +1-555-%s",
+        F.col("doc_id").cast("string"),
+        F.col("doc_id").cast("string"),
+        d4,
+    )
+    return docs.withColumn("text2", F.concat_ws(" ", "text", contact))
+
+
+_CONTACT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "https://ex.org/u/' || CAST(doc_id AS VARCHAR) || ' +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_contact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    t = F.col("text2")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_urls.cast("int").alias("n_urls"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH d AS (SELECT doc_id, {_CONTACT_SQL} AS text2 FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text2,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{URL_RE}', '<URL>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g')                          AS clean_text,
+       CAST(len(regexp_extract_all(text2, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text2, '{URL_RE}')) AS INTEGER)   AS n_urls,
+       CAST(len(regexp_extract_all(text2, '{PHONE_RE}')) AS INTEGER) AS n_phones
+FROM d
+"""
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", bucket.cast("int").alias("bucket"), split.alias("split"))
+
+
+DATASET_SPLIT_SQL = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 AS INTEGER) AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+DECON_N = 8  # n-gram length of the contamination rule
+EVAL_MOD = 10  # docs with doc_id % 10 == 0 form the held-out eval subset
+
+
+def _ngrams(docs: DataFrame, n: int) -> DataFrame:
+    sh = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> array_join(slice(toks, i + 1, {n}), ' '))"
+    )
+    return (
+        docs.select("doc_id", toks_col().alias("toks"))
+        .where(F.size("toks") >= n)
+        .select("doc_id", F.explode(sh).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_collisions) — training docs sharing ≥1 eval 8-gram."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = _ngrams(docs, DECON_N)
+    eval_grams = (
+        grams.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i+1 : i+{DECON_N}], ' ') AS gram
+  FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+       UNNEST(range(0, len(toks) - {DECON_N} + 1)) AS t(i)
+  WHERE len(toks) >= {DECON_N}
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_collisions
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+"""

@@ -338,6 +338,12 @@ def _register_corpus_ops():
     register("mm_assets", mm.MM_ASSETS_SQL)(mm.mm_assets)
     register("mm_decode_features", None)(mm.mm_decode_features)
 
+    from ed_twitter_spark.operators import corpus_filters as cf
+
+    register("pii_redact", cf.PII_REDACT_SQL)(cf.pii_redact)
+    register("dataset_split", cf.DATASET_SPLIT_SQL)(cf.dataset_split)
+    register("decontaminate", cf.DECONTAMINATE_SQL)(cf.decontaminate)
+
 
 _register_corpus_ops()
 

@@ -40,10 +40,18 @@ def get_spark(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
 
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit the gateway JVM already carries the master and
+    # driver memory from the CLI (--master, --driver-memory); setting them
+    # here would *override* the submit args, not defer to them. The gateway
+    # port env var marks that mode.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not under_submit:
+        builder = builder.master(f"local[{cores}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -52,7 +60,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

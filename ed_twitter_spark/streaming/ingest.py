@@ -79,6 +79,47 @@ def mention_rate(stream: DataFrame) -> DataFrame:
     )
 
 
+def run_ingest_to_stage(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str, stage_root: str
+) -> list[str]:
+    """``foreachBatch`` handoff into the checkpointed batch catalog: each
+    micro-batch of watermark-deduped turns lands via :func:`io.write_stage`
+    as its own stage (``stream_turns_b<batch_id>``) with the same
+    lineage + per-partition metrics rows the batch pipeline writes — the
+    stream and batch paths share one storage contract. The streaming
+    checkpoint makes redelivered batches replay idempotently (same
+    batch_id → same stage dir, overwritten not duplicated).
+
+    Returns the stage names written, oldest first."""
+    import time
+
+    from ed_twitter_spark import io as kgio
+
+    turns = deduped_turns(read_transcript_stream(spark, src_dir))
+    stages: list[str] = []
+
+    def handle(batch_df, batch_id: int) -> None:
+        name = f"stream_turns_b{batch_id}"
+        kgio.write_stage(
+            batch_df,
+            stage_root,
+            name,
+            fp=kgio.fingerprint("stream_turns", str(batch_id), src_dir),
+            deps=["transcript_stream"],
+            started_at=time.time(),
+        )
+        stages.append(name)
+
+    q = (
+        turns.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stages
+
+
 def run_ingest_once(
     spark: SparkSession, src_dir: str, checkpoint_dir: str
 ) -> list:

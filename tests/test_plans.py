@@ -140,6 +140,26 @@ def test_link_cosine_broadcast_no_driver_kb(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
 
 
+def test_dataset_split_no_shuffle(spark):
+    """Deterministic hash-bucket split is a pure projection: no Exchange,
+    no Python, straight over the scan."""
+    from ed_twitter_spark.operators.corpus_filters import dataset_split
+
+    plan = plan_of(dataset_split(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-subset gram table (small side) must broadcast: the training
+    shingle stream joins without shuffling on the gram key."""
+    from ed_twitter_spark.operators.corpus_filters import decontaminate
+
+    plan = plan_of(decontaminate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_window_build_stays_parallel(spark):
     """Regression: AQE once coalesced the tiny segment-row shuffle into a
     single partition, serializing the Python-heavy window build. The

@@ -91,3 +91,31 @@ def test_stream_dedups_redelivered_turns(spark, tmp_path):
     # emitted counts equal the *deduped* batch values — redelivery did not
     # double-count any window
     assert all(want.get(k) == v for k, v in got.items())
+
+
+def test_foreach_batch_stage_handoff(spark, tmp_path):
+    """The stream lands in the same checkpoint catalog as the batch
+    pipeline: per-micro-batch stages with lineage + per-partition metrics,
+    whose union equals the deduped batch read of the source."""
+    from ed_twitter_spark import io as kgio
+
+    src = _materialize_transcripts(spark, tmp_path, duplicate=True)
+    root = str(tmp_path / "stage_root")
+    stages = ingest.run_ingest_to_stage(
+        spark, src, str(tmp_path / "ckpt_fb"), root
+    )
+    assert len(stages) >= 1
+
+    total = 0
+    for name in stages:
+        rec = kgio.read_lineage(spark, root, name)
+        assert rec is not None and rec["deps"] == '["transcript_stream"]'
+        m = kgio.read_metrics(spark, root, name).collect()
+        tot = next(r for r in m if r["partition_id"] == -1)
+        assert rec["rows"] == tot["rows"]
+        total += rec["rows"]
+
+    want = (
+        spark.read.parquet(src).dropDuplicates(["conv_id", "turn_idx"]).count()
+    )
+    assert total == want
