@@ -237,7 +237,14 @@ def global_lbp_scores(
         # preallocated buffer (prev.reshape(nc,n).T is a no-copy view)
         np.matmul(off32, prev_msgs.reshape(n * c, n).T, out=sm2d)
         np.add(base, sm2d.reshape(n, n, c)[:, None, :, :], out=votes)
-        votes.max(axis=3, out=msgs)  # (i,c1,j)
+        # max over c2 → (i,c1,j): unrolled pairwise np.maximum over the c
+        # slices is ~5× faster than ndarray.max(axis=3) here — numpy's
+        # reduce pays per-reduction overhead on a length-c inner axis,
+        # while c-1 full-width elementwise maxima stream the buffer
+        # (identical values: max is associative/commutative, no ulp drift)
+        np.copyto(msgs, votes[..., 0])
+        for _c2 in range(1, c):
+            np.maximum(msgs, votes[..., _c2], out=msgs)
         msgs = np.log(
             _softmax(msgs, axis=1) * np.float32(w.df)
             + np.exp(prev_msgs) * np.float32(1.0 - w.df)

@@ -336,7 +336,7 @@ def _register_corpus_ops():
     register("ann_ivf_topk", sim.ANN_IVF_SQL)(sim.ann_ivf_topk)
     register("embed_cosine_pairs", sim.EMBED_PAIRS_SQL)(sim.embed_cosine_pairs)
     register("mm_assets", mm.MM_ASSETS_SQL)(mm.mm_assets)
-    register("mm_decode_features", None)(mm.mm_decode_features)
+    register("mm_decode_features", mm.MM_DECODE_SQL)(mm.mm_decode_features)
 
     from ed_twitter_spark.operators import corpus_filters as cf
 

@@ -155,17 +155,27 @@ def test_ann_topk_matches_numpy(spark):
 
 def test_mm_decode_matches_python(spark):
     feats = mm.mm_decode_features(spark, SF_SMOKE).toPandas().set_index("doc_id")
-    assets = mm.mm_assets(spark, SF_SMOKE).toPandas().head(10)
+    assets = mm.mm_assets(spark, SF_SMOKE).toPandas().head(12)
     for _, r in assets.iterrows():
         blob = bytes.fromhex(r["blob_hex"])
-        want = mm.decode_blob_features(blob)
+        want = mm.decode_blob_features(r["fmt"], blob)
         have = feats.loc[r["doc_id"]]
         for k, v in want.items():
             assert have[k] == pytest.approx(v)
-    # blob synthesis is the md5 chain and dims are in range
-    t0 = assets.iloc[0]
-    assert len(bytes.fromhex(t0["blob_hex"])) == 16 * mm.BLOB_REPEATS == t0["n_bytes"]
-    assert 16 <= t0["width"] < 16 + 512 and 16 <= t0["height"] < 16 + 512
+    by_fmt = assets.set_index("fmt")
+    # the image rows are valid PPMs with real dims; wav rows parse with the
+    # stdlib reader; video rows stay the raw 64-byte chain
+    ppm = by_fmt.loc["image/ppm"].iloc[0]
+    assert bytes.fromhex(ppm["blob_hex"])[:2] == b"P6"
+    assert (ppm["width"], ppm["height"]) == (mm.PPM_W, mm.PPM_H)
+    import io
+    import wave
+
+    wav = by_fmt.loc["audio/wav"].iloc[0]
+    wf = wave.open(io.BytesIO(bytes.fromhex(wav["blob_hex"])))
+    assert (wf.getnchannels(), wf.getframerate(), wf.getnframes()) == (1, 8000, mm.WAV_SAMPLES)
+    vid = by_fmt.loc["video/fake"].iloc[0]
+    assert len(bytes.fromhex(vid["blob_hex"])) == 16 * mm.BLOB_REPEATS == vid["n_bytes"]
 
 
 def test_mm_decode_batch_plumbing(spark):
@@ -173,4 +183,4 @@ def test_mm_decode_batch_plumbing(spark):
     df = mm.mm_decode_features(spark, SF_SMOKE)
     n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert df.count() == n_docs
-    assert [f.name for f in df.schema.fields][:3] == ["doc_id", "n_bytes", "byte_mean"]
+    assert [f.name for f in df.schema.fields][:4] == ["doc_id", "fmt", "n_units", "sig_mean"]
