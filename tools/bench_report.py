@@ -81,6 +81,20 @@ def render() -> None:
     lines.append(_row("**total**", "_total"))
     lines.append(_row("triples/sec", "_triples_per_sec"))
     lines.append("")
+    lines.append(
+        "Measurement caveat: this sandbox's vCPUs share a hypervisor host —"
+    )
+    lines.append(
+        "identical code re-benchmarked under host contention has measured 2-3×"
+    )
+    lines.append(
+        "slower wall-clock across every query. Rounds are recorded from"
+    )
+    lines.append(
+        "quiet-host windows; compare rounds, not absolute seconds, and see"
+    )
+    lines.append("BENCH/BASELINE.md for the multi-run variance analysis.")
+    lines.append("")
     with open(OUT, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {OUT}")
