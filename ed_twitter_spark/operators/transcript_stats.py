@@ -1,0 +1,136 @@
+"""Transcript-table analytics over the input_hint columns (role, tool, ts).
+
+The BASELINE.json input is a conversation/agent-transcript table
+``(conv_id, turn_idx, role, text, tool, ts)``; these are the operational
+queries a transcript pipeline runs beside the KG extraction — per-
+conversation shape/duration stats, tool-usage rollups, and the
+conversation-flow role-transition matrix.
+
+Scale shape: every query is one shuffle on its group key; the
+per-conversation window (gaps, next-role) and the groupBy share the
+conv_id partitioning, the same single-exchange pattern as
+``event_sessions``. Timestamps are compared cross-engine in integer
+microseconds (Spark ``unix_micros`` after a timestamp cast ≡ DuckDB
+``epoch_us``) so no float or timezone drift can flip a value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ed_twitter_spark import synth
+
+
+def conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversation_stats_df(synth.transcripts(spark, sf_dir))
+
+
+def conversation_stats_df(t: DataFrame) -> DataFrame:
+    """Core operator over any transcripts-shaped frame. Over a materialized
+    table the whole query is a single conv_id exchange (the gap window and
+    the aggregate share it — plan-audited in tests/test_plans.py); the
+    synthetic registry wrapper adds one more for the conv derivation."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    g = (
+        t.withColumn("us", us)
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("int")).alias("n_user"),
+            F.sum((F.col("role") == "assistant").cast("int")).alias("n_assistant"),
+            F.sum(F.col("tool").isNotNull().cast("int")).alias("n_tool_calls"),
+            F.sum(F.length("text")).alias("total_chars"),
+            ((F.max("us") - F.min("us")) / 1_000_000.0).alias("duration_s"),
+            F.round(F.avg("gap_us") / 1_000_000.0, 6).alias("mean_gap_s"),
+        )
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool_calls",
+        "total_chars",
+        F.round("duration_s", 6).alias("duration_s"),
+        "mean_gap_s",
+    )
+
+
+CONVERSATION_STATS_SQL = f"""
+WITH t AS ({synth.TRANSCRIPTS_SQL}),
+g AS (
+  SELECT conv_id, turn_idx, role, tool, text,
+         epoch_us(ts) AS us,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS gap_us
+  FROM t
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       ROUND((MAX(us) - MIN(us)) / 1000000.0, 6) AS duration_s,
+       ROUND(AVG(gap_us) / 1000000.0, 6) AS mean_gap_s
+FROM g GROUP BY conv_id
+"""
+
+
+def tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth.transcripts(spark, sf_dir)
+    return (
+        t.where(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_text_len"),
+            F.unix_micros(F.min(F.col("ts").cast("timestamp"))).alias("first_us"),
+            F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("last_us"),
+        )
+    )
+
+
+TOOL_USAGE_SQL = f"""
+WITH t AS ({synth.TRANSCRIPTS_SQL})
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       ROUND(AVG(length(text)), 6) AS avg_text_len,
+       epoch_us(MIN(ts)) AS first_us,
+       epoch_us(MAX(ts)) AS last_us
+FROM t WHERE tool IS NOT NULL GROUP BY tool
+"""
+
+
+def role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-flow bigram: (role, next_role) frequencies across every
+    adjacent turn pair, turn order per conversation."""
+    t = synth.transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.withColumn("next_role", F.lead("role").over(w)).where(
+        F.col("next_role").isNotNull()
+    )
+    return pairs.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+ROLE_TRANSITIONS_SQL = f"""
+WITH t AS ({synth.TRANSCRIPTS_SQL}),
+p AS (
+  SELECT conv_id, role,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM t
+)
+SELECT role, next_role,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM p WHERE next_role IS NOT NULL
+GROUP BY role, next_role
+"""

@@ -415,6 +415,22 @@ _register_sessions()
 
 
 # ---------------------------------------------------------------------------
+# transcript-table analytics over the input_hint columns (role, tool, ts)
+# ---------------------------------------------------------------------------
+
+
+def _register_transcript_stats():
+    from ed_twitter_spark.operators import transcript_stats as tst
+
+    register("conversation_stats", tst.CONVERSATION_STATS_SQL)(tst.conversation_stats)
+    register("tool_usage", tst.TOOL_USAGE_SQL)(tst.tool_usage)
+    register("role_transitions", tst.ROLE_TRANSITIONS_SQL)(tst.role_transitions)
+
+
+_register_transcript_stats()
+
+
+# ---------------------------------------------------------------------------
 # 34-35. K8 deterministic negative sampling + K9 entity-vector init
 # ---------------------------------------------------------------------------
 

@@ -140,6 +140,19 @@ def test_link_cosine_broadcast_no_driver_kb(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
 
 
+def test_conversation_stats_single_exchange(spark, tmp_path):
+    """Over a materialized transcripts table (the deployment shape), the
+    inter-turn-gap window and the per-conversation aggregate share the
+    conv_id partitioning: one exchange in the whole plan."""
+    from ed_twitter_spark.operators.transcript_stats import conversation_stats_df
+
+    p = str(tmp_path / "transcripts_tbl")
+    synth.transcripts(spark, SF_SMOKE).write.parquet(p)
+    plan = plan_of(conversation_stats_df(spark.read.parquet(p)))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+
+
 def test_dataset_split_no_shuffle(spark):
     """Deterministic hash-bucket split is a pure projection: no Exchange,
     no Python, straight over the scan."""
