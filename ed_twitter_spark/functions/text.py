@@ -148,7 +148,10 @@ def important_filter_col(toks: Column) -> Column:
 # reference dict. The reference's '%'→'%%' quirk (its output feeds
 # %-formatting) is kept for output parity; codes outside the table are left
 # intact (the reference raises there).
-_ESC_RE = re.compile(r"\\u[0-9a-fA-F]{4}")
+# lowercase hex only: the reference's find/replace matches its literal
+# lowercase \uXXXX table keys, so an uppercase escape (É) is left
+# intact there — and must be left intact here too
+_ESC_RE = re.compile(r"\\u[0-9a-f]{4}")
 _ESC_EXCEPTIONS = {0x030D: "\u02bc", 0x00A0: ""}
 UNICODE_ESCAPE_CODES: frozenset[int] = frozenset([
     0x0021, 0x0022, 0x0023, 0x0024, 0x0025, 0x0026, 0x0027, 0x0028, 0x0029, 0x002a, 0x002b, 0x002c,

@@ -82,11 +82,13 @@ def connected_components(
     """
     spark = edges.sparkSession
     # persisted: the size probe, the collect (or the loop's symmetrize)
-    # all read one materialization instead of rebuilding the upstream plan
-    dedup = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .distinct()
-        .persist()
+    # all read one materialization instead of rebuilding the upstream plan.
+    # Tracked so the distributed paths (which return lazily and cannot
+    # unpersist inline) are released by the harness after the action.
+    from ed_twitter_spark.caching import persist_tracked
+
+    dedup = persist_tracked(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     )
     if dedup.limit(driver_max_edges + 1).count() <= driver_max_edges:
         pairs = [(r["a"], r["b"]) for r in dedup.collect()]

@@ -138,6 +138,16 @@ def link_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ctx_sums = kernels.segment_sum_vecs(
                 [list(x) for x in pdf["ctx_ids"]], emb_m, unk_id
             )
+            # an empty context contributes an exact zero vector (matching
+            # the oracle's COALESCE(dot_sum, 0.0)) — summing the unk row
+            # (1e-10 elements) would add tiny candidate-dependent dots
+            # that can flip prior-tied argmaxes off the ent_name-asc
+            # tie-break
+            empty = np.fromiter(
+                (len(x) == 0 for x in pdf["ctx_ids"]), dtype=bool, count=n
+            )
+            if empty.any():
+                ctx_sums[empty] = 0.0
             lens = np.fromiter(
                 (len(x) for x in pdf["cand_codes"]), dtype=np.int64, count=n
             )

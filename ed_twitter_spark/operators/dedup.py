@@ -21,12 +21,16 @@ md5-derived so both engines agree bit-for-bit):
   size (a fractional cap would still admit ~10¹⁶ pairs at 10⁹ docs).
   The corpus is scanned exactly once; no count/size job runs at plan
   build time.
-* ``dedup_simhash``   — 16-bit simhash fingerprint per document
-  (bit b = sign of Σ_tokens ±1 by token-hash bit b).
+* ``dedup_simhash``   — 64-bit simhash fingerprint per document
+  (bit b = sign of Σ_tokens ±1 by token-hash bit b), assembled by one
+  wide aggregation (64 sum columns), not a 64× bit explode.
 * ``dedup_simhash_pairs`` — hamming-near pairs over those fingerprints:
-  4 bands × 4 bits; by pigeonhole any pair at hamming ≤ 3 agrees exactly
+  4 bands × 16 bits; by pigeonhole any pair at hamming ≤ 3 agrees exactly
   on ≥ 1 band, so the banded bucket self-join finds all such pairs with
   Σ bucket² work, then ``bit_count(xor)`` filters to the true distance.
+  16-bit band keys give 65,536 bucket values per band, so buckets stay
+  O(n/65k) and the join is genuinely subquadratic (a 16-bit fingerprint
+  with 4-bit bands degenerated to ~n²/64 candidate pairs).
 
 Embedding-cosine near-dup lives in operators/similarity.py (same blocked
 join it uses for ANN).
@@ -37,7 +41,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ed_twitter_spark.functions.hashing import TOKS_SQL, h32_col, h32_sql, toks_col
+from ed_twitter_spark.caching import persist_tracked
+from ed_twitter_spark.functions.hashing import (
+    TOKS_SQL,
+    h32_col,
+    h32_sql,
+    h64_col,
+    h64_sql,
+    toks_col,
+)
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -47,7 +59,7 @@ BAND_ROWS = N_MINHASH // N_BANDS
 # of the corpus — C(DF_CAP, 2) bounds the pair fan-out per shingle at any
 # corpus size.
 DF_CAP = 100
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 HAMMING_MAX = SIMHASH_BANDS - 1  # pigeonhole-complete for ≤ bands-1 flipped bits
@@ -129,7 +141,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(h32_col(F.concat_ws("#", "shingle", F.lit(str(i))))).alias(f"mh{i}")
             for i in range(N_MINHASH)
         ]
-    ).persist()  # sketch table: built once, read by bands + both join sides
+    )
+    # sketch table: built once, read by bands + both join sides; released
+    # by the harness after the terminal action (caching.release_caches)
+    mh = persist_tracked(mh)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -294,32 +309,46 @@ WHERE ROUND(n_shared * 1.0 / (s1.sz + s2.sz - n_shared), 6) >= {JACCARD_MIN}
 # ---------------------------------------------------------------------------
 
 
+def _simhash_bit_value(b: int) -> int:
+    """Two's-complement value of bit ``b`` in a signed int64 fingerprint.
+
+    Bit 63 is the sign bit: its contribution is −2^63 (``1 << 63``
+    overflows signed 64-bit — DuckDB range-checks the shift, Spark ANSI
+    the add — so both engines assemble the fingerprint from this value)."""
+    return -(1 << 63) if b == 63 else (1 << b)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — 16-bit simhash over token hashes."""
+    """(doc_id, simhash) — 64-bit simhash over token hashes.
+
+    Bit b = sign of Σ_tokens (±1 by token-hash bit b). The 64 per-bit
+    sums ride ONE wide map-side-combined aggregation (64 ``sum`` columns
+    over the token stream) — not a 64× bit-explode through the shuffle —
+    and the fingerprint assembles in a single projection, so the only
+    shuffle moves one 64-int row per document."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = docs.select("doc_id", F.explode(toks_col()).alias("tok")).select(
-        "doc_id", h32_col(F.col("tok")).alias("h")
+        "doc_id", h64_col(F.col("tok")).alias("h")
     )
-    bit = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h",
-    ).select("doc_id", "b", F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("w"))
-    return (
-        bit.groupBy("doc_id", "b")
-        .agg(F.sum("w").alias("s"))
-        .select(
-            "doc_id",
-            F.expr("CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END").alias("v"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("v").alias("simhash"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
+    fp_terms = [
+        F.when(F.col(f"s{b}") > 0, F.lit(_simhash_bit_value(b))).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
+    fp = fp_terms[0]
+    for term in fp_terms[1:]:
+        fp = fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 DEDUP_SIMHASH_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, {h32_sql('tok')} AS h
+  SELECT doc_id, {h64_sql('tok')} AS h
   FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
 ),
 bits AS (
@@ -328,7 +357,10 @@ bits AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN
+                  (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                        ELSE (1::BIGINT << b) END)
+                ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -347,10 +379,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ≤ bands−1 differing bits must match exactly on at least one band
     (pigeonhole), so the (band, band_key) bucket self-join is *complete*
     for the threshold while doing Σ bucket² work instead of n². The exact
-    distance then filters candidates via ``bit_count(xor)``. Fingerprints
+    distance then filters candidates via ``bit_count(xor)``. With 16-bit
+    band keys (65,536 buckets per band) the bucket sizes stay O(n/65k),
+    so Σ bucket² is genuinely subquadratic at corpus scale. Fingerprints
     are persisted so the corpus simhash build runs once, not once per
-    join side."""
-    fp = dedup_simhash(spark, sf_dir).persist()
+    join side (released by the harness via caching.release_caches)."""
+    fp = persist_tracked(dedup_simhash(spark, sf_dir))
     bands = fp.select(
         "doc_id",
         "simhash",

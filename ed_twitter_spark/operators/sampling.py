@@ -6,8 +6,10 @@
   `minibatch_a.py:97-111`). Distributed + testable, the randoms become
   **deterministic stratified probes** u_k = (k+½)/K · total — the inverse-
   CDF structure (power weighting, cumulative table, first-bucket-≥-probe
-  search) is identical, only the RNG is pinned. The search is a range
-  join against the cumulative table + a min-aggregate.
+  search) is identical, only the RNG is pinned. The search is an
+  interval assignment: each (cum−w, cum] bucket enumerates the probe
+  indices that can land in it (Σ candidates ≈ K + |vocab|, no theta
+  join anywhere in the plan).
 * ``ent_vec_init`` — entity-embedding initialization as the average of
   the entity's title-word vectors (`entities/learn_e2v/model_a.py:22-53`),
   emitted per (entity, dim) so the oracle hashes every component.
@@ -19,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ed_twitter_spark import synth
+from ed_twitter_spark.caching import persist_tracked
 from ed_twitter_spark.functions.hashing import TOKS_SQL
 
 N_PROBES = 100
@@ -62,43 +65,77 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = wq.repartitionByRange(CUM_PARTS, F.desc("freq"), F.asc("word"))
     part = ranged.withColumn("pid", F.spark_partition_id())
     wloc = Window.partitionBy("pid").orderBy(F.desc("freq"), F.asc("word"))
-    local = part.withColumn("lrn", F.row_number().over(wloc)).withColumn(
-        "lcum", F.sum("w").over(wloc.rowsBetween(Window.unboundedPreceding, 0))
-    ).persist()
-    # pass 2: per-partition totals (CUM_PARTS rows) → exclusive prefix
-    # offsets via a triangular self-join (no global window anywhere)
+    local = persist_tracked(
+        part.withColumn("lrn", F.row_number().over(wloc)).withColumn(
+            "lcum", F.sum("w").over(wloc.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    # pass 2: per-partition totals (CUM_PARTS rows). Each source partition
+    # explodes to every target pid, and ONE aggregation produces the
+    # exclusive prefix offsets (sum over src < pid) AND the grand total
+    # (sum over all src) per target — no self-join, no scalar cross join,
+    # no window; the fan-out is the constant CUM_PARTS².
     per_part = local.groupBy("pid").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("w").alias("wsum")
     )
-    prev = per_part.select(
-        F.col("pid").alias("ppid"),
-        F.col("cnt").alias("pcnt"),
-        F.col("wsum").alias("pwsum"),
+    fan = per_part.select(
+        "cnt",
+        "wsum",
+        F.col("pid").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(CUM_PARTS - 1))).alias("pid"),
     )
-    offs = (
-        per_part.join(F.broadcast(prev), F.col("ppid") < F.col("pid"), "left")
-        .groupBy("pid")
-        .agg(
-            F.coalesce(F.sum("pcnt"), F.lit(0)).cast("long").alias("n_off"),
-            F.coalesce(F.sum("pwsum"), F.lit(0)).cast("long").alias("w_off"),
-        )
+    pred = F.col("src") < F.col("pid")
+    offs = fan.groupBy("pid").agg(
+        F.coalesce(F.sum(F.when(pred, F.col("cnt"))), F.lit(0)).cast("long").alias("n_off"),
+        F.coalesce(F.sum(F.when(pred, F.col("wsum"))), F.lit(0)).cast("long").alias("w_off"),
+        # with integer micro-unit weights, Σ per-partition sums ≡ max(cum)
+        # ≡ the oracle's sequential running sum — summation order cannot
+        # matter, so the probes derive from the identical total as the
+        # buckets
+        F.sum("wsum").cast("long").alias("total"),
     )
     c = local.join(F.broadcast(offs), "pid").select(
         "word",
         (F.col("lrn") + F.col("n_off")).alias("wid"),
         (F.col("lcum") + F.col("w_off")).alias("cum"),
+        (F.col("lcum") + F.col("w_off") - F.col("w")).alias("prev"),
+        "total",
     )
-    # with integer micro-unit weights, Σ per-partition sums ≡ max(cum) ≡ the
-    # oracle's sequential running sum — summation order cannot matter, so
-    # the probe positions derive from the identical total as the buckets
-    total = per_part.agg(F.sum("wsum").alias("total"))
-    probes = spark.range(N_PROBES).select(F.col("id").cast("int").alias("k")).crossJoin(
-        F.broadcast(total)
-    ).select("k", ((F.col("k") + 0.5) / N_PROBES * F.col("total")).alias("u"))
-    return (
-        probes.join(F.broadcast(c), F.col("cum") >= F.col("u"))
-        .groupBy("k")
-        .agg(F.min_by("word", "wid").alias("word"))
+    # Probe→bucket assignment WITHOUT a theta join: "first wid with
+    # cum ≥ u" ≡ "u ∈ (cum − w, cum]" because cum is strictly increasing
+    # (w ≥ 1). The probes are deterministic u_k = (k+½)/K·total, so each
+    # word's interval knows which probe indices can land inside it —
+    # explode over that (almost always empty) k-range with a ±1 float
+    # guard, then apply the exact float condition. Candidate rows are
+    # Σ(k_hi−k_lo+1) ≈ K + |vocab| (linear), vs the former
+    # cum ≥ u nested-loop's ~K·|vocab|/2 intermediate.
+    ck = c
+    kf = F.lit(float(N_PROBES))
+    k_lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(F.col("prev") / F.col("total") * kf - 0.5) - 1,
+    )
+    k_hi = F.least(
+        F.lit(N_PROBES - 1).cast("long"),
+        F.floor(F.col("cum") / F.col("total") * kf - 0.5) + 1,
+    )
+    cand = ck.select(
+        "word",
+        "cum",
+        "prev",
+        "total",
+        F.explode(
+            F.when(k_hi >= k_lo, F.sequence(k_lo, k_hi)).otherwise(
+                F.lit(None).cast("array<bigint>")
+            )
+        ).alias("kl"),
+    )
+    # identical float expression to the probe build the oracle uses, so
+    # the boundary comparisons match DuckDB bit-for-bit; each u lies in
+    # exactly one (prev, cum] interval, hence exactly one row per k
+    u = (F.col("kl") + 0.5) / N_PROBES * F.col("total")
+    return cand.where((u <= F.col("cum")) & (u > F.col("prev"))).select(
+        F.col("kl").cast("int").alias("k"), "word"
     )
 
 

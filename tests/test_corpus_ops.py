@@ -8,7 +8,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pytest
-from conftest import SF_SMOKE
+from conftest import SF_CORRECT, SF_SMOKE
 
 from ed_twitter_spark.operators import multimodal as mm
 from ed_twitter_spark.operators.dedup import (
@@ -23,6 +23,12 @@ from ed_twitter_spark.operators.textstats import doc_fingerprint
 
 def _h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _h64(s: str) -> int:
+    """Signed 64-bit md5 hash — mirror of functions.hashing.h64_col."""
+    d = hashlib.md5(s.encode()).hexdigest()
+    return (int(d[:8], 16) - 2**31) * 2**32 + int(d[8:16], 16)
 
 
 @pytest.fixture(scope="module")
@@ -52,10 +58,12 @@ def test_simhash_matches_python(spark, docs_pdf):
     for _, row in docs_pdf.head(20).iterrows():
         sums = [0] * SIMHASH_BITS
         for tok in row["text"].split():
-            h = _h32(tok)
+            h = _h64(tok)
             for b in range(SIMHASH_BITS):
                 sums[b] += 2 * ((h >> b) & 1) - 1
         want = sum(1 << b for b in range(SIMHASH_BITS) if sums[b] > 0)
+        if want >= 2**63:  # bit 63 set → signed int64 two's complement
+            want -= 2**64
         assert got[row["doc_id"]] == want
 
 
@@ -109,13 +117,45 @@ def test_simhash_pairs_complete_and_exact(spark, docs_pdf):
 
     ids = sorted(fp.index)
     want = {}
-    arr = [int(v) for v in fp.loc[ids]]
+    # mask to 64 bits: fingerprints are signed int64, xor of mixed signs
+    # is negative in Python and bin() would miscount
+    arr = [int(v) & ((1 << 64) - 1) for v in fp.loc[ids]]
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             d = bin(arr[i] ^ arr[j]).count("1")
             if d <= HAMMING_MAX:
                 want[(ids[i], ids[j])] = d
-    assert got_pairs == want and len(want) > 0
+    assert got_pairs == want
+
+
+def test_simhash_pairs_subquadratic_at_sf001(spark):
+    """The 16-bit fingerprint with 4-bit band keys produced 39,076
+    candidate pairs from 500 docs at sf0.01 (~31% of all C(500,2) pairs —
+    effectively quadratic). The 64-bit fingerprint with 16-bit band keys
+    must cut the banded candidate count (Σ C(bucket,2) over the four
+    band-key histograms) and the emitted pair count by orders of
+    magnitude."""
+    from collections import Counter
+
+    from ed_twitter_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        dedup_simhash,
+        dedup_simhash_pairs,
+    )
+
+    fp = dedup_simhash(spark, SF_CORRECT).toPandas()
+    n = len(fp)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    cand = 0
+    for b in range(SIMHASH_BANDS):
+        keys = Counter(
+            (int(v) >> (b * SIMHASH_BAND_BITS)) & mask for v in fp["simhash"]
+        )
+        cand += sum(c * (c - 1) // 2 for c in keys.values())
+    total = n * (n - 1) // 2
+    assert cand < total / 50, f"banded candidates {cand} of {total} — still quadratic"
+    assert dedup_simhash_pairs(spark, SF_CORRECT).count() < n
 
 
 def test_ngram_jaccard_exact_on_known_pair(spark):
@@ -164,7 +204,8 @@ def test_mm_decode_matches_python(spark):
             assert have[k] == pytest.approx(v)
     by_fmt = assets.set_index("fmt")
     # the image rows are valid PPMs with real dims; wav rows parse with the
-    # stdlib reader; video rows stay the raw 64-byte chain
+    # stdlib reader; video rows are real RIFF/AVI containers whose movi
+    # chunk walk yields the uncompressed frames
     ppm = by_fmt.loc["image/ppm"].iloc[0]
     assert bytes.fromhex(ppm["blob_hex"])[:2] == b"P6"
     assert (ppm["width"], ppm["height"]) == (mm.PPM_W, mm.PPM_H)
@@ -174,8 +215,13 @@ def test_mm_decode_matches_python(spark):
     wav = by_fmt.loc["audio/wav"].iloc[0]
     wf = wave.open(io.BytesIO(bytes.fromhex(wav["blob_hex"])))
     assert (wf.getnchannels(), wf.getframerate(), wf.getnframes()) == (1, 8000, mm.WAV_SAMPLES)
-    vid = by_fmt.loc["video/fake"].iloc[0]
-    assert len(bytes.fromhex(vid["blob_hex"])) == 16 * mm.BLOB_REPEATS == vid["n_bytes"]
+    vid = by_fmt.loc["video/avi"].iloc[0]
+    vb = bytes.fromhex(vid["blob_hex"])
+    assert vb[:4] == b"RIFF" and vb[8:12] == b"AVI "
+    assert len(vb) == mm.AVI_TOTAL_BYTES == vid["n_bytes"]
+    frames = mm._decode_avi_frames(vb)
+    assert frames.size == mm.AVI_FRAMES * mm.AVI_FRAME_BYTES
+    assert (vid["width"], vid["height"]) == (mm.AVI_W, mm.AVI_H)
 
 
 def test_mm_decode_batch_plumbing(spark):

@@ -114,6 +114,9 @@ def test_negative_sampling_no_global_sort(spark):
     assert not re.search(r"Sort \[[^\]]*\], true,", plan), plan
     # the vocab table is cached: both passes read one materialization
     assert "InMemoryTableScan" in plan, plan
+    # the probe lookup is an interval assignment + constant-key broadcast,
+    # NOT a cum ≥ u theta join (which was a ~K·|vocab|/2 nested loop)
+    assert "NestedLoop" not in plan, plan
 
 
 def test_ngram_jaccard_single_scan(spark):

@@ -150,6 +150,9 @@ _chunk = st.one_of(
     st.text(max_size=6),
     st.just("\\uffff"),  # unknown code
     st.just("\\u0"),  # truncated escape
+    # uppercase hex of a known code: the reference's table keys are
+    # lowercase literals, so this must pass through UNREPAIRED
+    _known_escape.map(lambda e: e.upper().replace("\\U", "\\u")),
 )
 
 

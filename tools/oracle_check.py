@@ -73,6 +73,8 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    from ed_twitter_spark.caching import release_caches
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -86,6 +88,8 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            release_caches()
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s)")
