@@ -1,0 +1,442 @@
+"""K7 — deterministic entity-embedding training epoch (max-margin).
+
+The reference trains entity vectors with a max-margin ranking loss over
+(entity, positive-context-word, negative-words) examples
+(`deep-ed-pytorch/entities/learn_e2v/learn_a.py:96-98,148-208`): each
+example scores cos(normalize(word_vec), normalize(ent_vec)) for one
+positive word placed at a random slot among ``num_neg_words`` (default 5)
+negatives drawn from unigram^0.6 (`minibatch_a.py:99-113`,
+`model_a.py:56-93`), then steps ``MultiMarginLoss(margin=0.1)`` with only
+the entity embedding table as parameters (word vectors stay fixed,
+`learn_a.py:113`; SGD is a supported optimizer choice, `learn_a.py:118`).
+
+The Spark distillation keeps that forward exactly and makes the epoch a
+deterministic *batch* job, which is the only honest distributed shape:
+
+* training records are the W5 ``hyperlink_contexts`` emitter's ±10 word
+  slices (`minibatch_a.py:68-75` reads the same csv fields);
+* the reference's three RNG draws (positive word, its slot, each
+  negative) become md5 probes keyed by (doc_id, pos, i, j), and the
+  negative distribution is K8's deterministic inverse-CDF probe table
+  (``negative_sampling`` — same unigram^0.6 cumulative structure);
+* entity vectors start from the K9 init (average of title-word vectors,
+  `model_a.py:22-53`), unrounded;
+* one epoch = one full-batch gradient step at lr 0.3 (`learn_a.py:22`):
+  because only entity rows carry gradient, the per-example gradients
+  decompose as a per-entity sum — a map-side-combined groupBy — instead
+  of the reference's sequential minibatch loop. Slot scores are rounded
+  to 6 decimals before the hinge so both engines (and the pytest
+  transcription) make identical margin decisions.
+
+Everything is JVM-side DataFrame algebra (array zip_with dots over the
+64-dim vectors, coefficient aggregation per (entity, word-vector) pair);
+no Python runs in the epoch. At 100 TB the example build is the big scan
+and the only wide shuffle is the (entity, vec_id) coefficient aggregate,
+which map-side combines; head entities concentrate there but the value
+payload is a single double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ed_twitter_spark import synth
+from ed_twitter_spark.functions.hashing import h32_col, h32_sql
+from ed_twitter_spark.operators.hyperlinks import hyperlink_contexts
+from ed_twitter_spark.operators.sampling import NEGATIVE_SAMPLING_SQL, negative_sampling
+
+WORDS_PER_ENT = 4  # positives sampled per example (reference default 20, learn_a.py:25)
+NEG_SLOTS = 5  # num_neg_words: 1 positive + 4 negatives (learn_a.py:28)
+MARGIN = 0.1  # MultiMarginLoss margin (learn_a.py:97)
+LR = 0.3  # learn_a.py:22
+N_PROBES = 100  # K8 probe-table size
+
+EMB_DIMS = 64
+
+
+def _n_vec(spark: SparkSession, sf_dir: str) -> int:
+    # vocab-scalar read at plan build (same pattern as ent_vec_init)
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .agg(F.max("vec_id"))
+        .first()[0]
+        + 1
+    )
+
+
+def _wvid(col, n_vec: int):
+    """token → vector id, md5[:6] % n_vec (functions/fixtures.py:word_code)."""
+    return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % n_vec
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _ent_init_vecs(
+    spark: SparkSession, sf_dir: str, n_vec: int, ents: DataFrame
+) -> DataFrame:
+    """(ent_name, evec array<double>, en norm) — K9 init, unrounded.
+
+    ``ents`` is the training universe (entities appearing as hyperlink
+    golds); duplicates among title words count twice, like the
+    reference's per-word loop (`model_a.py:33-48`)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tw = ents.select(
+        "ent_name", F.explode(F.split("ent_name", "_")).alias("tw")
+    ).select("ent_name", _wvid(F.col("tw"), n_vec).alias("vec_id"))
+    comp = (
+        tw.join(F.broadcast(emb), "vec_id")
+        .select("ent_name", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("ent_name", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("val"))
+    )
+    ev = (
+        comp.groupBy("ent_name")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))), lambda s: s["val"]
+            ).alias("evec")
+        )
+        .select(
+            "ent_name", "evec", F.sqrt(_dot(F.col("evec"), F.col("evec"))).alias("en")
+        )
+    )
+    return ev
+
+
+def _epoch_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared epoch inputs: (sc, ev, emb) where ``sc`` is the
+    slot-score + coefficient frame, persisted because the loss, the
+    coefficient aggregate, s_e, and the row count all read it (released
+    by the harness via caching.release_caches)."""
+    from ed_twitter_spark.caching import persist_tracked
+
+    n_vec = _n_vec(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("wemb"),
+    )
+    emb = emb.select(
+        "vec_id", "wemb", F.sqrt(_dot(F.col("wemb"), F.col("wemb"))).alias("wn")
+    )
+    hc = hyperlink_contexts(spark, sf_dir)
+    ents = hc.select(F.col("gold_ent").alias("ent_name")).distinct()
+    ev = _ent_init_vecs(spark, sf_dir, n_vec, ents)
+    sc = _with_coeffs(_slot_scores(hc, emb, ev, n_vec, spark, sf_dir))
+    return persist_tracked(sc), ev, emb
+
+
+def _slot_scores(
+    hc: DataFrame,
+    emb: DataFrame,
+    ev: DataFrame,
+    n_vec: int,
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """One row per (example, positive i, slot j) with the rounded cosine.
+
+    Columns: doc_id, pos, ent_name, i, j, t (positive slot), wvid (slot
+    word's vector id), x (round(cos, 6)).
+    """
+    key = F.concat_ws("#", "doc_id", "pos")
+    ctx = F.filter(
+        F.split(F.concat_ws(" ", "hyp_left", "hyp_right"), " "),
+        lambda w: (w != "EMPTYCTXT") & (w != ""),
+    )
+    # fallback chain of minibatch_a.py:88-97: context words, else title words
+    pos_w = F.when(F.size(ctx) > 0, ctx).otherwise(F.split("gold_ent", "_"))
+    base = hc.select(
+        "doc_id",
+        "pos",
+        F.col("gold_ent").alias("ent_name"),
+        key.alias("key"),
+        pos_w.alias("pos_w"),
+    )
+
+    ex = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(WORDS_PER_ENT - 1))).alias("i")
+    )
+    pidx = h32_col(F.concat_ws("#", "key", F.lit("p"), "i")) % F.size("pos_w")
+    tslot = h32_col(F.concat_ws("#", "key", F.lit("t"), "i")) % NEG_SLOTS
+    ex = ex.select(
+        "doc_id",
+        "pos",
+        "ent_name",
+        "key",
+        "i",
+        F.element_at("pos_w", (pidx + 1).cast("int")).alias("wpos"),
+        tslot.cast("int").alias("t"),
+    )
+
+    slots = ex.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(NEG_SLOTS - 1))).alias("j")
+    )
+    nk = F.when(
+        F.col("j") != F.col("t"),
+        (h32_col(F.concat_ws("#", "key", F.lit("n"), "i", "j")) % N_PROBES).cast("int"),
+    )
+    slots = slots.withColumn("nk", nk)
+    probes = negative_sampling(spark, sf_dir).select(
+        F.col("k").alias("nk"), F.col("word").alias("wneg")
+    )
+    slots = slots.join(F.broadcast(probes), "nk", "left").select(
+        "doc_id",
+        "pos",
+        "ent_name",
+        "i",
+        "j",
+        "t",
+        F.when(F.col("j") == F.col("t"), F.col("wpos"))
+        .otherwise(F.col("wneg"))
+        .alias("word"),
+    )
+    slots = slots.withColumn("wvid", _wvid(F.col("word"), n_vec))
+
+    scored = (
+        slots.join(F.broadcast(emb), slots["wvid"] == emb["vec_id"])
+        .join(F.broadcast(ev), "ent_name")
+        .select(
+            "doc_id",
+            "pos",
+            "ent_name",
+            "i",
+            "j",
+            "t",
+            "wvid",
+            # model_a.py:60-76: cos(normalize(w), normalize(e)); rounded so
+            # every engine makes the same margin decision
+            F.round(
+                _dot(F.col("wemb"), F.col("evec"))
+                / (F.col("wn") * F.col("en")),
+                6,
+            ).alias("x"),
+        )
+    )
+    return scored
+
+
+def _with_coeffs(scored: DataFrame) -> DataFrame:
+    """Attach the per-slot MultiMarginLoss pieces: x_t, violation flag,
+    per-slot loss term and dL/dx coefficient (PyTorch semantics: mean
+    over examples, 1/K per class inside each example)."""
+    w = Window.partitionBy("doc_id", "pos", "i")
+    xt = F.max(F.when(F.col("j") == F.col("t"), F.col("x"))).over(w)
+    sc = scored.withColumn("xt", xt)
+    viol = (F.col("j") != F.col("t")) & (
+        F.lit(MARGIN) - F.col("xt") + F.col("x") > 0
+    )
+    sc = sc.withColumn("viol", viol.cast("int"))
+    nviol = F.sum("viol").over(w)
+    c = (
+        F.when(F.col("j") == F.col("t"), -nviol / F.lit(float(NEG_SLOTS)))
+        .otherwise(F.col("viol") / F.lit(float(NEG_SLOTS)))
+    )
+    lterm = F.when(
+        F.col("viol") == 1, (F.lit(MARGIN) - F.col("xt") + F.col("x")) / NEG_SLOTS
+    ).otherwise(F.lit(0.0))
+    return sc.withColumn("c", c).withColumn("lterm", lterm)
+
+
+def train_epoch_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_examples, avg_loss) — the epoch's MultiMarginLoss (mean reduction
+    over batch_size·num_words_per_ent rows, learn_a.py:166-176)."""
+    sc, _, _ = _epoch_frames(spark, sf_dir)
+    return sc.agg(
+        (F.count(F.lit(1)) / NEG_SLOTS).cast("long").alias("n_examples"),
+        F.round(F.sum("lterm") / (F.count(F.lit(1)) / NEG_SLOTS), 6).alias("avg_loss"),
+    )
+
+
+def train_entity_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ent_name, dim, val) — entity vectors after one full-batch
+    max-margin step from the K9 init.
+
+    grad_e = (1/N)·Σ_rows c·∂cos/∂e with ∂cos(w,e)/∂e = (ŵ − cos·ê)/‖e‖,
+    decomposed as (Σ c·ŵ − (Σ c·x)·ê)/‖e‖ so the heavy part aggregates
+    per (entity, word-vector id) before touching any 64-dim array."""
+    sc, ev_full, emb = _epoch_frames(spark, sf_dir)
+    n_rows = sc.groupBy().agg(F.count(F.lit(1)).alias("nr"))  # N·K, one row
+
+    # per-(entity, word-vec) coefficient sums → A_e,d = Σ coef·ŵ_d
+    coef = sc.groupBy("ent_name", "wvid").agg(F.sum("c").alias("coef"))
+    a_ed = (
+        coef.join(F.broadcast(emb), coef["wvid"] == emb["vec_id"])
+        .select(
+            "ent_name",
+            F.posexplode(
+                F.transform("wemb", lambda v: F.col("coef") * v / F.col("wn"))
+            ).alias("dim", "a"),
+        )
+        .groupBy("ent_name", "dim")
+        .agg(F.sum("a").alias("a"))
+    )
+    # s_e = Σ c·x per entity
+    s_e = sc.groupBy("ent_name").agg(F.sum(F.col("c") * F.col("x")).alias("s"))
+
+    ev = ev_full.select("ent_name", F.posexplode("evec").alias("dim", "e"), "en")
+    upd = (
+        ev.join(a_ed, ["ent_name", "dim"], "left")
+        .join(F.broadcast(s_e), "ent_name", "left")
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "ent_name",
+            "dim",
+            F.round(
+                F.col("e")
+                - F.lit(LR)
+                * (
+                    F.coalesce(F.col("a"), F.lit(0.0))
+                    - F.coalesce(F.col("s"), F.lit(0.0)) * F.col("e") / F.col("en")
+                )
+                / F.col("en")
+                / (F.col("nr") / NEG_SLOTS),
+                6,
+            ).alias("val"),
+        )
+    )
+    return upd
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins — the same epoch as one SQL pipeline
+# ---------------------------------------------------------------------------
+
+_WVID_SQL = "CAST(('0x' || substr(md5({w}), 1, 6)) AS BIGINT) % (SELECT MAX(vec_id) + 1 FROM embeddings)"
+
+_SLOT_SQL = f"""
+hyp AS ({{HYP_SQL}}),
+probes AS ({NEGATIVE_SAMPLING_SQL}),
+wv AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS wemb,
+         sqrt(list_dot_product(list_transform(embedding, v -> CAST(v AS DOUBLE)),
+                               list_transform(embedding, v -> CAST(v AS DOUBLE)))) AS wn
+  FROM embeddings
+),
+einit AS (
+  SELECT ent_name, dim, AVG(v) AS val
+  FROM (
+    SELECT tw.ent_name,
+           CAST(unnest(range(len(wv.wemb))) AS INTEGER) AS dim,
+           unnest(wv.wemb) AS v
+    FROM (
+      SELECT ent_name, {_WVID_SQL.format(w='tw')} AS vec_id
+      FROM (SELECT ent_name, unnest(string_split(ent_name, '_')) AS tw
+            FROM (SELECT DISTINCT gold_ent AS ent_name FROM hyp))
+    ) tw JOIN wv ON wv.vec_id = tw.vec_id
+  ) GROUP BY ent_name, dim
+),
+ev AS (
+  SELECT ent_name, list(val ORDER BY dim) AS evec,
+         sqrt(list_dot_product(list(val ORDER BY dim), list(val ORDER BY dim))) AS en
+  FROM einit GROUP BY ent_name
+),
+base AS (
+  SELECT doc_id, pos, gold_ent AS ent_name,
+         doc_id || '#' || CAST(pos AS VARCHAR) AS key,
+         CASE WHEN len(ctx) > 0 THEN ctx ELSE string_split(gold_ent, '_') END AS pos_w
+  FROM (
+    SELECT *, list_filter(string_split(hyp_left || ' ' || hyp_right, ' '),
+                          w -> w <> 'EMPTYCTXT' AND w <> '') AS ctx
+    FROM hyp
+  )
+),
+ex AS (
+  SELECT doc_id, pos, ent_name, key, i,
+         pos_w[CAST({h32_sql("key || '#p#' || CAST(i AS VARCHAR)")} % len(pos_w) AS INTEGER) + 1] AS wpos,
+         CAST({h32_sql("key || '#t#' || CAST(i AS VARCHAR)")} % {NEG_SLOTS} AS INTEGER) AS t
+  FROM base, UNNEST(range(0, {WORDS_PER_ENT})) AS s(i)
+),
+slots AS (
+  SELECT q.doc_id, q.pos, q.ent_name, q.i, q.j, q.t,
+         CASE WHEN q.j = q.t THEN q.wpos ELSE p.word END AS word
+  FROM (
+    SELECT ex.*, s.j,
+           CAST({h32_sql("ex.key || '#n#' || CAST(ex.i AS VARCHAR) || '#' || CAST(s.j AS VARCHAR)")} % {N_PROBES} AS INTEGER) AS nk
+    FROM ex, UNNEST(range(0, {NEG_SLOTS})) AS s(j)
+  ) q
+  LEFT JOIN probes p ON q.j <> q.t AND p.k = q.nk
+),
+scored AS (
+  SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t,
+         {_WVID_SQL.format(w='sl.word')} AS wvid,
+         ROUND(list_dot_product(wv.wemb, ev.evec) / (wv.wn * ev.en), 6) AS x
+  FROM slots sl
+  JOIN wv ON wv.vec_id = {_WVID_SQL.format(w='sl.word')}
+  JOIN ev ON ev.ent_name = sl.ent_name
+),
+cf AS (
+  SELECT *,
+         CASE WHEN j <> t AND {MARGIN} - xt + x > 0 THEN 1 ELSE 0 END AS viol
+  FROM (
+    SELECT *, MAX(CASE WHEN j = t THEN x END)
+                OVER (PARTITION BY doc_id, pos, i) AS xt
+    FROM scored
+  )
+),
+cc AS (
+  SELECT *,
+         CASE WHEN j = t
+              THEN -(SUM(viol) OVER (PARTITION BY doc_id, pos, i)) / {NEG_SLOTS}.0
+              ELSE viol / {NEG_SLOTS}.0 END AS c,
+         CASE WHEN viol = 1 THEN ({MARGIN} - xt + x) / {NEG_SLOTS} ELSE 0.0 END AS lterm
+  FROM cf
+)
+"""
+
+
+def _hyp_sql() -> str:
+    from ed_twitter_spark.operators.hyperlinks import HYPERLINK_CONTEXTS_SQL
+
+    return HYPERLINK_CONTEXTS_SQL
+
+
+def train_epoch_loss_sql() -> str:
+    return (
+        "WITH "
+        + _SLOT_SQL.format(HYP_SQL=_hyp_sql())
+        + f"""
+SELECT CAST(COUNT(*) / {NEG_SLOTS} AS BIGINT) AS n_examples,
+       ROUND(SUM(lterm) / (COUNT(*) / {NEG_SLOTS}), 6) AS avg_loss
+FROM cc
+"""
+    )
+
+
+def train_entity_epoch_sql() -> str:
+    return (
+        "WITH "
+        + _SLOT_SQL.format(HYP_SQL=_hyp_sql())
+        + f"""
+, nr AS (SELECT COUNT(*) AS nr FROM cc),
+coef AS (SELECT ent_name, wvid, SUM(c) AS coef FROM cc GROUP BY ent_name, wvid),
+a_ed AS (
+  SELECT ent_name, dim, SUM(a) AS a
+  FROM (
+    SELECT coef.ent_name,
+           CAST(unnest(range(len(wv.wemb))) AS INTEGER) AS dim,
+           unnest(list_transform(wv.wemb, v -> coef.coef * v / wv.wn)) AS a
+    FROM coef JOIN wv ON wv.vec_id = coef.wvid
+  ) GROUP BY ent_name, dim
+),
+s_e AS (SELECT ent_name, SUM(c * x) AS s FROM cc GROUP BY ent_name),
+evd AS (
+  SELECT e.ent_name, ei.dim, ei.val AS e, e.en
+  FROM einit ei JOIN ev e ON e.ent_name = ei.ent_name
+)
+SELECT evd.ent_name, evd.dim,
+       ROUND(evd.e - {LR} * (COALESCE(a_ed.a, 0.0)
+                 - COALESCE(s_e.s, 0.0) * evd.e / evd.en)
+             / evd.en / (nr.nr / {NEG_SLOTS}), 6) AS val
+FROM evd
+LEFT JOIN a_ed ON a_ed.ent_name = evd.ent_name AND a_ed.dim = evd.dim
+LEFT JOIN s_e ON s_e.ent_name = evd.ent_name
+CROSS JOIN nr
+"""
+    )

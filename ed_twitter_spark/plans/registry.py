@@ -476,6 +476,21 @@ def _register_hyperlinks():
 _register_hyperlinks()
 
 
+# ---------------------------------------------------------------------------
+# 39-40. K7 deterministic entity-embedding training epoch (max-margin)
+# ---------------------------------------------------------------------------
+
+
+def _register_training():
+    from ed_twitter_spark.operators import training as tr
+
+    register("train_epoch_loss", tr.train_epoch_loss_sql())(tr.train_epoch_loss)
+    register("train_entity_epoch", tr.train_entity_epoch_sql())(tr.train_entity_epoch)
+
+
+_register_training()
+
+
 def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted gold links for every mention occurrence (closed-form)."""
     m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))

@@ -172,3 +172,28 @@ def test_spark_linker_parity_with_ent_top_n(spark):
     # and the knob genuinely changes some predictions vs the default run
     base = _sequential_link(spark, SF_SMOKE)
     assert any(base[k] != seq[k] for k in base)
+
+
+def test_link_embed_golden_sf001(spark):
+    """Committed golden for the one registry query with neither a DuckDB
+    oracle (LBP is not SQL-expressible) nor a pinned value: md5 of the
+    sorted (subj, obj, round(score,4)) triples at sf0.01. Any kernel
+    refactor that shifts one argmax or one rounded score fails here —
+    the f32 kernel region has been rewritten twice for speed and parity
+    tests alone cannot catch silent numeric drift vs the recorded run.
+    Hash verified identical across local[4]/local[8] and shuffle
+    partition counts (chunk-local float order is deterministic)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+
+    pdf = (
+        L.link_embed(spark, SF_CORRECT)
+        .select("subj", "obj", F.round("score", 4).alias("s4"))
+        .toPandas()
+    )
+    lines = sorted(f"{r.subj}|{r.obj}|{r.s4:.4f}" for r in pdf.itertuples())
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    assert (len(lines), h) == (21803, "18d51bda70c5cc92829e10185eae3171")
