@@ -4,9 +4,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ..., "triples_per_sec": ...}
 
-Run `python bench.py --scaling` to additionally measure local[8] vs
-local[32] throughput and scaling efficiency (north-rule evidence; written
-to BENCH/BASELINE.md by tools/scaling_bench.py).
+Run `python bench.py --scaling [sf_dir N 4N]` to measure throughput at
+two parallelism levels (default local[4] vs local[16] — distinct physical
+cores; see BENCH/BASELINE.md for the SMT analysis) and the N→4N scaling
+efficiency (north-rule evidence; protocol in tools/scaling_bench.py).
 """
 
 from __future__ import annotations
@@ -94,6 +95,19 @@ def _warm(spark):
 
 
 def main():
+    if "--scaling" in sys.argv:
+        # delegate to the two-parallelism protocol (north-rule evidence);
+        # default pairing 4→16 — see BENCH/BASELINE.md for why 8→32
+        # saturates this host (tools/hw_scaling_probe.py)
+        import subprocess
+
+        args = [a for a in sys.argv[1:] if a != "--scaling"] or ["/root/testdata/sf0.1", "4", "16"]
+        raise SystemExit(
+            subprocess.call(
+                [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "scaling_bench.py"), *args]
+            )
+        )
+
     from ed_twitter_spark.session import get_spark
 
     spark = get_spark("bench", cores=CPUS)

@@ -373,8 +373,19 @@ def score_mentions(
         )
 
     chunked = cands_df.withColumn("chunk", (F.col("seq") / DOC_CHUNK).cast("long"))
-    return chunked.groupBy("conv_id", "chunk").applyInPandas(
-        per_chunk, schema=_TRIPLE_SCHEMA
+    # Numbered repartition for the same reason as the window stage: AQE's
+    # size-based coalescing sees small shuffle bytes and folds this — the
+    # most Python-CPU-heavy stage in the engine — into fewer tasks than
+    # cores (measured: 64 → 30 at local[32], one straggler wave). 4× the
+    # parallelism gives several waves so uneven LBP chunk costs (O(m²c²)
+    # per group) load-balance instead of serializing on the largest chunk.
+    n_parts = max(
+        4 * cands_df.sparkSession.sparkContext.defaultParallelism, 16
+    )
+    return (
+        chunked.repartition(n_parts, "conv_id", "chunk")
+        .groupBy("conv_id", "chunk")
+        .applyInPandas(per_chunk, schema=_TRIPLE_SCHEMA)
     )
 
 
