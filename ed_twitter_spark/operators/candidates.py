@@ -2,13 +2,27 @@
 
 The reference probes an in-memory dict `ent_p_e_m_index[mention]`
 (`mulrel-nel/nel/dataset.py` callers; index built at
-`yago_crosswikis_wiki.py:15-36`). In Spark the dictionary is a DataFrame and
-the probe is a **broadcast hash join** — the alias table is orders of
-magnitude smaller than the mention stream, so we pin `F.broadcast` rather
-than trusting the size estimator; AQE skew-join handles the shuffle fallback
-if a deployment disables the hint. A left join preserves the EMPTYCAND path
-(`gen_aida_test.py:198-203`): unmatched mentions surface with NULL candidate
-and become NIL predictions downstream.
+`yago_crosswikis_wiki.py:15-36`). In Spark the dictionary is a DataFrame,
+and the probe is a join whose physical strategy is **selected by KB size**
+(the north rule's broadcast-vs-shuffle selection):
+
+* KB fits in executor memory → **broadcast hash join**: the mention stream
+  never shuffles, which is the plan we want at 10^12 turns.
+* KB too large to broadcast (a full cross-wiki alias table can reach tens
+  of GB) → **salted shuffle-hash join**: head surface forms ("the", brand
+  names, viral hashtags) concentrate mention traffic on a few keys, so a
+  plain shuffle join sends every occurrence of a hot mention to one
+  reducer. Salting the probe side with a uniform per-occurrence salt and
+  replicating the KB rows across all salt values splits each hot key into
+  ``salt_buckets`` independent reducers, at the cost of a bounded
+  ``salt_buckets×`` blow-up of the (dim-sized) KB shuffle — the standard
+  skew trade. AQE's skew-join splitting stays on as a second line of
+  defense for residual imbalance.
+
+A left join preserves the EMPTYCAND path (`gen_aida_test.py:198-203`):
+unmatched mentions surface with NULL candidate and become NIL predictions
+downstream — every mention occurrence carries exactly one salt value, so
+the salted left join emits exactly one NULL row for them too.
 """
 
 from __future__ import annotations
@@ -16,26 +30,88 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Above this estimated KB size, `auto` stops broadcasting. Matches the
+# session's autoBroadcastJoinThreshold scaled to leave headroom for the
+# executor heap share a broadcast relation occupies (deserialized, per
+# executor, alongside the hash relation built from it).
+BROADCAST_LIMIT_BYTES = 64 * 1024 * 1024
 
-def gen_candidates(mentions_df: DataFrame, kb_df: DataFrame) -> DataFrame:
+# Salt fan-out for the shuffle path: each hot mention key splits across
+# this many reducers. KB shuffle volume grows by the same factor, so keep
+# it a small constant (a 4N-executor step can raise it via the parameter).
+SALT_BUCKETS = 8
+
+_OUT_COLS = (
+    "conv_id",
+    "turn_idx",
+    "mention_idx",
+    "mention",
+    "ent_id",
+    "ent_name",
+    "prior",
+    "rank",
+    "doc_id",
+)
+
+
+def _kb_size_estimate(kb_df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes (no job is run —
+    for parquet sources this derives from file footers/statistics, the same
+    signal autoBroadcastJoinThreshold uses)."""
+    try:
+        return int(kb_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # py4j hiccup → conservative: too big to broadcast
+        return 1 << 62
+
+
+def gen_candidates(
+    mentions_df: DataFrame,
+    kb_df: DataFrame,
+    strategy: str = "auto",
+    broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
+    salt_buckets: int = SALT_BUCKETS,
+) -> DataFrame:
     """One output row per (mention occurrence, candidate), ranked by prior.
 
     Columns: conv_id, turn_idx, mention_idx, mention, ent_id, ent_name,
     prior, rank (1-based, prior desc / ent_name asc — the reference sorts
     candidates by count desc with Python's stable sort,
     `merge_crosswikis_wiki.py:91-92`).
+
+    ``strategy``: ``"broadcast"`` | ``"shuffle_salted"`` | ``"auto"``
+    (broadcast iff the KB's Catalyst size estimate fits
+    ``broadcast_limit_bytes``). All strategies produce identical rows.
     """
-    return mentions_df.join(F.broadcast(kb_df), on="mention", how="left").select(
-        "conv_id",
-        "turn_idx",
-        "mention_idx",
-        "mention",
-        "ent_id",
-        "ent_name",
-        "prior",
-        "rank",
-        "doc_id",
-    )
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if _kb_size_estimate(kb_df) <= broadcast_limit_bytes
+            else "shuffle_salted"
+        )
+    if strategy == "broadcast":
+        joined = mentions_df.join(F.broadcast(kb_df), on="mention", how="left")
+    elif strategy == "shuffle_salted":
+        # Uniform deterministic salt per mention *occurrence* (not per
+        # surface form — that is the whole point: occurrences of one hot
+        # mention spread over all buckets).
+        probe = mentions_df.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64("conv_id", "turn_idx", "mention_idx"),
+                F.lit(salt_buckets),
+            ).cast("int"),
+        )
+        build = kb_df.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        # shuffle_hash: per-salt build side is dim-sized — hashing it beats
+        # sorting the (huge) probe side, which sort-merge would require.
+        joined = probe.join(
+            build.hint("shuffle_hash"), on=["mention", "_salt"], how="left"
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return joined.select(*_OUT_COLS)
 
 
 def link_prior_argmax(candidates_df: DataFrame) -> DataFrame:

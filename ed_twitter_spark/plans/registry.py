@@ -107,6 +107,17 @@ def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand_ops.gen_candidates(m, kb)
 
 
+@register("candidates_salted", _CANDIDATES_ORACLE)
+def q_candidates_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-vs-shuffle selection's large-KB arm: same rows as
+    `candidates`, produced by the salted shuffle-hash join (head-mention
+    skew split across SALT_BUCKETS reducers). Same oracle — the strategies
+    must be value-identical."""
+    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+    kb = synth.kb_alias(spark, sf_dir)
+    return cand_ops.gen_candidates(m, kb, strategy="shuffle_salted")
+
+
 # ---------------------------------------------------------------------------
 # 5. link_prior_argmax — T7 argmax over p(e|m) → triples
 # ---------------------------------------------------------------------------

@@ -40,6 +40,37 @@ def test_candidate_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_candidate_join_salted_shuffle_path(spark):
+    from ed_twitter_spark.operators.candidates import gen_candidates
+    from ed_twitter_spark.operators.mentions import detect_mentions
+
+    m = detect_mentions(synth.transcripts(spark, SF_SMOKE))
+    kb = synth.kb_alias(spark, SF_SMOKE)
+    salted = gen_candidates(m, kb, strategy="shuffle_salted")
+    plan = plan_of(salted)
+    # the large-KB arm must NOT materialize the KB on every executor...
+    assert "BroadcastHashJoin" not in plan
+    # ...and must use the hash (not sort-merge) shuffle join we hint
+    assert "ShuffledHashJoin" in plan
+    # identical rows to the broadcast arm (left-join NULLs included)
+    broadcast = gen_candidates(m, kb, strategy="broadcast")
+    assert salted.exceptAll(broadcast).count() == 0
+    assert broadcast.exceptAll(salted).count() == 0
+
+
+def test_candidate_join_auto_selects_by_kb_size(spark):
+    from ed_twitter_spark.operators.candidates import gen_candidates
+    from ed_twitter_spark.operators.mentions import detect_mentions
+
+    m = detect_mentions(synth.transcripts(spark, SF_SMOKE))
+    kb = synth.kb_alias(spark, SF_SMOKE)
+    # default limit: this KB is tiny → broadcast
+    assert "BroadcastHashJoin" in plan_of(gen_candidates(m, kb))
+    # force the estimate over the limit → shuffle arm
+    small_limit = gen_candidates(m, kb, broadcast_limit_bytes=1)
+    assert "BroadcastHashJoin" not in plan_of(small_limit)
+
+
 def test_attach_candidates_zero_shuffle_on_stream(spark):
     emb = load_embedding_matrix(spark, SF_SMOKE)
     w = build_mention_windows(synth.transcripts(spark, SF_SMOKE), emb.shape[0] - 1)
