@@ -421,6 +421,20 @@ def _register_sessions():
 
     register("event_sessions", EVENT_SESSIONS_SQL)(event_sessions)
 
+    # streaming twin: applyInPandasWithState per-user session state machine,
+    # bounded single-batch replay so the emitted (append-mode) set is
+    # deterministic and oracle-checkable (sessionize.py module docstring)
+    from ed_twitter_spark.streaming import sessionize as ssz
+
+    import uuid
+
+    def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return ssz.run_sessionize(
+            spark, sf_dir, query_name=f"stream_sessions_{uuid.uuid4().hex[:8]}"
+        )
+
+    register("stream_sessions", ssz.STREAM_SESSIONS_SQL)(q_stream_sessions)
+
 
 _register_sessions()
 
