@@ -118,6 +118,18 @@ def q_candidates_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand_ops.gen_candidates(m, kb, strategy="shuffle_salted")
 
 
+@register("candidates_bucketed", _CANDIDATES_ORACLE)
+def q_candidates_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via co-located bucketed storage: both sides written
+    ``bucketBy(8, mention)``, then joined with zero Exchange — the layout
+    for a join that recurs across pipeline stages (the shuffle is paid once
+    at write time). Same oracle — all three join strategies are
+    value-identical."""
+    from ed_twitter_spark.plans import bucketing
+
+    return bucketing.bucketed_candidates(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # 5. link_prior_argmax — T7 argmax over p(e|m) → triples
 # ---------------------------------------------------------------------------
@@ -434,6 +446,13 @@ def _register_sessions():
         )
 
     register("stream_sessions", ssz.STREAM_SESSIONS_SQL)(q_stream_sessions)
+
+    # streaming linker: stateless stream-static broadcast join, so the
+    # replayed stream's cumulative output is value-identical to the batch
+    # link_prior_argmax — same oracle, multi-micro-batch replay
+    from ed_twitter_spark.streaming import link as slink
+
+    register("stream_link", _LINK_PRIOR_ORACLE)(slink.stream_link_query)
 
 
 _register_sessions()

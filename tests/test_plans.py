@@ -58,6 +58,28 @@ def test_candidate_join_salted_shuffle_path(spark):
     assert broadcast.exceptAll(salted).count() == 0
 
 
+def test_candidate_join_bucketed_zero_exchange(spark, tmp_path):
+    """The co-located layout arm: both sides bucketed by the join key →
+    the join plan carries NO Exchange at all (the shuffle was paid once at
+    bucketed-write time), scans are bucket-aware, and rows equal the
+    broadcast arm's."""
+    from ed_twitter_spark.operators.candidates import gen_candidates
+    from ed_twitter_spark.operators.mentions import detect_mentions
+    from ed_twitter_spark.plans.bucketing import bucketed_candidates
+
+    bucketed = bucketed_candidates(spark, SF_SMOKE, scratch=str(tmp_path))
+    plan = plan_of(bucketed)
+    assert "Exchange" not in plan  # neither shuffle nor broadcast exchange
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    m = detect_mentions(synth.transcripts(spark, SF_SMOKE))
+    kb = synth.kb_alias(spark, SF_SMOKE)
+    broadcast = gen_candidates(m, kb, strategy="broadcast")
+    assert bucketed.exceptAll(broadcast).count() == 0
+    assert broadcast.exceptAll(bucketed).count() == 0
+
+
 def test_candidate_join_auto_selects_by_kb_size(spark):
     from ed_twitter_spark.operators.candidates import gen_candidates
     from ed_twitter_spark.operators.mentions import detect_mentions
