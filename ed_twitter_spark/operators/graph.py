@@ -144,6 +144,165 @@ WHERE t.obj <> 'NIL'
     )
 
 
+# ---------------------------------------------------------------------------
+# KG analytics: degree/hub stats + fixed-iteration PageRank
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def kg_degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex link statistics — the hub-detection signal.
+
+    One map-side-combined aggregation over the edge stream (the 10^12-row
+    side shuffles once, on vertex_id); the output is vertex-table-sized.
+    Hub vertices found here are exactly the keys the salted candidate join
+    and AQE skew split must absorb — this query is the monitoring twin of
+    those mitigations.
+    """
+    return (
+        edges.where(F.col("obj_vertex").isNotNull())
+        .groupBy(F.col("obj_vertex").alias("vertex_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("subj").alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.round(F.sum("score"), 6).alias("total_score"),
+        )
+    )
+
+
+def cooccurrence_edges(edges: DataFrame) -> DataFrame:
+    """Undirected entity co-occurrence: vertices linked in one conversation.
+
+    Distinct (conv_id, vertex) FIRST, then the within-conversation self-join:
+    the join fan-out is bounded by (entities-per-conversation)², independent
+    of how many times each entity is mentioned — the distinct is what keeps
+    a viral conversation from exploding the pair count at scale.
+    """
+    cv = (
+        edges.where(F.col("obj_vertex").isNotNull())
+        .select("conv_id", F.col("obj_vertex").alias("v"))
+        .distinct()
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    pairs = (
+        a.join(b, on="conv_id")
+        .where(F.col("a.v") != F.col("b.v"))
+        .select(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+        .distinct()
+    )
+    return pairs  # both directions present by symmetry of the != self-join
+
+
+def kg_pagerank(edges: DataFrame) -> DataFrame:
+    """PageRank over the co-occurrence graph, exactly PAGERANK_ITERS
+    iterations (deterministic → oracle-checkable via unrolled SQL CTEs).
+
+    Classic dataflow PageRank: each iteration is one join (rank ⋈ edges on
+    src) + one aggregation (sum by dst) — rank mass flows along edges. The
+    rank table is vertex-sized, so Catalyst broadcasts it into the edge
+    scan at this scale; on a cluster where the vertex table outgrows the
+    broadcast limit the join degrades gracefully to a shuffle co-partitioned
+    on src across iterations. Every node of the co-occurrence graph has
+    out-degree ≥ 1 (symmetric edges), so there is no dangling-mass term.
+    """
+    e = cooccurrence_edges(edges)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = out_deg.select(F.col("src").alias("v"), "deg")
+    n = nodes.count()
+    d = PAGERANK_DAMPING
+    rank = nodes.select("v", "deg", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            rank.select(F.col("v").alias("src"), (F.col("pr") / F.col("deg")).alias("w"))
+            .join(e, on="src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("w").alias("mass"))
+        )
+        rank = nodes.join(contrib, on="v", how="left").select(
+            "v",
+            "deg",
+            (
+                F.lit((1.0 - d) / n) + F.lit(d) * F.coalesce("mass", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return rank.select(
+        F.col("v").alias("vertex_id"), F.round("pr", 8).alias("pagerank")
+    )
+
+
+def _kg_edges_named_sql() -> str:
+    """The kg_edges oracle as a named CTE block (base for the analytics)."""
+    return (
+        _graph_base_sql()
+        + """,
+kge AS (
+  SELECT t.subj, t.pred, t.obj, c.component AS obj_vertex, t.score,
+         t.conv_id, t.turn_idx, t.mention_idx
+  FROM triple t LEFT JOIN comp c ON c.node = 'e:' || t.obj
+  WHERE t.obj <> 'NIL'
+)
+"""
+    )
+
+
+def kg_degrees_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + """
+SELECT obj_vertex                            AS vertex_id,
+       CAST(COUNT(*) AS BIGINT)              AS n_links,
+       CAST(COUNT(DISTINCT subj) AS BIGINT)  AS n_mentions,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       ROUND(SUM(score), 6)                  AS total_score
+FROM kge WHERE obj_vertex IS NOT NULL
+GROUP BY obj_vertex
+"""
+    )
+
+
+def kg_pagerank_oracle_sql() -> str:
+    d = PAGERANK_DAMPING
+    iters = []
+    prev = "pr0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(
+            f"""pr{i} AS (
+  SELECT n.v, n.deg,
+         (1.0 - {d}) / (SELECT COUNT(*) FROM nodes2)
+         + {d} * COALESCE((SELECT SUM(p.pr / p.deg)
+                           FROM coedges e JOIN {prev} p ON p.v = e.src
+                           WHERE e.dst = n.v), 0.0) AS pr
+  FROM nodes2 n
+)"""
+        )
+        prev = f"pr{i}"
+    return (
+        _kg_edges_named_sql()
+        + f""",
+cv AS (SELECT DISTINCT conv_id, obj_vertex AS v FROM kge WHERE obj_vertex IS NOT NULL),
+coedges AS (
+  SELECT DISTINCT a.v AS src, b.v AS dst
+  FROM cv a JOIN cv b ON a.conv_id = b.conv_id AND a.v <> b.v
+),
+nodes2 AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM coedges GROUP BY src),
+pr0 AS (SELECT v, deg, 1.0 / (SELECT COUNT(*) FROM nodes2) AS pr FROM nodes2),
+{",".join(iters)}
+SELECT v AS vertex_id, ROUND(pr, 8) AS pagerank FROM {prev}
+"""
+    )
+
+
+def q_kg_degrees(spark, sf_dir: str) -> DataFrame:
+    return kg_degrees(q_kg_edges(spark, sf_dir))
+
+
+def q_kg_pagerank(spark, sf_dir: str) -> DataFrame:
+    return kg_pagerank(q_kg_edges(spark, sf_dir))
+
+
 def _prior_triples(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from ed_twitter_spark import synth
     from ed_twitter_spark.operators import candidates as cand_ops

@@ -329,6 +329,8 @@ def _register_graph():
 
     register("kg_vertices", graph_ops.kg_vertices_oracle_sql())(graph_ops.q_kg_vertices)
     register("kg_edges", graph_ops.kg_edges_oracle_sql())(graph_ops.q_kg_edges)
+    register("kg_degrees", graph_ops.kg_degrees_oracle_sql())(graph_ops.q_kg_degrees)
+    register("kg_pagerank", graph_ops.kg_pagerank_oracle_sql())(graph_ops.q_kg_pagerank)
 
 
 _register_graph()

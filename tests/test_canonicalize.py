@@ -101,3 +101,28 @@ def test_star_beats_hashmin_on_chain(spark):
     assert s_hash["rounds"] >= 20
     assert s_star["rounds"] <= 8
     assert s_star["rounds"] < s_hash["rounds"] / 2
+
+
+def test_pagerank_mass_conservation(spark):
+    """With no dangling nodes (symmetric co-occurrence edges), total rank
+    mass stays 1 after every iteration — the standard PageRank invariant."""
+    from conftest import SF_SMOKE
+
+    from ed_twitter_spark.operators import graph as g
+
+    ranks = g.q_kg_pagerank(spark, SF_SMOKE)
+    total = ranks.agg({"pagerank": "sum"}).first()[0]
+    assert abs(total - 1.0) < 1e-6
+    assert ranks.where("pagerank <= 0").count() == 0
+
+
+def test_kg_degrees_single_shuffle(spark):
+    """Hub stats shuffle the edge stream exactly once (on vertex_id); the
+    countDistinct expand is planned without an extra edge-side Exchange."""
+    from conftest import SF_SMOKE
+
+    from ed_twitter_spark.operators import graph as g
+
+    plan_str = g.kg_degrees(g.q_kg_edges(spark, SF_SMOKE))._jdf.queryExecution().executedPlan().toString()
+    # partial (map-side) aggregation must be present before the exchange
+    assert "partial" in plan_str.lower()
