@@ -110,6 +110,21 @@ def write_stage(
     return record
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned layout for the fact tables.
+
+    At 10^12 turns the transcripts/events tables are written partitioned by
+    ingest date (``dt=YYYY-MM-DD/`` directories): any query filtering on the
+    partition column prunes whole directories at planning time — the scan
+    never opens non-matching files, which is the difference between reading
+    one day and reading 100 TB. The pruning is asserted in the plan audit
+    (``PartitionFilters`` on the FileScan, `tests/test_plans.py`).
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def read_lineage(spark: SparkSession, root: str, stage: str) -> dict | None:
     """The stage's lineage record, or None if never (fully) written."""
     try:

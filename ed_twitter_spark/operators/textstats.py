@@ -104,6 +104,37 @@ FROM documents
 """
 
 
+def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution: n_docs, p50/p90/p99, max.
+
+    The quantile profile is what sizes the physical plan at scale —
+    ``maxPartitionBytes`` and Arrow batch counts are chosen against p99
+    document length, not the mean. Exact interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both type-7), computed in
+    one map-side-combined aggregation grouped by the language-ID signal.
+    """
+    stats = text_stats(spark, sf_dir)
+    return stats.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+CORPUS_QUANTILES_SQL = f"""
+WITH ts AS ({TEXT_STATS_SQL})
+SELECT lang_pred,
+       CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+       ROUND(quantile_cont(n_tokens, 0.5), 6)   AS p50_tokens,
+       ROUND(quantile_cont(n_tokens, 0.9), 6)   AS p90_tokens,
+       ROUND(quantile_cont(n_tokens, 0.99), 6)  AS p99_tokens,
+       MAX(n_tokens)                            AS max_tokens
+FROM ts GROUP BY lang_pred
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # Modular fold over the token array: each (pos+1)*h32 term is reduced

@@ -350,6 +350,7 @@ def _register_corpus_ops():
     from ed_twitter_spark.operators import textstats as ts
 
     register("text_stats", ts.TEXT_STATS_SQL)(ts.text_stats)
+    register("corpus_quantiles", ts.CORPUS_QUANTILES_SQL)(ts.corpus_quantiles)
     register("token_counts", ts.TOKEN_COUNTS_SQL)(ts.token_counts)
     register("doc_fingerprint", ts.DOC_FINGERPRINT_SQL)(ts.doc_fingerprint)
     register("dedup_exact", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)

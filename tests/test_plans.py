@@ -242,3 +242,34 @@ def test_window_build_stays_parallel(spark):
         w.select(F.spark_partition_id().alias("pid")).distinct().count()
     )
     assert n_parts > 1, "window build collapsed to a single task"
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    """Date-partitioned fact layout: a dt filter must become a
+    PartitionFilter (directory pruning), not a row-level PushedFilter —
+    and non-matching partitions must not be scanned at all."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.io import write_partitioned
+
+    # the smoke fixture spans <1 day of event time; spread it over three
+    # ingest dates deterministically so pruning is observable
+    t = synth.transcripts(spark, SF_SMOKE).withColumn(
+        "dt",
+        F.date_format(
+            F.date_add(F.to_date(F.col("ts")), (F.col("doc_id") % 3).cast("int")),
+            "yyyy-MM-dd",
+        ),
+    )
+    path = str(tmp_path / "turns_by_day")
+    write_partitioned(t, path, ["dt"])
+    assert t.select("dt").distinct().count() >= 2
+
+    one_day = spark.read.parquet(path).where(F.col("dt") == "2026-01-01")
+    plan = plan_of(one_day)
+    m = re.search(r"PartitionFilters: \[[^\]]*dt[^\]]*2026-01-01[^\]]*\]", plan)
+    assert m, f"dt filter did not become a partition filter:\n{plan}"
+    # the filter must NOT appear as a row-level parquet pushdown
+    assert not re.search(r"PushedFilters: \[[^\]]*dt", plan)
+    assert one_day.count() == t.where("dt = '2026-01-01'").count()
