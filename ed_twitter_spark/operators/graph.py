@@ -295,6 +295,221 @@ SELECT v AS vertex_id, ROUND(pr, 8) AS pagerank FROM {prev}
     )
 
 
+def kg_cooccurrence_pmi(edges: DataFrame) -> DataFrame:
+    """PMI-weighted co-occurrence pairs: the KG edge-weighting signal.
+
+    pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over conversations as trials.
+    Distinct (conv_id, vertex) first — identical to cooccurrence_edges —
+    so a viral conversation contributes each pair once no matter how many
+    mentions it has. One self-join on conv_id (bounded fan-out), one
+    aggregation on the pair key; the per-vertex marginals are vertex-sized
+    and broadcast back onto the pair table.
+    """
+    cv = (
+        edges.where(F.col("obj_vertex").isNotNull())
+        .select("conv_id", F.col("obj_vertex").alias("v"))
+        .distinct()
+    )
+    n_total = cv.select("conv_id").distinct().count()
+    marg = cv.groupBy("v").agg(F.count(F.lit(1)).alias("n_v"))
+    pairs = (
+        cv.alias("a")
+        .join(cv.alias("b"), on="conv_id")
+        .where(F.col("a.v") < F.col("b.v"))
+        .groupBy(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(marg.withColumnRenamed("v", "src")), on="src")
+        .withColumnRenamed("n_v", "n_a")
+        .join(
+            F.broadcast(
+                marg.select(F.col("v").alias("dst"), F.col("n_v").alias("n_b"))
+            ),
+            on="dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.lit(float(n_total)))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def kg_triangles(edges: DataFrame) -> DataFrame:
+    """Global triangle census: (n_triangles, n_wedges, clustering_coeff).
+
+    Degree-ordered orientation — each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, then triangles are
+    closed directed wedges. Orientation bounds every adjacency list in the
+    oriented graph at O(√m), so the wedge join fans out O(m^1.5) total
+    instead of Σ deg² — the difference between feasible and not once hub
+    vertices (celebrity entities) appear. The count is orientation-
+    invariant: each triangle has exactly one source under a total order.
+    """
+    und = cooccurrence_edges(edges)  # both directions present
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    keyed = (
+        und.join(deg.withColumnRenamed("src", "dst").withColumnRenamed("deg", "deg_dst"),
+                 on="dst")
+        .join(deg, on="src")
+    )
+    oriented = keyed.where(
+        (F.col("deg") < F.col("deg_dst"))
+        | ((F.col("deg") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+    wedge = (
+        oriented.alias("uv")
+        .join(
+            oriented.alias("vw"),
+            F.col("uv.dst") == F.col("vw.src"),
+        )
+        .select(
+            F.col("uv.src").alias("u"),
+            F.col("uv.dst").alias("v"),
+            F.col("vw.dst").alias("w"),
+        )
+    )
+    tri = wedge.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        on=["u", "w"],
+    )
+    n_tri = tri.count()
+    # open+closed wedges of the undirected graph: Σ_v deg(v)·(deg(v)−1)/2
+    n_wedges = (
+        deg.select(F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")))
+        .collect()[0][0]
+        or 0
+    )
+    spark = edges.sparkSession
+    coeff = round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(int(n_tri), int(n_wedges), float(coeff))],
+        "n_triangles bigint, n_wedges bigint, clustering_coeff double",
+    )
+
+
+def kg_two_hop(edges: DataFrame) -> DataFrame:
+    """Per-vertex 1-hop and ≤2-hop distinct neighbourhood sizes.
+
+    The 2-hop set is one self-join of the co-occurrence edges on the middle
+    vertex + a distinct — the standard friend-of-friend expansion. The
+    distinct before counting is the scale guard: without it a hub middle
+    vertex multiplies every (src, dst) pair by its degree.
+    """
+    e = cooccurrence_edges(edges)
+    one = e.groupBy("src").agg(F.countDistinct("dst").alias("n_1hop"))
+    two = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .where(F.col("x.src") != F.col("y.dst"))
+        .select(F.col("x.src").alias("src"), F.col("y.dst").alias("nbr"))
+        .unionByName(e.select("src", F.col("dst").alias("nbr")))
+        .groupBy("src")
+        .agg(F.countDistinct("nbr").alias("n_within_2hop"))
+    )
+    return (
+        one.join(two, on="src")
+        .select(F.col("src").alias("vertex_id"), "n_1hop", "n_within_2hop")
+    )
+
+
+_COEDGES_SQL = """
+cv AS (SELECT DISTINCT conv_id, obj_vertex AS v FROM kge WHERE obj_vertex IS NOT NULL),
+coedges AS (
+  SELECT DISTINCT a.v AS src, b.v AS dst
+  FROM cv a JOIN cv b ON a.conv_id = b.conv_id AND a.v <> b.v
+)"""
+
+
+def kg_cooccurrence_pmi_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + """,
+cv AS (SELECT DISTINCT conv_id, obj_vertex AS v FROM kge WHERE obj_vertex IS NOT NULL),
+tot AS (SELECT CAST(COUNT(DISTINCT conv_id) AS DOUBLE) AS n FROM cv),
+marg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_v FROM cv GROUP BY v),
+pairs AS (
+  SELECT a.v AS src, b.v AS dst, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM cv a JOIN cv b ON a.conv_id = b.conv_id AND a.v < b.v
+  GROUP BY a.v, b.v
+)
+SELECT p.src, p.dst, p.n_ab,
+       ROUND(LN((p.n_ab * tot.n) / (ma.n_v * mb.n_v)), 6) AS pmi
+FROM pairs p
+JOIN marg ma ON ma.v = p.src
+JOIN marg mb ON mb.v = p.dst
+CROSS JOIN tot
+"""
+    )
+
+
+def kg_triangles_oracle_sql() -> str:
+    # id-ordered orientation (src < dst): same global census as the
+    # degree-ordered orientation the Spark side uses — each triangle has
+    # exactly one source under any total order.
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+elt AS (SELECT src, dst FROM coedges WHERE src < dst),
+tri AS (
+  SELECT COUNT(*) AS n FROM elt ab
+  JOIN elt bc ON bc.src = ab.dst
+  JOIN elt ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+deg AS (SELECT src, COUNT(*) AS d FROM coedges GROUP BY src),
+wed AS (SELECT COALESCE(CAST(SUM(d * (d - 1) / 2) AS BIGINT), 0) AS n FROM deg)
+SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+       wed.n                 AS n_wedges,
+       CASE WHEN wed.n > 0 THEN ROUND(3.0 * tri.n / wed.n, 6) ELSE 0.0 END
+         AS clustering_coeff
+FROM tri CROSS JOIN wed
+"""
+    )
+
+
+def kg_two_hop_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+one AS (SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_1hop
+        FROM coedges GROUP BY src),
+reach2 AS (
+  SELECT x.src, y.dst AS nbr
+  FROM coedges x JOIN coedges y ON x.dst = y.src
+  WHERE x.src <> y.dst
+  UNION
+  SELECT src, dst AS nbr FROM coedges
+),
+two AS (SELECT src, CAST(COUNT(DISTINCT nbr) AS BIGINT) AS n_within_2hop
+        FROM reach2 GROUP BY src)
+SELECT o.src AS vertex_id, o.n_1hop, t.n_within_2hop
+FROM one o JOIN two t ON t.src = o.src
+"""
+    )
+
+
+def q_kg_cooccurrence_pmi(spark, sf_dir: str) -> DataFrame:
+    return kg_cooccurrence_pmi(q_kg_edges(spark, sf_dir))
+
+
+def q_kg_triangles(spark, sf_dir: str) -> DataFrame:
+    return kg_triangles(q_kg_edges(spark, sf_dir))
+
+
+def q_kg_two_hop(spark, sf_dir: str) -> DataFrame:
+    return kg_two_hop(q_kg_edges(spark, sf_dir))
+
+
 def q_kg_degrees(spark, sf_dir: str) -> DataFrame:
     return kg_degrees(q_kg_edges(spark, sf_dir))
 

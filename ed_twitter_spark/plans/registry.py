@@ -331,6 +331,13 @@ def _register_graph():
     register("kg_edges", graph_ops.kg_edges_oracle_sql())(graph_ops.q_kg_edges)
     register("kg_degrees", graph_ops.kg_degrees_oracle_sql())(graph_ops.q_kg_degrees)
     register("kg_pagerank", graph_ops.kg_pagerank_oracle_sql())(graph_ops.q_kg_pagerank)
+    register("kg_cooccurrence_pmi", graph_ops.kg_cooccurrence_pmi_oracle_sql())(
+        graph_ops.q_kg_cooccurrence_pmi
+    )
+    register("kg_triangles", graph_ops.kg_triangles_oracle_sql())(
+        graph_ops.q_kg_triangles
+    )
+    register("kg_two_hop", graph_ops.kg_two_hop_oracle_sql())(graph_ops.q_kg_two_hop)
 
 
 _register_graph()
