@@ -134,3 +134,71 @@ def link_prior_argmax(candidates_df: DataFrame) -> DataFrame:
         "mention",
         "doc_id",
     )
+
+
+def mention_skew(mentions_df: DataFrame) -> DataFrame:
+    """One-row skew profile of the candidate-join probe key.
+
+    This is the decision input for the broadcast-vs-salted selection above:
+    ``skew_ratio`` (hottest key count / mean key count) and ``top1_share``
+    say whether a plain shuffle join would serialize on one reducer.
+    Computed as one map-side-combined count per key (the only pass over the
+    mention stream) followed by key-cardinality-sized aggregates; the top-10
+    mass uses ``orderBy().limit(10)`` — Spark's distributed TakeOrdered —
+    never a global sort.
+    """
+    counts = mentions_df.groupBy("mention").agg(F.count(F.lit(1)).alias("cnt"))
+    overall = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_count"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("cnt"), F.asc("mention"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10_mass"))
+    )
+    return overall.crossJoin(top10).select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "p99_count",
+        F.round(F.col("max_count") / F.col("n_rows"), 6).alias("top1_share"),
+        F.round(F.col("top10_mass") / F.col("n_rows"), 6).alias("top10_share"),
+        F.round(F.col("max_count") * F.col("n_keys") / F.col("n_rows"), 6).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+def mention_skew_oracle_sql() -> str:
+    from ed_twitter_spark.operators.mentions import mentions_sql
+
+    return f"""
+WITH m AS ({mentions_sql()}),
+counts AS (SELECT mention, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY mention),
+overall AS (
+  SELECT CAST(SUM(cnt) AS BIGINT)        AS n_rows,
+         CAST(COUNT(*) AS BIGINT)        AS n_keys,
+         MAX(cnt)                        AS max_count,
+         ROUND(quantile_cont(cnt, 0.99), 6) AS p99_count
+  FROM counts
+),
+top10 AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS top10_mass
+  FROM (SELECT cnt FROM counts ORDER BY cnt DESC, mention ASC LIMIT 10)
+)
+SELECT n_rows, n_keys, max_count, p99_count,
+       ROUND(CAST(max_count AS DOUBLE) / n_rows, 6)          AS top1_share,
+       ROUND(CAST(top10_mass AS DOUBLE) / n_rows, 6)         AS top10_share,
+       ROUND(CAST(max_count AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio
+FROM overall CROSS JOIN top10
+"""
+
+
+def q_mention_skew(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.mentions import detect_mentions
+
+    return mention_skew(detect_mentions(synth.transcripts(spark, sf_dir)))

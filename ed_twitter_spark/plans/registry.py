@@ -130,6 +130,9 @@ def q_candidates_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketing.bucketed_candidates(spark, sf_dir)
 
 
+register("mention_skew", cand_ops.mention_skew_oracle_sql())(cand_ops.q_mention_skew)
+
+
 # ---------------------------------------------------------------------------
 # 5. link_prior_argmax — T7 argmax over p(e|m) → triples
 # ---------------------------------------------------------------------------
