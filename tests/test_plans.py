@@ -273,3 +273,25 @@ def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
     # the filter must NOT appear as a row-level parquet pushdown
     assert not re.search(r"PushedFilters: \[[^\]]*dt", plan)
     assert one_day.count() == t.where("dt = '2026-01-01'").count()
+
+
+def test_kg_analytics_plans(spark):
+    """PMI: vertex-sized marginals must broadcast onto the pair table;
+    triangles: every join must be hash-keyed — no cartesian product
+    anywhere in the census."""
+    from ed_twitter_spark.operators.graph import (
+        q_kg_cooccurrence_pmi,
+        cooccurrence_edges,
+        q_kg_edges,
+    )
+
+    pmi_plan = plan_of(q_kg_cooccurrence_pmi(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pmi_plan
+    assert "CartesianProduct" not in pmi_plan
+
+    from pyspark.sql import functions as F
+
+    e = cooccurrence_edges(q_kg_edges(spark, SF_SMOKE))
+    a, b = e.alias("x"), e.alias("y")
+    wedge_plan = plan_of(a.join(b, F.col("x.dst") == F.col("y.src")))
+    assert "CartesianProduct" not in wedge_plan
