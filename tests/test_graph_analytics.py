@@ -1,0 +1,69 @@
+"""Hand-computed fixtures for the co-occurrence analytics.
+
+The DuckDB oracle proves Spark ≡ SQL on the synthetic corpus; these pin
+the *semantics* on a graph small enough to verify on paper, including the
+orientation-invariance claim the triangle census rests on.
+
+Fixture conversations: {1,2,3}, {3,4}, {4,5} → co-occurrence graph is the
+triangle 1-2-3 plus the path 3-4-5.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fake_edges(spark):
+    rows = [
+        ("cA", v) for v in (1, 2, 3)
+    ] + [("cB", v) for v in (3, 4)] + [("cC", v) for v in (4, 5)]
+    # kg_edges schema slice the analytics consume; duplicate mentions per
+    # conversation must not change any count (distinct-first guard)
+    dup = rows + rows
+    return spark.createDataFrame(
+        [(c, v, f"{c}#t#{i}", 0.5) for i, (c, v) in enumerate(dup)],
+        "conv_id string, obj_vertex bigint, subj string, score double",
+    )
+
+
+def test_triangle_census_by_hand(fake_edges):
+    from ed_twitter_spark.operators.graph import kg_triangles
+
+    row = kg_triangles(fake_edges).collect()[0]
+    # one triangle (1-2-3); wedges: deg = [2,2,3,2,1] → 1+1+3+1+0 = 6
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 6
+    assert row["clustering_coeff"] == pytest.approx(0.5)
+
+
+def test_two_hop_by_hand(fake_edges):
+    from ed_twitter_spark.operators.graph import kg_two_hop
+
+    got = {
+        r["vertex_id"]: (r["n_1hop"], r["n_within_2hop"])
+        for r in kg_two_hop(fake_edges).collect()
+    }
+    assert got == {
+        1: (2, 3),  # {2,3} then +4
+        2: (2, 3),
+        3: (3, 4),  # {1,2,4} then +5
+        4: (2, 4),  # {3,5} then +1,2
+        5: (1, 2),  # {4} then +3
+    }
+
+
+def test_pmi_by_hand(fake_edges):
+    import math
+
+    from ed_twitter_spark.operators.graph import kg_cooccurrence_pmi
+
+    got = {
+        (r["src"], r["dst"]): (r["n_ab"], r["pmi"])
+        for r in kg_cooccurrence_pmi(fake_edges).collect()
+    }
+    # 3 conversations; e.g. pair (3,4): n_ab=1, n_3=2, n_4=2 → ln(3/4)
+    assert got[(3, 4)] == (1, pytest.approx(round(math.log(3 / 4), 6)))
+    # pair (1,2): n_ab=1, n_1=1, n_2=1 → ln(3)
+    assert got[(1, 2)] == (1, pytest.approx(round(math.log(3.0), 6)))
+    assert len(got) == 5  # (1,2),(1,3),(2,3),(3,4),(4,5)
