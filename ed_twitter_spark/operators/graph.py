@@ -208,7 +208,11 @@ def kg_pagerank(edges: DataFrame) -> DataFrame:
     on src across iterations. Every node of the co-occurrence graph has
     out-degree ≥ 1 (symmetric edges), so there is no dangling-mass term.
     """
-    e = cooccurrence_edges(edges)
+    from ed_twitter_spark.caching import persist_tracked
+
+    # e appears in every iteration's plan; persist so the linker chain
+    # upstream derives once (released via caching.release_caches)
+    e = persist_tracked(cooccurrence_edges(edges))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = out_deg.select(F.col("src").alias("v"), "deg")
     n = nodes.count()
@@ -305,7 +309,12 @@ def kg_cooccurrence_pmi(edges: DataFrame) -> DataFrame:
     aggregation on the pair key; the per-vertex marginals are vertex-sized
     and broadcast back onto the pair table.
     """
-    cv = (
+    from ed_twitter_spark.caching import persist_tracked
+
+    # cv feeds three consumers (the total, the marginals, the pair join);
+    # persist so the linker chain upstream of `edges` derives once, not 3×
+    # (released by the harness via caching.release_caches)
+    cv = persist_tracked(
         edges.where(F.col("obj_vertex").isNotNull())
         .select("conv_id", F.col("obj_vertex").alias("v"))
         .distinct()
@@ -354,7 +363,12 @@ def kg_triangles(edges: DataFrame) -> DataFrame:
     vertices (celebrity entities) appear. The count is orientation-
     invariant: each triangle has exactly one source under a total order.
     """
-    und = cooccurrence_edges(edges)  # both directions present
+    from ed_twitter_spark.caching import persist_tracked
+
+    # the census takes two actions (triangle count, wedge sum) plus a
+    # three-way self-join — persist the edge list so the upstream linker
+    # chain derives once (released via caching.release_caches)
+    und = persist_tracked(cooccurrence_edges(edges))  # both directions
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     keyed = (
         und.join(deg.withColumnRenamed("src", "dst").withColumnRenamed("deg", "deg_dst"),
