@@ -562,3 +562,41 @@ def q_kg_edges(spark, sf_dir: str) -> DataFrame:
     triples, kb = _prior_triples(spark, sf_dir)
     comps = connected_components(surface_equivalence_edges(triples, kb))
     return kg_edges(triples, comps)
+
+
+def kg_component_sizes(components: DataFrame) -> DataFrame:
+    """Histogram of connected-component sizes — the canonicalization
+    quality gauge (a giant component means over-merging; all-singletons
+    means the equivalence edges are too strict).
+
+    Two vertex-table-sized aggregations; nothing touches the edge stream.
+    """
+    return (
+        components.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
+def kg_component_sizes_oracle_sql() -> str:
+    return (
+        _graph_base_sql()
+        + """
+SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM comp GROUP BY component) t
+GROUP BY n_members
+"""
+    )
+
+
+def q_kg_component_sizes(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark.operators.canonicalize import (
+        connected_components,
+        surface_equivalence_edges,
+    )
+
+    triples, kb = _prior_triples(spark, sf_dir)
+    comps = connected_components(surface_equivalence_edges(triples, kb))
+    return kg_component_sizes(comps)

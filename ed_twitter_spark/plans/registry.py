@@ -341,6 +341,9 @@ def _register_graph():
         graph_ops.q_kg_triangles
     )
     register("kg_two_hop", graph_ops.kg_two_hop_oracle_sql())(graph_ops.q_kg_two_hop)
+    register("kg_component_sizes", graph_ops.kg_component_sizes_oracle_sql())(
+        graph_ops.q_kg_component_sizes
+    )
 
 
 _register_graph()
