@@ -163,3 +163,65 @@ FROM g JOIN ev USING (gram)
 WHERE g.doc_id % {EVAL_MOD} <> 0
 GROUP BY g.doc_id
 """
+
+
+# stratified sampling: percent kept per language stratum — downsample the
+# head language, keep the tail (the standard rebalancing move before
+# pretraining-data mixing)
+SAMPLE_PCT_EN = 20
+SAMPLE_PCT_OTHER = 50
+
+
+def dataset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of ``documents`` by language.
+
+    The keep/drop decision is a pure function of doc_id (md5 bucket,
+    salted differently from ``dataset_split`` so the two decisions are
+    independent) — no RNG state, so the sample is reproducible across
+    runs, cluster sizes, and engines, and a re-run after adding documents
+    keeps every previously-kept doc (append-stable at 10^12 rows). One
+    scan, no shuffle: the stratum comes from the same JVM column algebra
+    as text_stats.
+    """
+    from ed_twitter_spark.operators.textstats import text_stats
+
+    stats = text_stats(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("samp#"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(
+        F.col("lang_pred") == "en", F.lit(SAMPLE_PCT_EN)
+    ).otherwise(F.lit(SAMPLE_PCT_OTHER))
+    return (
+        stats.select(
+            "doc_id", "lang_pred", bucket.cast("int").alias("bucket"), rate.alias("rate")
+        )
+        .where(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang_pred", "bucket")
+    )
+
+
+def dataset_sample_oracle_sql() -> str:
+    from ed_twitter_spark.operators.textstats import TEXT_STATS_SQL
+
+    return f"""
+WITH ts AS ({TEXT_STATS_SQL}),
+b AS (
+  SELECT doc_id, lang_pred,
+         CAST(CAST(('0x' || substr(md5('samp#' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS INTEGER) AS bucket,
+         CASE WHEN lang_pred = 'en' THEN {SAMPLE_PCT_EN}
+              ELSE {SAMPLE_PCT_OTHER} END  AS rate
+  FROM ts
+)
+SELECT doc_id, lang_pred, bucket FROM b WHERE bucket < rate
+"""

@@ -381,6 +381,7 @@ def _register_corpus_ops():
 
     register("pii_redact", cf.PII_REDACT_SQL)(cf.pii_redact)
     register("dataset_split", cf.DATASET_SPLIT_SQL)(cf.dataset_split)
+    register("dataset_sample", cf.dataset_sample_oracle_sql())(cf.dataset_sample)
     register("decontaminate", cf.DECONTAMINATE_SQL)(cf.decontaminate)
 
 
