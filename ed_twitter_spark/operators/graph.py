@@ -600,3 +600,198 @@ def q_kg_component_sizes(spark, sf_dir: str) -> DataFrame:
     triples, kb = _prior_triples(spark, sf_dir)
     comps = connected_components(surface_equivalence_edges(triples, kb))
     return kg_component_sizes(comps)
+
+
+# ---------------------------------------------------------------------------
+# per-vertex clustering coefficient (triangle census, vertex-resolved)
+# ---------------------------------------------------------------------------
+
+
+def kg_local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle count + local clustering coefficient.
+
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the community-structure
+    signal per entity (hub entities with low lcc are topic connectors;
+    high-lcc vertices sit inside tight entity cliques). Same degree-ordered
+    orientation as :func:`kg_triangles` (every adjacency list in the
+    oriented graph is O(√m), so the wedge join does O(m^1.5) work, not
+    Σ deg²); each closed triangle then credits all three of its vertices
+    via a 3-row explode — triangle-table-sized, far smaller than the
+    wedge stream.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    und = persist_tracked(cooccurrence_edges(edges))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    keyed = (
+        und.join(
+            deg.withColumnRenamed("src", "dst").withColumnRenamed("deg", "deg_dst"),
+            on="dst",
+        ).join(deg, on="src")
+    )
+    oriented = keyed.where(
+        (F.col("deg") < F.col("deg_dst"))
+        | ((F.col("deg") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+    wedge = (
+        oriented.alias("uv")
+        .join(oriented.alias("vw"), F.col("uv.dst") == F.col("vw.src"))
+        .select(
+            F.col("uv.src").alias("u"),
+            F.col("uv.dst").alias("v"),
+            F.col("vw.dst").alias("w"),
+        )
+    )
+    tri = wedge.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        on=["u", "w"],
+    )
+    per_v = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("vertex_id"))
+        .groupBy("vertex_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("src").alias("vertex_id"), "deg")
+        .join(per_v, on="vertex_id", how="left")
+        .select(
+            "vertex_id",
+            F.col("deg").cast("long").alias("n_neighbors"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_cc"),
+        )
+    )
+
+
+def kg_local_clustering_oracle_sql() -> str:
+    # id-ordered orientation: the (u,v,w) labels differ from the Spark
+    # side's degree-ordered orientation, but each triangle's *vertex set*
+    # is identical, so the per-vertex union-all counts agree.
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+elt AS (SELECT src, dst FROM coedges WHERE src < dst),
+tri AS (
+  SELECT ab.src AS u, ab.dst AS v, bc.dst AS w FROM elt ab
+  JOIN elt bc ON bc.src = ab.dst
+  JOIN elt ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+pv AS (
+  SELECT u AS vertex_id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+),
+tc AS (SELECT vertex_id, COUNT(*) AS n FROM pv GROUP BY vertex_id),
+deg AS (SELECT src AS vertex_id, COUNT(*) AS d FROM coedges GROUP BY src)
+SELECT d.vertex_id,
+       CAST(d.d AS BIGINT)               AS n_neighbors,
+       CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.d >= 2
+            THEN ROUND(2.0 * COALESCE(tc.n, 0) / (d.d * (d.d - 1)), 6)
+            ELSE 0.0 END                 AS local_cc
+FROM deg d LEFT JOIN tc ON tc.vertex_id = d.vertex_id
+"""
+    )
+
+
+def q_kg_local_clustering(spark, sf_dir: str) -> DataFrame:
+    return kg_local_clustering(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# shared-neighbour Jaccard (link-prediction similarity)
+# ---------------------------------------------------------------------------
+
+# middle-vertex degree cap for the common-neighbour expansion: a hub
+# middle (deg d) fans out C(d, 2) candidate pairs, so unbounded hubs make
+# the expansion quadratic in the hub degree — the same skew law the dedup
+# inverted index caps with DF_CAP. Hubs also carry the least similarity
+# signal (everything co-occurs with them), so capping is both the scale
+# guard and standard practice for common-neighbour features.
+NBR_HUB_CAP = 64
+NBR_JACCARD_MIN = 0.1
+
+
+def kg_neighbor_jaccard(edges: DataFrame) -> DataFrame:
+    """(src, dst, n_shared, jaccard) — entity-pair similarity by shared
+    co-occurrence neighbours: J = |N(a)∩N(b)| / |N(a)∪N(b)|, the classic
+    link-prediction feature for proposing missing KG edges.
+
+    The pair expansion runs through each *middle* vertex's neighbour list
+    (an inverted index on the middle, exactly the dedup posting-list
+    shape): per middle m with deg ≤ NBR_HUB_CAP, emit its neighbour pairs
+    — Σ_m C(deg_m, 2) bounded work — then one aggregation on the pair key
+    and a vertex-sized degree join. Degrees stay uncapped (the cap only
+    prunes which middles *witness* a pair), so J is exact for non-hub
+    -witnessed pairs and a deterministic lower bound through hubs.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    und = persist_tracked(cooccurrence_edges(edges))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    mid = (
+        und.join(deg.where(F.col("deg") <= NBR_HUB_CAP), on="src")
+        .select(F.col("src").alias("m"), F.col("dst").alias("v"))
+    )
+    shared = (
+        mid.alias("a")
+        .join(mid.alias("b"), on="m")
+        .where(F.col("a.v") < F.col("b.v"))
+        .groupBy(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    d1 = deg.select(F.col("src").alias("src"), F.col("deg").alias("d1"))
+    d2 = deg.select(F.col("src").alias("dst"), F.col("deg").alias("d2"))
+    return (
+        shared.join(d1, on="src")
+        .join(d2, on="dst")
+        .select(
+            "src",
+            "dst",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / (F.col("d1") + F.col("d2") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= NBR_JACCARD_MIN)
+    )
+
+
+def kg_neighbor_jaccard_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+deg AS (SELECT src AS v, COUNT(*) AS d FROM coedges GROUP BY src),
+mid AS (
+  SELECT c.src AS m, c.dst AS v
+  FROM coedges c JOIN deg ON deg.v = c.src AND deg.d <= {NBR_HUB_CAP}
+),
+sh AS (
+  SELECT a.v AS src, b.v AS dst, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM mid a JOIN mid b ON a.m = b.m AND a.v < b.v
+  GROUP BY a.v, b.v
+)
+SELECT sh.src, sh.dst, sh.n_shared,
+       ROUND(sh.n_shared * 1.0 / (d1.d + d2.d - sh.n_shared), 6) AS jaccard
+FROM sh
+JOIN deg d1 ON d1.v = sh.src
+JOIN deg d2 ON d2.v = sh.dst
+WHERE ROUND(sh.n_shared * 1.0 / (d1.d + d2.d - sh.n_shared), 6)
+      >= {NBR_JACCARD_MIN}
+"""
+    )
+
+
+def q_kg_neighbor_jaccard(spark, sf_dir: str) -> DataFrame:
+    return kg_neighbor_jaccard(q_kg_edges(spark, sf_dir))

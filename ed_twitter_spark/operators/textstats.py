@@ -163,3 +163,101 @@ SELECT doc_id,
        CAST(SUM((pos + 1) * {h32_sql('tok')} % {_MOD}) % {_MOD} AS BIGINT) AS fingerprint
 FROM tok GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality filter (the Gopher/MassiveText signals)
+# ---------------------------------------------------------------------------
+
+# keep thresholds (fraction of n-grams): documents above either bound are
+# the "looping text" failure mode every pretraining pipeline drops —
+# repetition signals of the MassiveText quality rules (Rae et al. 2021,
+# "Scaling Language Models", table A1).
+DUP_2GRAM_MAX = 0.20
+DUP_3GRAM_MAX = 0.18
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: duplicate / most-frequent n-gram
+    fractions for word 2-grams and 3-grams, plus the keep/drop decision.
+
+    * ``dup_{n}gram_frac`` — 1 − distinct/total n-grams (mass lost to any
+      repetition);
+    * ``top_{n}gram_frac`` — occurrences of the single most frequent
+      n-gram / total (the "same phrase looped" detector);
+    * ``keep`` — both dup fractions within the MassiveText-style bounds.
+
+    Each n-gram stream is explode → two-level aggregation: per (doc, gram)
+    counts with map-side combine, then a per-doc rollup — the group key
+    cardinality is the document's distinct-gram count, so state stays
+    document-sized and the shuffle moves (doc, gram, count) triples, never
+    raw text. Docs with < 3 tokens carry no 3-gram signal and are dropped
+    in both engines.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", toks_col().alias("toks")).where(
+        F.size("toks") >= 3
+    )
+
+    def gram_stats(n: int) -> DataFrame:
+        parts = [f"toks[i+{j}]" for j in range(n)]
+        gram = F.expr(
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> concat_ws(' ', {', '.join(parts)}))"
+        )
+        per_gram = (
+            base.select("doc_id", F.explode(gram).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias(
+                f"dup_{n}gram_frac"
+            ),
+            F.round(F.max("c") / F.sum("c"), 6).alias(f"top_{n}gram_frac"),
+        )
+
+    s2, s3 = gram_stats(2), gram_stats(3)
+    return (
+        s2.join(s3, on="doc_id")
+        .select(
+            "doc_id",
+            "dup_2gram_frac",
+            "top_2gram_frac",
+            "dup_3gram_frac",
+            "top_3gram_frac",
+            (
+                (F.col("dup_2gram_frac") <= DUP_2GRAM_MAX)
+                & (F.col("dup_3gram_frac") <= DUP_3GRAM_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+def _gram_stats_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+  SELECT doc_id,
+         ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_{n}gram_frac,
+         ROUND(MAX(c) * 1.0 / SUM(c), 6)         AS top_{n}gram_frac
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, {parts} AS g
+              FROM t, UNNEST(range(1, len(toks) - {n - 2})) AS s(i)) gg
+        GROUP BY doc_id, g) pg
+  GROUP BY doc_id
+"""
+
+
+QUALITY_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+  WHERE len({TOKS_SQL}) >= 3
+),
+s2 AS ({_gram_stats_sql(2)}),
+s3 AS ({_gram_stats_sql(3)})
+SELECT s2.doc_id, s2.dup_2gram_frac, s2.top_2gram_frac,
+       s3.dup_3gram_frac, s3.top_3gram_frac,
+       (s2.dup_2gram_frac <= {DUP_2GRAM_MAX}
+        AND s3.dup_3gram_frac <= {DUP_3GRAM_MAX}) AS keep
+FROM s2 JOIN s3 ON s3.doc_id = s2.doc_id
+"""

@@ -344,6 +344,12 @@ def _register_graph():
     register("kg_component_sizes", graph_ops.kg_component_sizes_oracle_sql())(
         graph_ops.q_kg_component_sizes
     )
+    register("kg_local_clustering", graph_ops.kg_local_clustering_oracle_sql())(
+        graph_ops.q_kg_local_clustering
+    )
+    register("kg_neighbor_jaccard", graph_ops.kg_neighbor_jaccard_oracle_sql())(
+        graph_ops.q_kg_neighbor_jaccard
+    )
 
 
 _register_graph()
@@ -366,6 +372,7 @@ def _register_corpus_ops():
     register("corpus_quantiles", ts.CORPUS_QUANTILES_SQL)(ts.corpus_quantiles)
     register("token_counts", ts.TOKEN_COUNTS_SQL)(ts.token_counts)
     register("doc_fingerprint", ts.DOC_FINGERPRINT_SQL)(ts.doc_fingerprint)
+    register("quality_repetition", ts.QUALITY_REPETITION_SQL)(ts.quality_repetition)
     register("dedup_exact", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
     register("dedup_minhash_lsh", dd.DEDUP_MINHASH_SQL)(dd.dedup_minhash_lsh)
     register("dedup_ngram_jaccard", dd.DEDUP_JACCARD_SQL)(dd.dedup_ngram_jaccard)

@@ -230,3 +230,33 @@ def test_mm_decode_batch_plumbing(spark):
     n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert df.count() == n_docs
     assert [f.name for f in df.schema.fields][:4] == ["doc_id", "fmt", "n_units", "sig_mean"]
+
+
+def test_quality_repetition_by_hand(spark, tmp_path):
+    """Pin the repetition fractions on texts small enough to count on paper."""
+    import os
+
+    from ed_twitter_spark.operators.textstats import quality_repetition
+
+    src = str(tmp_path / "rep")
+    spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # 2-grams: ab,ba,ab,ba; 3-grams: aba,bab,aba
+            (2, "x y z w"),  # all n-grams distinct
+            (3, "p q"),  # < 3 tokens → excluded
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    os.rename(src, str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict() for r in quality_repetition(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["dup_2gram_frac"] == pytest.approx(0.5)  # 1 - 2/4
+    assert got[1]["top_2gram_frac"] == pytest.approx(0.5)  # 2/4
+    assert got[1]["dup_3gram_frac"] == pytest.approx(round(1 - 2 / 3, 6))
+    assert got[1]["top_3gram_frac"] == pytest.approx(round(2 / 3, 6))
+    assert got[1]["keep"] is False
+    assert got[2]["dup_2gram_frac"] == pytest.approx(0.0)
+    assert got[2]["top_2gram_frac"] == pytest.approx(round(1 / 3, 6))
+    assert got[2]["keep"] is True

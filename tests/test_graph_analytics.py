@@ -67,3 +67,40 @@ def test_pmi_by_hand(fake_edges):
     # pair (1,2): n_ab=1, n_1=1, n_2=1 → ln(3)
     assert got[(1, 2)] == (1, pytest.approx(round(math.log(3.0), 6)))
     assert len(got) == 5  # (1,2),(1,3),(2,3),(3,4),(4,5)
+
+
+def test_local_clustering_by_hand(fake_edges):
+    from ed_twitter_spark.operators.graph import kg_local_clustering
+
+    got = {
+        r["vertex_id"]: (r["n_neighbors"], r["n_triangles"], r["local_cc"])
+        for r in kg_local_clustering(fake_edges).collect()
+    }
+    # triangle 1-2-3 credits each of its vertices once; 4 and 5 see none
+    assert got == {
+        1: (2, 1, pytest.approx(1.0)),
+        2: (2, 1, pytest.approx(1.0)),
+        3: (3, 1, pytest.approx(round(1 / 3, 6))),
+        4: (2, 0, pytest.approx(0.0)),
+        5: (1, 0, pytest.approx(0.0)),  # deg < 2 → coefficient undefined → 0
+    }
+
+
+def test_neighbor_jaccard_by_hand(fake_edges):
+    from ed_twitter_spark.operators.graph import kg_neighbor_jaccard
+
+    got = {
+        (r["src"], r["dst"]): (r["n_shared"], r["jaccard"])
+        for r in kg_neighbor_jaccard(fake_edges).collect()
+    }
+    # N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3,5} N(5)={4};
+    # every pair below shares exactly one witness middle
+    third = pytest.approx(round(1 / 3, 6))
+    assert got == {
+        (1, 2): (1, third),  # share 3; 1/(2+2-1)
+        (1, 3): (1, pytest.approx(0.25)),  # share 2
+        (2, 3): (1, pytest.approx(0.25)),  # share 1
+        (1, 4): (1, third),  # share 3
+        (2, 4): (1, third),  # share 3
+        (3, 5): (1, third),  # share 4; 1/(3+1-1)
+    }
