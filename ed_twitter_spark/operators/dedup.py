@@ -435,3 +435,95 @@ cand AS (
 SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment — the dedup *action*
+# ---------------------------------------------------------------------------
+
+# near-dup decision threshold on the estimated Jaccard (matching minhash
+# components / 16); pairs at or above it are considered duplicates and
+# clustered transitively.
+DUP_EST_MIN = 0.5
+_NODE_W = 12  # zero-pad width: string min == numeric min for int64 doc ids
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, canonical_doc_id, cluster_size, keep) — the per-document
+    dedup decision table: near-dup pairs (minhash est_jaccard ≥ 0.5) are
+    closed transitively via connected components, each cluster keeps its
+    minimum doc_id, and every corpus document appears (non-duplicated docs
+    are their own singleton cluster).
+
+    This is the step that turns pair *detection* into the drop decision a
+    corpus pipeline actually executes. Scale shape: the pair graph is tiny
+    relative to the corpus (only near-dup docs appear), components run
+    over that graph alone (driver union-find when small, hash-min / star
+    contraction otherwise — operators/canonicalize.py), and the corpus
+    joins the vertex-sized label table once. Doc ids ride as zero-padded
+    fixed-width strings so the CC min-label order equals numeric order.
+    """
+    from ed_twitter_spark.operators.canonicalize import connected_components
+
+    def node(c):
+        return F.lpad(c.cast("string"), _NODE_W, "0")
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= DUP_EST_MIN
+    )
+    edges = pairs.select(node(F.col("doc1")).alias("src"), node(F.col("doc2")).alias("dst"))
+    comp = connected_components(edges)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", node(F.col("doc_id")).alias("node")
+    )
+    lab = docs.join(comp, on="node", how="left").select(
+        "doc_id", F.coalesce("component", "node").alias("component")
+    )
+    sizes = lab.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return lab.join(sizes, on="component").select(
+        "doc_id",
+        F.col("component").cast("long").alias("canonical_doc_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("component").cast("long")).alias("keep"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc1, doc2 FROM ({DEDUP_MINHASH_SQL}) mhp
+  WHERE est_jaccard >= {DUP_EST_MIN}
+),
+edges0 AS (
+  SELECT lpad(CAST(doc1 AS VARCHAR), {_NODE_W}, '0') AS src,
+         lpad(CAST(doc2 AS VARCHAR), {_NODE_W}, '0') AS dst
+  FROM pairs
+),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION
+  SELECT dst AS src, src AS dst FROM edges0
+),
+cnodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM cnodes
+  UNION
+  SELECT e.src AS node, reach.r
+  FROM edges e JOIN reach ON e.dst = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+docs AS (
+  SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), {_NODE_W}, '0') AS node
+  FROM documents
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.node) AS component
+  FROM docs d LEFT JOIN comp c ON c.node = d.node
+),
+sizes AS (SELECT component, COUNT(*) AS n FROM lab GROUP BY component)
+SELECT l.doc_id,
+       CAST(l.component AS BIGINT)  AS canonical_doc_id,
+       CAST(s.n AS BIGINT)          AS cluster_size,
+       l.doc_id = CAST(l.component AS BIGINT) AS keep
+FROM lab l JOIN sizes s ON s.component = l.component
+"""

@@ -260,3 +260,31 @@ def test_quality_repetition_by_hand(spark, tmp_path):
     assert got[2]["dup_2gram_frac"] == pytest.approx(0.0)
     assert got[2]["top_2gram_frac"] == pytest.approx(round(1 / 3, 6))
     assert got[2]["keep"] is True
+
+
+def test_dedup_clusters_by_hand(spark, tmp_path):
+    """Identical docs cluster to the min doc_id; everyone else is a
+    singleton that keeps itself."""
+    import os
+
+    from ed_twitter_spark.operators.dedup import dedup_clusters
+
+    src = str(tmp_path / "dc")
+    t_dup = "the quick brown fox jumps over the lazy dog"
+    t_dup2 = "colorless green ideas sleep furiously all night long"
+    spark.createDataFrame(
+        [(1, t_dup), (2, t_dup), (7, t_dup2), (4, t_dup2), (5, "one of a kind text here")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    os.rename(src, str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["canonical_doc_id"], r["cluster_size"], r["keep"])
+        for r in dedup_clusters(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1, 2, True),
+        2: (1, 2, False),
+        4: (4, 2, True),
+        7: (4, 2, False),
+        5: (5, 1, True),
+    }
