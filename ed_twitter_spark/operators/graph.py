@@ -795,3 +795,60 @@ WHERE ROUND(sh.n_shared * 1.0 / (d1.d + d2.d - sh.n_shared), 6)
 
 def q_kg_neighbor_jaccard(spark, sf_dir: str) -> DataFrame:
     return kg_neighbor_jaccard(q_kg_edges(spark, sf_dir))
+
+
+def kg_adamic_adar(edges: DataFrame) -> DataFrame:
+    """(src, dst, n_shared, adamic_adar) — Adamic–Adar link-prediction
+    score: Σ_{m ∈ N(a)∩N(b)} 1/ln(deg(m)) — shared rare neighbours count
+    for more than shared hubs.
+
+    Same middle-vertex posting-list expansion (and NBR_HUB_CAP skew guard)
+    as :func:`kg_neighbor_jaccard`; the middle's weight 1/ln(deg_m) rides
+    the expansion row so the pair aggregation is a single weighted sum. A
+    witness middle needs ≥ 2 neighbours, so ln(deg_m) is never 0.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    und = persist_tracked(cooccurrence_edges(edges))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    mid = (
+        und.join(deg.where(F.col("deg") <= NBR_HUB_CAP), on="src")
+        .select(
+            F.col("src").alias("m"),
+            F.col("dst").alias("v"),
+            (F.lit(1.0) / F.log(F.col("deg"))).alias("w"),
+        )
+    )
+    return (
+        mid.alias("a")
+        .join(mid.alias("b"), on="m")
+        .where(F.col("a.v") < F.col("b.v"))
+        .groupBy(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.round(F.sum("a.w"), 6).alias("adamic_adar"),
+        )
+    )
+
+
+def kg_adamic_adar_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+deg AS (SELECT src AS v, COUNT(*) AS d FROM coedges GROUP BY src),
+mid AS (
+  SELECT c.src AS m, c.dst AS v, 1.0 / LN(deg.d) AS w
+  FROM coedges c JOIN deg ON deg.v = c.src AND deg.d <= {NBR_HUB_CAP}
+)
+SELECT a.v AS src, b.v AS dst,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       ROUND(SUM(a.w), 6)       AS adamic_adar
+FROM mid a JOIN mid b ON a.m = b.m AND a.v < b.v
+GROUP BY a.v, b.v
+"""
+    )
+
+
+def q_kg_adamic_adar(spark, sf_dir: str) -> DataFrame:
+    return kg_adamic_adar(q_kg_edges(spark, sf_dir))

@@ -350,6 +350,9 @@ def _register_graph():
     register("kg_neighbor_jaccard", graph_ops.kg_neighbor_jaccard_oracle_sql())(
         graph_ops.q_kg_neighbor_jaccard
     )
+    register("kg_adamic_adar", graph_ops.kg_adamic_adar_oracle_sql())(
+        graph_ops.q_kg_adamic_adar
+    )
 
 
 _register_graph()

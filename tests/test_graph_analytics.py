@@ -104,3 +104,25 @@ def test_neighbor_jaccard_by_hand(fake_edges):
         (2, 4): (1, third),  # share 3
         (3, 5): (1, third),  # share 4; 1/(3+1-1)
     }
+
+
+def test_adamic_adar_by_hand(fake_edges):
+    import math
+
+    from ed_twitter_spark.operators.graph import kg_adamic_adar
+
+    got = {
+        (r["src"], r["dst"]): (r["n_shared"], r["adamic_adar"])
+        for r in kg_adamic_adar(fake_edges).collect()
+    }
+    # each pair has one witness; weight = 1/ln(deg(witness))
+    w_deg2 = pytest.approx(round(1 / math.log(2), 6))
+    w_deg3 = pytest.approx(round(1 / math.log(3), 6))
+    assert got == {
+        (1, 2): (1, w_deg3),  # witness 3 (deg 3)
+        (1, 3): (1, w_deg2),  # witness 2
+        (2, 3): (1, w_deg2),  # witness 1
+        (1, 4): (1, w_deg3),  # witness 3
+        (2, 4): (1, w_deg3),  # witness 3
+        (3, 5): (1, w_deg2),  # witness 4
+    }
