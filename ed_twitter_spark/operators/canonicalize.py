@@ -282,14 +282,36 @@ def canonicalize_oracle_sql() -> str:
     return "WITH RECURSIVE" + sql[len("WITH") :]
 
 
-def canonicalize(spark, sf_dir: str) -> DataFrame:
-    """Registry query: CC labels over the prior-linker triples at sf_dir."""
+def prior_triples(spark, sf_dir: str) -> DataFrame:
+    """The prior-argmax triple table at sf_dir — the shared upstream of
+    canonicalization, graph materialization, and evaluation. Registered in
+    the opt-in derivation cache so pipeline-semantics harnesses (bench,
+    production DAG) build the mention→candidate→argmax chain once."""
     from ed_twitter_spark import synth
     from ed_twitter_spark.operators import candidates as cand_ops
     from ed_twitter_spark.operators import mentions as mention_ops
 
-    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
-    kb = synth.kb_alias(spark, sf_dir)
-    triples = cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb))
-    edges = surface_equivalence_edges(triples, kb)
-    return connected_components(edges)
+    def build():
+        m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
+        kb = synth.kb_alias(spark, sf_dir)
+        return cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb))
+
+    return synth.shared("prior_triples", sf_dir, build)
+
+
+def components_for(spark, sf_dir: str) -> DataFrame:
+    """CC labels over the prior-linker triples at sf_dir (shared-cached:
+    canonicalize and every kg_* materialization read one label build)."""
+    from ed_twitter_spark import synth
+
+    def build():
+        triples = prior_triples(spark, sf_dir)
+        kb = synth.kb_alias(spark, sf_dir)
+        return connected_components(surface_equivalence_edges(triples, kb))
+
+    return synth.shared("kg_components", sf_dir, build)
+
+
+def canonicalize(spark, sf_dir: str) -> DataFrame:
+    """Registry query: CC labels over the prior-linker triples at sf_dir."""
+    return components_for(spark, sf_dir)

@@ -95,8 +95,13 @@ FROM documents GROUP BY md5(lower(text))
 # ---------------------------------------------------------------------------
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams."""
+def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — word 3-grams WITH duplicates (no shuffle).
+
+    The minhash sketch consumes this directly: min() is idempotent over
+    duplicates and the sketch aggregation's map-side combine collapses
+    them for free, so a distinct here would add a full extra exchange of
+    the shingle stream for nothing."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = F.expr(
         "transform(sequence(0, size(toks) - 3), "
@@ -106,8 +111,13 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", toks_col().alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
     )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams (set semantics, for the
+    exact-Jaccard inverted index where per-doc set sizes matter)."""
+    return _shingles_raw(spark, sf_dir).distinct()
 
 
 _SHINGLES_SQL = f"""
@@ -134,8 +144,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys project off the sketch row and the pair-similarity join compares
     the two 16-column sketches in a single projection instead of 16 rows
     per pair. One shuffle to doc granularity, then only sketch-sized data
-    moves."""
-    sh = _shingles(spark, sf_dir)
+    moves. Shingles arrive raw (duplicates included): min() collapses them
+    in the map-side partial aggregation, so the set-semantics distinct —
+    and its whole extra exchange — is skipped."""
+    sh = _shingles_raw(spark, sf_dir)
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(h32_col(F.concat_ws("#", "shingle", F.lit(str(i))))).alias(f"mh{i}")

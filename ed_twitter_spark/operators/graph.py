@@ -534,34 +534,22 @@ def q_kg_pagerank(spark, sf_dir: str) -> DataFrame:
 
 def _prior_triples(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from ed_twitter_spark import synth
-    from ed_twitter_spark.operators import candidates as cand_ops
-    from ed_twitter_spark.operators import mentions as mention_ops
+    from ed_twitter_spark.operators.canonicalize import prior_triples
 
-    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
-    kb = synth.kb_alias(spark, sf_dir)
-    return cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb)), kb
+    return prior_triples(spark, sf_dir), synth.kb_alias(spark, sf_dir)
 
 
 def q_kg_vertices(spark, sf_dir: str) -> DataFrame:
-    from ed_twitter_spark.operators.canonicalize import (
-        connected_components,
-        surface_equivalence_edges,
-    )
+    from ed_twitter_spark.operators.canonicalize import components_for
 
-    triples, kb = _prior_triples(spark, sf_dir)
-    comps = connected_components(surface_equivalence_edges(triples, kb))
-    return kg_vertices(comps)
+    return kg_vertices(components_for(spark, sf_dir))
 
 
 def q_kg_edges(spark, sf_dir: str) -> DataFrame:
-    from ed_twitter_spark.operators.canonicalize import (
-        connected_components,
-        surface_equivalence_edges,
-    )
+    from ed_twitter_spark.operators.canonicalize import components_for
 
-    triples, kb = _prior_triples(spark, sf_dir)
-    comps = connected_components(surface_equivalence_edges(triples, kb))
-    return kg_edges(triples, comps)
+    triples, _ = _prior_triples(spark, sf_dir)
+    return kg_edges(triples, components_for(spark, sf_dir))
 
 
 def kg_component_sizes(components: DataFrame) -> DataFrame:
@@ -592,14 +580,9 @@ GROUP BY n_members
 
 
 def q_kg_component_sizes(spark, sf_dir: str) -> DataFrame:
-    from ed_twitter_spark.operators.canonicalize import (
-        connected_components,
-        surface_equivalence_edges,
-    )
+    from ed_twitter_spark.operators.canonicalize import components_for
 
-    triples, kb = _prior_triples(spark, sf_dir)
-    comps = connected_components(surface_equivalence_edges(triples, kb))
-    return kg_component_sizes(comps)
+    return kg_component_sizes(components_for(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -153,9 +153,9 @@ FROM m LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb
 
 @register("link_prior_argmax", _LINK_PRIOR_ORACLE)
 def q_link_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
-    kb = synth.kb_alias(spark, sf_dir)
-    return cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb))
+    from ed_twitter_spark.operators.canonicalize import prior_triples
+
+    return prior_triples(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -577,8 +577,8 @@ def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("eval_micro_f1", _EVAL_ORACLE)
 def q_eval_micro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = mention_ops.detect_mentions(synth.transcripts(spark, sf_dir))
-    kb = synth.kb_alias(spark, sf_dir)
-    pred = cand_ops.link_prior_argmax(cand_ops.gen_candidates(m, kb)).select("subj", "obj")
+    from ed_twitter_spark.operators.canonicalize import prior_triples
+
+    pred = prior_triples(spark, sf_dir).select("subj", "obj")
     gold = gold_triples(spark, sf_dir)
     return eval_ops.micro_prf(pred, gold)

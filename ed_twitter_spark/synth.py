@@ -68,6 +68,15 @@ def _shared(key: str, sf_dir: str, build):
         _SHARED_CACHE[k] = build().persist()
     return _SHARED_CACHE[k]
 
+
+def shared(key: str, sf_dir: str, build):
+    """Opt-in cross-query derivation cache (see :func:`enable_shared_cache`).
+
+    Downstream stages (prior triples, CC labels) register their own keys so
+    the bench/pipeline harness materializes each derivation once — a no-op
+    passthrough when the cache is off (the correctness gate and tests)."""
+    return _shared(key, sf_dir, build)
+
 # ---------------------------------------------------------------------------
 # shared scalar expressions (must be semantically identical in both engines)
 # ---------------------------------------------------------------------------
