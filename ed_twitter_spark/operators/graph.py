@@ -835,3 +835,63 @@ GROUP BY a.v, b.v
 
 def q_kg_adamic_adar(spark, sf_dir: str) -> DataFrame:
     return kg_adamic_adar(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# temporal provenance: per-vertex observation lifetimes
+# ---------------------------------------------------------------------------
+
+
+def kg_edge_lifetimes(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """(vertex_id, first_ts_epoch, last_ts_epoch, n_obs, n_convs) — when
+    each canonical entity was first/last observed in the transcript stream.
+
+    The temporal-provenance signal an incrementally-maintained KG serves
+    ("has this entity appeared this month?"). One equi-join of the edge
+    stream to the turn timestamps on (conv_id, turn_idx) — both sides
+    shuffle-partition on the same composite key, and on a date-partitioned
+    transcript table the join prunes to the partitions the edges reference
+    — then a vertex-sized min/max aggregation.
+    """
+    t = transcripts.select(
+        "conv_id", "turn_idx", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    return (
+        edges.where(F.col("obj_vertex").isNotNull())
+        .join(t, on=["conv_id", "turn_idx"])
+        .groupBy(F.col("obj_vertex").alias("vertex_id"))
+        .agg(
+            F.min("ts_epoch").alias("first_ts_epoch"),
+            F.max("ts_epoch").alias("last_ts_epoch"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+def kg_edge_lifetimes_oracle_sql() -> str:
+    from ed_twitter_spark import synth
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL})
+SELECT k.obj_vertex                             AS vertex_id,
+       CAST(MIN(epoch(tr.ts)) AS BIGINT)        AS first_ts_epoch,
+       CAST(MAX(epoch(tr.ts)) AS BIGINT)        AS last_ts_epoch,
+       CAST(COUNT(*) AS BIGINT)                 AS n_obs,
+       CAST(COUNT(DISTINCT k.conv_id) AS BIGINT) AS n_convs
+FROM kge k JOIN tr ON tr.conv_id = k.conv_id AND tr.turn_idx = k.turn_idx
+WHERE k.obj_vertex IS NOT NULL
+GROUP BY k.obj_vertex
+"""
+    )
+
+
+def q_kg_edge_lifetimes(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.canonicalize import components_for
+
+    triples, _ = _prior_triples(spark, sf_dir)
+    e = kg_edges(triples, components_for(spark, sf_dir))
+    return kg_edge_lifetimes(e, synth.transcripts(spark, sf_dir))

@@ -353,6 +353,9 @@ def _register_graph():
     register("kg_adamic_adar", graph_ops.kg_adamic_adar_oracle_sql())(
         graph_ops.q_kg_adamic_adar
     )
+    register("kg_edge_lifetimes", graph_ops.kg_edge_lifetimes_oracle_sql())(
+        graph_ops.q_kg_edge_lifetimes
+    )
 
 
 _register_graph()

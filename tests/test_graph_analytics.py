@@ -126,3 +126,39 @@ def test_adamic_adar_by_hand(fake_edges):
         (2, 4): (1, w_deg3),  # witness 3
         (3, 5): (1, w_deg2),  # witness 4
     }
+
+
+def test_edge_lifetimes_by_hand(spark, fake_edges):
+    from datetime import datetime
+
+    from ed_twitter_spark.operators.graph import kg_edge_lifetimes
+
+    # fake_edges has no turn_idx column; build a matching slice with it
+    edges = spark.createDataFrame(
+        [
+            ("cA", 0, 1), ("cA", 1, 2), ("cA", 2, 1),
+            ("cB", 0, 3),
+        ],
+        "conv_id string, turn_idx int, obj_vertex bigint",
+    )
+    t = spark.createDataFrame(
+        [
+            ("cA", 0, datetime(2026, 1, 1, 0, 0, 0)),
+            ("cA", 1, datetime(2026, 1, 1, 0, 0, 10)),
+            ("cA", 2, datetime(2026, 1, 1, 0, 0, 20)),
+            ("cB", 0, datetime(2026, 1, 2, 0, 0, 0)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    base = 1767225600  # 2026-01-01 00:00:00 UTC
+    got = {
+        r["vertex_id"]: (
+            r["first_ts_epoch"], r["last_ts_epoch"], r["n_obs"], r["n_convs"]
+        )
+        for r in kg_edge_lifetimes(edges, t).collect()
+    }
+    assert got == {
+        1: (base, base + 20, 2, 1),
+        2: (base + 10, base + 10, 1, 1),
+        3: (base + 86400, base + 86400, 1, 1),
+    }
