@@ -385,6 +385,10 @@ def _register_corpus_ops():
     register("dedup_simhash", dd.DEDUP_SIMHASH_SQL)(dd.dedup_simhash)
     register("dedup_simhash_pairs", dd.DEDUP_SIMHASH_PAIRS_SQL)(dd.dedup_simhash_pairs)
     register("dedup_clusters", dd.DEDUP_CLUSTERS_SQL)(dd.dedup_clusters)
+
+    from ed_twitter_spark.operators import doc_embed as de
+
+    register("dedup_embed_neardup", de.DEDUP_EMBED_SQL)(de.dedup_embed_neardup)
     register("ann_cosine_topk", sim.ANN_COSINE_SQL)(sim.ann_cosine_topk)
     register("ann_ivf_topk", sim.ANN_IVF_SQL)(sim.ann_ivf_topk)
     register("embed_cosine_pairs", sim.EMBED_PAIRS_SQL)(sim.embed_cosine_pairs)
