@@ -389,6 +389,10 @@ def _register_corpus_ops():
     from ed_twitter_spark.operators import doc_embed as de
 
     register("dedup_embed_neardup", de.DEDUP_EMBED_SQL)(de.dedup_embed_neardup)
+
+    from ed_twitter_spark.operators import asof
+
+    register("asof_view_purchase", asof.ASOF_VIEW_PURCHASE_SQL)(asof.asof_view_purchase)
     register("ann_cosine_topk", sim.ANN_COSINE_SQL)(sim.ann_cosine_topk)
     register("ann_ivf_topk", sim.ANN_IVF_SQL)(sim.ann_ivf_topk)
     register("embed_cosine_pairs", sim.EMBED_PAIRS_SQL)(sim.embed_cosine_pairs)
