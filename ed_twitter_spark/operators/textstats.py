@@ -261,3 +261,65 @@ SELECT s2.doc_id, s2.dup_2gram_frac, s2.top_2gram_frac,
         AND s3.dup_3gram_frac <= {DUP_3GRAM_MAX}) AS keep
 FROM s2 JOIN s3 ON s3.doc_id = s2.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms — the per-document keyword/selection signal
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank, tok, score) — top-TFIDF_TOP_K terms per document by
+    tf·ln(N/df), ties broken by token ascending.
+
+    Two hash aggregations (tf keyed (doc, tok); df keyed tok — both
+    map-side combined) and one vocab-sized join; the corpus count N rides
+    a broadcast singleton, never a driver collect. Scores are rounded to
+    6 decimals BEFORE ranking so the ordering is robust to last-ulp ln()
+    differences across engines; equal rounded scores fall back to token
+    order, a total order."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select("doc_id", F.explode(toks_col()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, on="tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "tok", "score")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df.df), 6) AS score
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INTEGER) AS rank,
+       tok, score
+FROM scored
+QUALIFY rank <= {TFIDF_TOP_K}
+"""

@@ -362,3 +362,30 @@ def test_embed_neardup_banding_subquadratic(spark):
         cand += sum(c * (c - 1) // 2 for c in keys.values())
     total = n * (n - 1) // 2
     assert cand < total / 20, f"banded candidates {cand} of {total}"
+
+
+def test_tfidf_matches_python(spark, docs_pdf):
+    """tf·ln(N/df) recomputed in pure Python; ranks and rounded scores
+    must agree exactly."""
+    import math
+    import re
+    from collections import Counter
+
+    from ed_twitter_spark.operators.textstats import TFIDF_TOP_K, tfidf_top_terms
+
+    got = tfidf_top_terms(spark, SF_SMOKE).toPandas()
+    toks = {r["doc_id"]: re.split(r"\s+", r["text"]) for _, r in docs_pdf.iterrows()}
+    n = len(toks)
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    for did, grp in got.groupby("doc_id"):
+        tf = Counter(toks[did])
+        scored = sorted(
+            ((round(c * math.log(n / df[t]), 6), t) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:TFIDF_TOP_K]
+        g = grp.sort_values("rank")
+        assert list(g["tok"]) == [t for _, t in scored]
+        assert [round(s, 6) for s in g["score"]] == [s for s, _ in scored]
+    assert (got.groupby("doc_id")["rank"].max() <= TFIDF_TOP_K).all()
