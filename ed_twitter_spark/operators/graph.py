@@ -16,7 +16,7 @@ a broadcast join — no shuffle on the 10^12-row side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -895,3 +895,149 @@ def q_kg_edge_lifetimes(spark, sf_dir: str) -> DataFrame:
     triples, _ = _prior_triples(spark, sf_dir)
     e = kg_edges(triples, components_for(spark, sf_dir))
     return kg_edge_lifetimes(e, synth.transcripts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — community detection over the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def kg_label_propagation(edges: DataFrame) -> DataFrame:
+    """(vertex_id, community) — synchronous label propagation, exactly
+    LPA_ITERS iterations (deterministic → oracle-checkable via unrolled
+    SQL CTEs, like kg_pagerank).
+
+    Each vertex adopts the most frequent label among its neighbours PLUS
+    its own current label (the self-vote damps the 2-cycle oscillation
+    plain synchronous LPA exhibits on bipartite structures); ties break
+    to the smallest label, a total order. One iteration = one join of the
+    vertex-sized label table into the edge stream + one (vertex, label)
+    count + one per-vertex argmax — the label table broadcasts at this
+    scale and degrades to a co-partitioned shuffle join on src beyond the
+    broadcast limit, the same plan shape as PageRank's rank flow.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(cooccurrence_edges(edges))
+    labels = e.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(LPA_ITERS):
+        nbr = e.join(
+            labels.select(F.col("v").alias("src"), "lbl"), on="src"
+        ).select(F.col("dst").alias("v"), "lbl")
+        votes = (
+            nbr.unionByName(labels)
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("n"), F.asc("lbl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    return labels.select(
+        F.col("v").alias("vertex_id"), F.col("lbl").alias("community")
+    )
+
+
+def kg_label_propagation_oracle_sql() -> str:
+    iters = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        iters.append(
+            f"""v{i} AS (
+  SELECT v, lbl, COUNT(*) AS n FROM (
+    SELECT e.dst AS v, l.lbl FROM coedges e JOIN {prev} l ON l.v = e.src
+    UNION ALL SELECT v, lbl FROM {prev}
+  ) GROUP BY v, lbl
+),
+l{i} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC, lbl) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM coedges),
+{",".join(iters)}
+SELECT v AS vertex_id, lbl AS community FROM {prev}
+"""
+    )
+
+
+def q_kg_label_propagation(spark, sf_dir: str) -> DataFrame:
+    return kg_label_propagation(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# k-core — iterative degree pruning of the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+K_CORE_K = 2
+K_CORE_ROUNDS = 3
+
+
+def kg_k_core(edges: DataFrame) -> DataFrame:
+    """(vertex_id, degree) — vertices surviving K_CORE_ROUNDS rounds of
+    degree-< K_CORE_K pruning, with their residual degree.
+
+    Each round is one degree aggregation + two semi-join filters of the
+    edge stream against the vertex-sized keep set (broadcast at this
+    scale). Fixed rounds keep the plan static and the oracle expressible;
+    a path of length L needs ⌈L/2⌉ rounds to fully peel, so like the
+    fixed-iteration PageRank this is the bounded-round approximation of
+    the converged 2-core — rounds are a knob, the oracle unrolls with it.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(cooccurrence_edges(edges))
+    for _ in range(K_CORE_ROUNDS):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= K_CORE_K)
+            .select("src")
+        )
+        e = e.join(keep, on="src").join(
+            keep.select(F.col("src").alias("dst")), on="dst"
+        ).select("src", "dst")
+    return e.groupBy(F.col("src").alias("vertex_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def kg_k_core_oracle_sql() -> str:
+    iters = []
+    prev = "coedges"
+    for i in range(1, K_CORE_ROUNDS + 1):
+        iters.append(
+            f"""k{i} AS (SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {K_CORE_K}),
+e{i} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{i} a ON a.src = e.src
+  JOIN k{i} b ON b.src = e.dst
+)"""
+        )
+        prev = f"e{i}"
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+{",".join(iters)}
+SELECT src AS vertex_id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY src
+"""
+    )
+
+
+def q_kg_k_core(spark, sf_dir: str) -> DataFrame:
+    return kg_k_core(q_kg_edges(spark, sf_dir))

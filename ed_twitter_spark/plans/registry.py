@@ -356,6 +356,10 @@ def _register_graph():
     register("kg_edge_lifetimes", graph_ops.kg_edge_lifetimes_oracle_sql())(
         graph_ops.q_kg_edge_lifetimes
     )
+    register("kg_label_propagation", graph_ops.kg_label_propagation_oracle_sql())(
+        graph_ops.q_kg_label_propagation
+    )
+    register("kg_k_core", graph_ops.kg_k_core_oracle_sql())(graph_ops.q_kg_k_core)
 
 
 _register_graph()

@@ -162,3 +162,35 @@ def test_edge_lifetimes_by_hand(spark, fake_edges):
         2: (base + 10, base + 10, 1, 1),
         3: (base + 86400, base + 86400, 1, 1),
     }
+
+
+def test_label_propagation_by_hand(fake_edges, spark):
+    """Self-vote LPA, 3 synchronous iterations, min-label tie-break.
+    Connected fixture → one community; two disconnected cliques → one
+    community each (and no 2-cycle oscillation on the bipartite pair)."""
+    from ed_twitter_spark.operators.graph import kg_label_propagation
+
+    got = {
+        r["vertex_id"]: r["community"]
+        for r in kg_label_propagation(fake_edges).collect()
+    }
+    assert got == {v: 1 for v in (1, 2, 3, 4, 5)}
+
+    rows = [("cA", v) for v in (10, 11, 12)] + [("cB", v) for v in (20, 21)]
+    two = spark.createDataFrame(
+        [(c, v, f"{c}#t#{i}", 0.5) for i, (c, v) in enumerate(rows)],
+        "conv_id string, obj_vertex bigint, subj string, score double",
+    )
+    got2 = {
+        r["vertex_id"]: r["community"] for r in kg_label_propagation(two).collect()
+    }
+    assert got2 == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_k_core_by_hand(fake_edges):
+    """2-core of triangle 1-2-3 + path 3-4-5: round 1 peels 5, round 2
+    peels 4, the triangle survives with residual degree 2."""
+    from ed_twitter_spark.operators.graph import kg_k_core
+
+    got = {r["vertex_id"]: r["degree"] for r in kg_k_core(fake_edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
