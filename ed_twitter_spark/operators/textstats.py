@@ -323,3 +323,55 @@ SELECT doc_id,
 FROM scored
 QUALIFY rank <= {TFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity — the CCNet-style quality/selection signal
+# ---------------------------------------------------------------------------
+
+
+def quality_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, avg_neg_logp, ppl) — per-document perplexity
+    under the corpus's own unigram distribution (the CCNet trick, with
+    the corpus itself as the LM: no external model needed).
+
+    ppl = exp(−1/n Σ ln p(tok)), p(tok) = corpus count / corpus total.
+    Two map-side-combined aggregations (token counts; per-doc logp sums)
+    joined through the vocab-sized count table — the same shape at any
+    corpus size. Low ppl = templated/repetitive; high ppl = rare-token
+    noise; both tails are what quality filters drop."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select("doc_id", F.explode(toks_col()).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = tok.join(cnt, on="tok").crossJoin(F.broadcast(total))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            -F.sum(F.log(F.col("c") / F.col("total"))) / F.count(F.lit(1)), 6
+        ).alias("avg_neg_logp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "avg_neg_logp",
+        F.round(F.exp(F.col("avg_neg_logp")), 4).alias("ppl"),
+    )
+
+
+QUALITY_PPL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT COUNT(*) * 1.0 AS total FROM tok),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(-SUM(ln(cnt.c / tot.total)) / COUNT(*), 6) AS avg_neg_logp
+  FROM tok t JOIN cnt USING (tok) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, avg_neg_logp, ROUND(exp(avg_neg_logp), 4) AS ppl
+FROM per_doc
+"""

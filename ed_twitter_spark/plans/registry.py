@@ -384,6 +384,7 @@ def _register_corpus_ops():
     register("doc_fingerprint", ts.DOC_FINGERPRINT_SQL)(ts.doc_fingerprint)
     register("quality_repetition", ts.QUALITY_REPETITION_SQL)(ts.quality_repetition)
     register("tfidf_top_terms", ts.TFIDF_SQL)(ts.tfidf_top_terms)
+    register("quality_unigram_ppl", ts.QUALITY_PPL_SQL)(ts.quality_unigram_ppl)
     register("dedup_exact", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
     register("dedup_minhash_lsh", dd.DEDUP_MINHASH_SQL)(dd.dedup_minhash_lsh)
     register("dedup_ngram_jaccard", dd.DEDUP_JACCARD_SQL)(dd.dedup_ngram_jaccard)

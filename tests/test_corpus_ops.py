@@ -389,3 +389,22 @@ def test_tfidf_matches_python(spark, docs_pdf):
         assert list(g["tok"]) == [t for _, t in scored]
         assert [round(s, 6) for s in g["score"]] == [s for s, _ in scored]
     assert (got.groupby("doc_id")["rank"].max() <= TFIDF_TOP_K).all()
+
+
+def test_unigram_ppl_matches_python(spark, docs_pdf):
+    """Perplexity recomputed in pure Python over the corpus unigram LM."""
+    import math
+    import re
+    from collections import Counter
+
+    from ed_twitter_spark.operators.textstats import quality_unigram_ppl
+
+    got = quality_unigram_ppl(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    toks = {r["doc_id"]: re.split(r"\s+", r["text"]) for _, r in docs_pdf.iterrows()}
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    total = sum(cnt.values())
+    for did, ts in list(toks.items())[:50]:
+        avg = round(-sum(math.log(cnt[t] / total) for t in ts) / len(ts), 6)
+        assert got.loc[did, "n_tokens"] == len(ts)
+        assert abs(got.loc[did, "avg_neg_logp"] - avg) < 2e-6
+        assert abs(got.loc[did, "ppl"] - round(math.exp(avg), 4)) < 2e-4
