@@ -396,6 +396,10 @@ def _register_corpus_ops():
 
     register("dedup_embed_neardup", de.DEDUP_EMBED_SQL)(de.dedup_embed_neardup)
 
+    from ed_twitter_spark.operators import conv_dedup as cdd
+
+    register("conv_dedup", cdd.CONV_DEDUP_SQL)(cdd.conv_dedup)
+
     from ed_twitter_spark.operators import asof
 
     register("asof_view_purchase", asof.ASOF_VIEW_PURCHASE_SQL)(asof.asof_view_purchase)

@@ -448,3 +448,41 @@ def test_minhash_km_sketch_matches_python(spark, docs_pdf):
             w[i] = min(w[i], (h1 + i * h2) % 2**32)
     for did, w in list(want.items())[:20]:
         assert list(skt.loc[did]) == w
+
+
+def test_conv_dedup_fingerprint_matches_python(spark):
+    """Conversation fingerprint recomputed with Python big-int arithmetic;
+    order sensitivity asserted by permuting two turns."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.conv_dedup import _MOD, conv_fingerprints
+
+    t = synth.transcripts(spark, SF_SMOKE).toPandas()
+    got = (
+        conv_fingerprints(synth.transcripts(spark, SF_SMOKE))
+        .toPandas()
+        .set_index("conv_id")
+    )
+    want = {}
+    for cid, grp in t.groupby("conv_id"):
+        want[cid] = (
+            sum((r["turn_idx"] + 1) * _h32(r["text"]) for _, r in grp.iterrows())
+            % _MOD
+        )
+    for cid, fp in list(want.items())[:30]:
+        assert got.loc[cid, "fingerprint"] == fp
+        assert got.loc[cid, "n_turns"] == (t["conv_id"] == cid).sum()
+    # permuting two distinct turns changes the fingerprint
+    cid, grp = next(
+        (c, g) for c, g in t.groupby("conv_id")
+        if len(g) >= 2 and g["text"].nunique() >= 2
+    )
+    rows = list(grp.sort_values("turn_idx")["text"])
+    i, j = next(
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if rows[i] != rows[j]
+    )
+    rows[i], rows[j] = rows[j], rows[i]
+    perm = sum((k + 1) * _h32(txt) for k, txt in enumerate(rows)) % _MOD
+    assert perm != want[cid]
