@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -26,10 +27,17 @@ HID_DIMS = 100  # main.py --hid_dims default
 N_RELS = 3  # 3-relation ment-norm model (mulrel-nel/README.md:33)
 
 
+# lru_cache: both codes are recomputed per occurrence inside the hot
+# applyInPandas loops (every window token / every candidate of every
+# mention); token and entity vocabularies are Zipfian, so a bounded
+# memo turns ~all of those md5 calls into dict hits. Caches live per
+# Python worker and survive across Arrow batches.
+@lru_cache(maxsize=1 << 18)
 def word_code(token: str) -> int:
     return int(hashlib.md5(token.encode()).hexdigest()[:6], 16)
 
 
+@lru_cache(maxsize=1 << 18)
 def ent_code(ent_name: str) -> int:
     return int(hashlib.md5(ent_name.encode()).hexdigest()[:8], 16)
 
