@@ -66,3 +66,34 @@ def test_asof_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     # the event_type filters reach the parquet scan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_asof_tie_semantics_by_hand(spark):
+    """Same-timestamp rows resolve by event_id order: a right row with the
+    left row's exact ts matches only if its event_id sorts first."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # (event_id, user_id, ts) — user 1: view@t0 id=1, purchase@t0 id=2
+        # → view matches (1 < 2). user 2: purchase@t0 id=3, view@t0 id=4
+        # → view does NOT match (4 > 3); no earlier view → null.
+        (1, 1, t0), (2, 1, t0), (3, 2, t0), (4, 2, t0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    left = ev.where("event_id IN (2, 3)")
+    right = (
+        ev.where("event_id IN (1, 4)")
+        .withColumnRenamed("event_id", "view_event_id")
+        .withColumn("event_id", F.col("view_event_id"))
+        .select("event_id", "user_id", "ts", "view_event_id")
+    )
+    out = asof_join(
+        left, right, key="user_id", order=["ts", "event_id"], carry=["view_event_id"]
+    ).collect()
+    got = {r["event_id"]: r["view_event_id"] for r in out}
+    assert got == {2: 1, 3: None}
