@@ -295,3 +295,28 @@ def test_kg_analytics_plans(spark):
     a, b = e.alias("x"), e.alias("y")
     wedge_plan = plan_of(a.join(b, F.col("x.dst") == F.col("y.src")))
     assert "CartesianProduct" not in wedge_plan
+
+
+def test_doc_embed_lsh_broadcasts_planes_no_nl(spark):
+    """The hyperplane table (2048-row constant) and the per-pair verify
+    joins all broadcast; no nested-loop or cartesian anywhere."""
+    from ed_twitter_spark.operators.doc_embed import dedup_embed_neardup
+
+    plan = plan_of(dedup_embed_neardup(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_singleton_is_the_only_nl_join(spark):
+    """The corpus-count singleton rides a broadcast nested-loop join —
+    linear with a 1-row build side, the standard scalar-broadcast shape.
+    It must be the ONLY nested-loop in the plan, and the df join must
+    stay a hash join."""
+    import re as _re
+
+    from ed_twitter_spark.operators.textstats import tfidf_top_terms
+
+    plan = plan_of(tfidf_top_terms(spark, SF_SMOKE))
+    assert len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "CartesianProduct" not in plan
