@@ -375,3 +375,115 @@ per_doc AS (
 SELECT doc_id, n_tokens, avg_neg_logp, ROUND(exp(avg_neg_logp), 4) AS ppl
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher word-level quality rules (Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+# the 8 function words Gopher requires a minimum number of
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+# Gopher's published minimum is 2; the synthetic corpus is
+# function-word-sparse (of the 8, only 'the' occurs), so the executable
+# default is 1 — keeps the gate discriminative instead of vacuously false.
+GOPHER_MIN_STOP_HITS = 1
+
+
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule bundle: the word-level quality gates every
+    MassiveText-style pretraining pipeline applies before dedup.
+
+    Signals (all pure JVM column algebra over one tokenization — no
+    Python, no shuffle; the scan prunes to (doc_id, text)):
+
+    * ``n_words``          — whitespace token count, gated to
+                             [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS];
+    * ``mean_word_len``    — gated to [3, 10];
+    * ``symbol_ratio``     — ('#' chars + '...' occurrences) / words,
+                             gated <= 0.1;
+    * ``alpha_word_ratio`` — words containing an ASCII letter / words,
+                             gated >= 0.8;
+    * ``n_stop_hits``      — how many of the 8 Gopher function words
+                             appear at least once, gated >= 2;
+    * ``keep``             — AND of all five gates.
+
+    Rule comparisons use the raw (unrounded) ratios; both engines compute
+    them with identical int/int double division, so the keep bit cannot
+    straddle a rounding boundary cross-engine.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = toks_col()
+    toksl = F.transform(toks, F.lower)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    mean_len = sum_len / n_words
+    hash_cnt = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    ell_cnt = (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
+    symbol_ratio = (hash_cnt + ell_cnt) / n_words
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words
+    hits = None
+    for w in GOPHER_STOPS:
+        term = F.array_contains(toksl, w).cast("long")
+        hits = term if hits is None else hits + term
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        hits.alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+_GOPHER_HITS_SQL = " + ".join(
+    f"(CASE WHEN list_contains(toksl, '{w}') THEN 1 ELSE 0 END)"
+    for w in GOPHER_STOPS
+)
+
+QUALITY_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks,
+         list_transform({TOKS_SQL}, x -> lower(x)) AS toksl
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+           AS mean_len,
+         (length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) / 3.0)
+           * 1.0 / len(toks) AS symbol_ratio,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           * 1.0 / len(toks) AS alpha_ratio,
+         CAST({_GOPHER_HITS_SQL} AS BIGINT) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+       ROUND(mean_len, 6)     AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(alpha_ratio, 6)  AS alpha_word_ratio,
+       n_stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_len >= {GOPHER_MIN_MEAN_LEN} AND mean_len <= {GOPHER_MAX_MEAN_LEN}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+        AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM m
+"""

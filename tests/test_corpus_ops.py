@@ -486,3 +486,48 @@ def test_conv_dedup_fingerprint_matches_python(spark):
     rows[i], rows[j] = rows[j], rows[i]
     perm = sum((k + 1) * _h32(txt) for k, txt in enumerate(rows)) % _MOD
     assert perm != want[cid]
+
+
+def test_quality_gopher_rules(spark, docs_pdf):
+    """Gopher rule bundle matches an independent pure-Python evaluation."""
+    import re
+
+    from ed_twitter_spark.operators.textstats import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+        quality_gopher,
+    )
+
+    got = quality_gopher(spark, SF_SMOKE).toPandas().set_index("doc_id").sort_index()
+    assert len(got) == len(docs_pdf)
+    for _, row in docs_pdf.head(50).iterrows():
+        text = row["text"]
+        toks = re.split(r"\s+", text)
+        n = len(toks)
+        mean_len = sum(len(t) for t in toks) / n
+        sym = (text.count("#") + text.count("...")) / n
+        alpha = sum(1 for t in toks if re.search("[A-Za-z]", t)) / n
+        low = [t.lower() for t in toks]
+        hits = sum(1 for w in GOPHER_STOPS if w in low)
+        keep = (
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_LEN <= mean_len <= GOPHER_MAX_MEAN_LEN
+            and sym <= GOPHER_MAX_SYMBOL_RATIO
+            and alpha >= GOPHER_MIN_ALPHA_RATIO
+            and hits >= GOPHER_MIN_STOP_HITS
+        )
+        g = got.loc[row["doc_id"]]
+        assert g["n_words"] == n
+        assert abs(g["mean_word_len"] - mean_len) < 1e-5
+        assert abs(g["symbol_ratio"] - sym) < 1e-5
+        assert abs(g["alpha_word_ratio"] - alpha) < 1e-5
+        assert g["n_stop_hits"] == hits
+        assert bool(g["keep"]) == keep
+    # the gate must actually split the corpus, not pass/fail everything
+    assert 0 < got["keep"].sum() < len(got)
