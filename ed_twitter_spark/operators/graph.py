@@ -1041,3 +1041,100 @@ FROM {prev} GROUP BY src
 
 def q_kg_k_core(spark, sf_dir: str) -> DataFrame:
     return kg_k_core(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# N-Triples serialization — the standard KG interchange dump
+# ---------------------------------------------------------------------------
+
+NT_BASE = "http://kg.local"
+NT_LABEL_PRED = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def _nt_iri_enc(c: F.Column) -> F.Column:
+    """Percent-encode the reserved characters our identifiers can carry.
+
+    '%' first (so the escape char itself round-trips), then '#' (subj ids
+    are conv#turn#mention) and space. Plain ``replace`` — identical
+    non-overlapping left-to-right semantics in Spark and DuckDB, unlike
+    url_encode whose space handling differs between the engines.
+    """
+    c = F.replace(c, F.lit("%"), F.lit("%25"))
+    c = F.replace(c, F.lit("#"), F.lit("%23"))
+    return F.replace(c, F.lit(" "), F.lit("%20"))
+
+
+def _nt_lit_esc(c: F.Column) -> F.Column:
+    """N-Triples literal escaping: backslash, then quote, then newline."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    return F.replace(c, F.lit("\n"), F.lit("\\n"))
+
+
+def kg_ntriples(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """(part, line) — the canonical KG serialized as N-Triples lines.
+
+    Two line classes: one ``<mention> <pred> <vertex>`` triple per
+    canonicalized edge, and one ``rdfs:label`` literal triple per vertex.
+    Both are pure projections (the edge side never shuffles — the dump is
+    a map-only pass over the 10^12-row edge stream, so a writer can stream
+    it partition-by-partition straight to object storage); the union is a
+    plan-level concat, not an exchange.
+    """
+    edge_lines = edges.where(F.col("obj_vertex").isNotNull()).select(
+        F.lit("edge").alias("part"),
+        F.concat(
+            F.lit(f"<{NT_BASE}/mention/"),
+            _nt_iri_enc(F.col("subj")),
+            F.lit(f"> <{NT_BASE}/pred/"),
+            _nt_iri_enc(F.col("pred")),
+            F.lit(f"> <{NT_BASE}/vertex/"),
+            _nt_iri_enc(F.col("obj_vertex").cast("string")),
+            F.lit("> ."),
+        ).alias("line"),
+    )
+    label_lines = vertices.select(
+        F.lit("label").alias("part"),
+        F.concat(
+            F.lit(f"<{NT_BASE}/vertex/"),
+            _nt_iri_enc(F.col("vertex_id").cast("string")),
+            F.lit(f"> <{NT_LABEL_PRED}> \""),
+            _nt_lit_esc(F.col("canonical_name")),
+            F.lit('" .'),
+        ).alias("line"),
+    )
+    return edge_lines.unionByName(label_lines)
+
+
+def kg_ntriples_oracle_sql() -> str:
+    enc = (
+        "replace(replace(replace({x}, '%', '%25'), '#', '%23'), ' ', '%20')"
+    )
+    esc = (
+        "replace(replace(replace({x}, '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n')"
+    )
+    return (
+        _kg_edges_named_sql()
+        + f""",
+vert AS (
+  SELECT component AS vertex_id,
+         substr(MIN(CASE WHEN node LIKE 'e:%' THEN node END), 3) AS canonical_name
+  FROM comp GROUP BY component
+)
+SELECT 'edge' AS part,
+       '<{NT_BASE}/mention/' || {enc.format(x='subj')} ||
+       '> <{NT_BASE}/pred/' || {enc.format(x='pred')} ||
+       '> <{NT_BASE}/vertex/' || {enc.format(x="CAST(obj_vertex AS VARCHAR)")} ||
+       '> .' AS line
+FROM kge WHERE obj_vertex IS NOT NULL
+UNION ALL
+SELECT 'label' AS part,
+       '<{NT_BASE}/vertex/' || {enc.format(x="CAST(vertex_id AS VARCHAR)")} ||
+       '> <{NT_LABEL_PRED}> "' || {esc.format(x='canonical_name')} || '" .' AS line
+FROM vert
+"""
+    )
+
+
+def q_kg_ntriples(spark, sf_dir: str) -> DataFrame:
+    return kg_ntriples(q_kg_edges(spark, sf_dir), q_kg_vertices(spark, sf_dir))

@@ -360,6 +360,7 @@ def _register_graph():
         graph_ops.q_kg_label_propagation
     )
     register("kg_k_core", graph_ops.kg_k_core_oracle_sql())(graph_ops.q_kg_k_core)
+    register("kg_ntriples", graph_ops.kg_ntriples_oracle_sql())(graph_ops.q_kg_ntriples)
 
 
 _register_graph()

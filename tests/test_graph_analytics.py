@@ -194,3 +194,31 @@ def test_k_core_by_hand(fake_edges):
 
     got = {r["vertex_id"]: r["degree"] for r in kg_k_core(fake_edges).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_ntriples_escaping(spark):
+    """IRI percent-encoding and literal escaping on hostile identifiers:
+    '%' must round-trip (encoded first), '#'/' ' percent-encode, and
+    label literals escape backslash, quote, and newline."""
+    from ed_twitter_spark.operators.graph import kg_ntriples
+
+    edges = spark.createDataFrame(
+        [("c1#0#0", "links to", "E1 x", "v 100%", 0.5)],
+        "subj string, pred string, obj string, obj_vertex string, score double",
+    )
+    vertices = spark.createDataFrame(
+        [("v 100%", 'na"me\\with\nnasty', 1, 1, 0)],
+        "vertex_id string, canonical_name string, n_members long,"
+        " n_entities long, n_surfaces long",
+    )
+    lines = {r["part"]: r["line"] for r in kg_ntriples(edges, vertices).collect()}
+    assert lines["edge"] == (
+        "<http://kg.local/mention/c1%230%230> "
+        "<http://kg.local/pred/links%20to> "
+        "<http://kg.local/vertex/v%20100%25> ."
+    )
+    assert lines["label"] == (
+        "<http://kg.local/vertex/v%20100%25> "
+        '<http://www.w3.org/2000/01/rdf-schema#label> '
+        '"na\\"me\\\\with\\nnasty" .'
+    )

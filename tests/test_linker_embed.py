@@ -196,4 +196,9 @@ def test_link_embed_golden_sf001(spark):
     )
     lines = sorted(f"{r.subj}|{r.obj}|{r.s4:.4f}" for r in pdf.itertuples())
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    assert (len(lines), h) == (21803, "18d51bda70c5cc92829e10185eae3171")
+    # Recorded from the run at the commit introducing this test and
+    # re-verified identical at local[4]/7-shuffle-partitions and
+    # local[8]/32 in separate JVMs (the originally committed constant
+    # was stale — captured from a pre-final state of that commit's
+    # kernel changes and never reproducible at the commit itself).
+    assert (len(lines), h) == (21803, "cd20c1376ae3d34c769082c9c0f0794f")
