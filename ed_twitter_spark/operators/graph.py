@@ -242,7 +242,7 @@ def _kg_edges_named_sql() -> str:
     return (
         _graph_base_sql()
         + """,
-kge AS (
+kge AS MATERIALIZED (
   SELECT t.subj, t.pred, t.obj, c.component AS obj_vertex, t.score,
          t.conv_id, t.turn_idx, t.mention_idx
   FROM triple t LEFT JOIN comp c ON c.node = 'e:' || t.obj
@@ -435,9 +435,14 @@ def kg_two_hop(edges: DataFrame) -> DataFrame:
     )
 
 
+# MATERIALIZED matters: DuckDB 1.0 inlines CTEs by default, so every
+# reference to coedges re-evaluates the whole kge base — including the
+# recursive connected-components closure. The iterative oracles below
+# (BFS levels, power iteration) reference it once per unrolled step, which
+# without the hint turns a ~25 s oracle into an exponential many-minute one.
 _COEDGES_SQL = """
-cv AS (SELECT DISTINCT conv_id, obj_vertex AS v FROM kge WHERE obj_vertex IS NOT NULL),
-coedges AS (
+cv AS MATERIALIZED (SELECT DISTINCT conv_id, obj_vertex AS v FROM kge WHERE obj_vertex IS NOT NULL),
+coedges AS MATERIALIZED (
   SELECT DISTINCT a.v AS src, b.v AS dst
   FROM cv a JOIN cv b ON a.conv_id = b.conv_id AND a.v <> b.v
 )"""
@@ -1138,3 +1143,202 @@ FROM vert
 
 def q_kg_ntriples(spark, sf_dir: str) -> DataFrame:
     return kg_ntriples(q_kg_edges(spark, sf_dir), q_kg_vertices(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS hop distance from the hub seeds
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 3
+BFS_N_SEEDS = 3
+
+
+def kg_bfs_hops(edges: DataFrame) -> DataFrame:
+    """(vertex_id, hops) — min hop distance (≤ BFS_MAX_HOPS) from the
+    BFS_N_SEEDS highest-degree co-occurrence vertices (ties → smaller id).
+
+    Frontier-parallel BFS: each level is one join frontier ⋈ edges plus an
+    anti-join against the visited set — the standard distributed BFS shape
+    (level-synchronous, no per-vertex driver loop). Frontiers are persisted
+    per level so the lineage doesn't re-expand exponentially; at cluster
+    scale the edge table would be co-partitioned on src once and reused
+    across all levels, which is exactly what the single persist gives.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(cooccurrence_edges(edges))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(BFS_N_SEEDS)
+        .select(F.col("src").alias("v"))
+    )
+    visited = seeds.select("v", F.lit(0).alias("hops"))
+    frontier = seeds
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = persist_tracked(
+            frontier.withColumnRenamed("v", "src")
+            .join(e, on="src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("v"), on="v", how="left_anti")
+        )
+        visited = visited.unionByName(nxt.select("v", F.lit(h).alias("hops")))
+        frontier = nxt
+    return visited.select(
+        F.col("v").alias("vertex_id"), F.col("hops").cast("int").alias("hops")
+    )
+
+
+def kg_bfs_hops_oracle_sql() -> str:
+    levels = ["d0 AS MATERIALIZED (SELECT v, 0 AS hops FROM seeds)"]
+    union = ["SELECT v, hops FROM d0"]
+    seen = "SELECT v FROM d0"
+    for h in range(1, BFS_MAX_HOPS + 1):
+        levels.append(
+            f"""d{h} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS v, {h} AS hops
+  FROM coedges e JOIN d{h - 1} f ON f.v = e.src
+  WHERE e.dst NOT IN ({seen})
+)"""
+        )
+        union.append(f"SELECT v, hops FROM d{h}")
+        seen += f" UNION ALL SELECT v FROM d{h}"
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+deg AS (SELECT src, COUNT(*) AS deg FROM coedges GROUP BY src),
+seeds AS (SELECT src AS v FROM deg ORDER BY deg DESC, src LIMIT {BFS_N_SEEDS}),
+{",".join(levels)}
+SELECT v AS vertex_id, CAST(hops AS INTEGER) AS hops
+FROM ({" UNION ALL ".join(union)}) levels
+"""
+    )
+
+
+def q_kg_bfs_hops(spark, sf_dir: str) -> DataFrame:
+    return kg_bfs_hops(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# eigenvector centrality (max-normalized power iteration)
+# ---------------------------------------------------------------------------
+
+EIGEN_ITERS = 3
+
+
+def kg_eigencentrality(edges: DataFrame) -> DataFrame:
+    """(vertex_id, centrality) — EIGEN_ITERS max-normalized power-iteration
+    steps over the co-occurrence adjacency (the undirected analog of HITS:
+    on a symmetric graph hubs ≡ authorities ≡ the dominant eigenvector).
+
+    Per iteration: one edge join + one sum-by-dst aggregation, then a
+    max-normalization whose scalar rides a broadcast singleton — same
+    dataflow shape as :func:`kg_pagerank` but without the degree division,
+    so hub mass concentrates instead of being split. Deterministic
+    iteration count → oracle-checkable via unrolled SQL.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(cooccurrence_edges(edges))
+    nodes = e.select(F.col("src").alias("v")).distinct()
+    x = nodes.select("v", F.lit(1.0).alias("x"))
+    for _ in range(EIGEN_ITERS):
+        s = (
+            x.withColumnRenamed("v", "src")
+            .join(e, on="src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("x").alias("s"))
+        )
+        mx = s.agg(F.max("s").alias("mx"))
+        x = s.crossJoin(F.broadcast(mx)).select(
+            "v", (F.col("s") / F.col("mx")).alias("x")
+        )
+    return x.select(F.col("v").alias("vertex_id"), F.round("x", 6).alias("centrality"))
+
+
+def kg_eigencentrality_oracle_sql() -> str:
+    prev = "x0"
+    its = []
+    for i in range(1, EIGEN_ITERS + 1):
+        its.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS v, SUM(p.x) AS s
+  FROM coedges e JOIN {prev} p ON p.v = e.src GROUP BY e.dst
+),
+x{i} AS MATERIALIZED (SELECT v, s / (SELECT MAX(s) FROM s{i}) AS x FROM s{i})"""
+        )
+        prev = f"x{i}"
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+x0 AS MATERIALIZED (SELECT DISTINCT src AS v, 1.0 AS x FROM coedges),
+{",".join(its)}
+SELECT v AS vertex_id, ROUND(x, 6) AS centrality FROM {prev}
+"""
+    )
+
+
+def q_kg_eigencentrality(spark, sf_dir: str) -> DataFrame:
+    return kg_eigencentrality(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# per-conversation entity salience
+# ---------------------------------------------------------------------------
+
+
+def entity_salience(edges: DataFrame) -> DataFrame:
+    """(conv_id, vertex_id, n_mentions, first_turn, salience) — how central
+    an entity is to one conversation: mention share discounted by how late
+    it first appears (salience = share / (1 + first_turn)).
+
+    One map-side-combined aggregation keyed (conv_id, vertex) plus a
+    conversation-total join keyed conv_id — both shuffles are on the
+    conversation key the transcript tables are already clustered by, so at
+    scale AQE plans them as a single co-partitioned exchange.
+    """
+    per = (
+        edges.where(F.col("obj_vertex").isNotNull())
+        .groupBy("conv_id", F.col("obj_vertex").alias("vertex_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("turn_idx").alias("first_turn"),
+        )
+    )
+    tot = per.groupBy("conv_id").agg(F.sum("n_mentions").alias("m_tot"))
+    return per.join(tot, on="conv_id").select(
+        "conv_id",
+        "vertex_id",
+        "n_mentions",
+        "first_turn",
+        F.round(
+            F.col("n_mentions") / F.col("m_tot") / (F.lit(1) + F.col("first_turn")),
+            6,
+        ).alias("salience"),
+    )
+
+
+def entity_salience_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + """,
+per AS (
+  SELECT conv_id, obj_vertex AS vertex_id,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions,
+         MIN(turn_idx) AS first_turn
+  FROM kge WHERE obj_vertex IS NOT NULL
+  GROUP BY conv_id, obj_vertex
+),
+tot AS (SELECT conv_id, SUM(n_mentions) AS m_tot FROM per GROUP BY conv_id)
+SELECT per.conv_id, vertex_id, n_mentions, first_turn,
+       ROUND(n_mentions * 1.0 / m_tot / (1 + first_turn), 6) AS salience
+FROM per JOIN tot ON tot.conv_id = per.conv_id
+"""
+    )
+
+
+def q_entity_salience(spark, sf_dir: str) -> DataFrame:
+    return entity_salience(q_kg_edges(spark, sf_dir))

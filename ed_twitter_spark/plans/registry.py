@@ -361,6 +361,13 @@ def _register_graph():
     )
     register("kg_k_core", graph_ops.kg_k_core_oracle_sql())(graph_ops.q_kg_k_core)
     register("kg_ntriples", graph_ops.kg_ntriples_oracle_sql())(graph_ops.q_kg_ntriples)
+    register("kg_bfs_hops", graph_ops.kg_bfs_hops_oracle_sql())(graph_ops.q_kg_bfs_hops)
+    register("kg_eigencentrality", graph_ops.kg_eigencentrality_oracle_sql())(
+        graph_ops.q_kg_eigencentrality
+    )
+    register("entity_salience", graph_ops.entity_salience_oracle_sql())(
+        graph_ops.q_entity_salience
+    )
 
 
 _register_graph()

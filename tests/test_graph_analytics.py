@@ -222,3 +222,51 @@ def test_ntriples_escaping(spark):
         '<http://www.w3.org/2000/01/rdf-schema#label> '
         '"na\\"me\\\\with\\nnasty" .'
     )
+
+
+def test_bfs_hops_by_hand(fake_edges):
+    from ed_twitter_spark.operators.graph import kg_bfs_hops
+
+    got = {r["vertex_id"]: r["hops"] for r in kg_bfs_hops(fake_edges).collect()}
+    # degrees: 3→3, {1,2,4}→2, 5→1; seeds = top-3 by (deg desc, id asc)
+    # = {3, 1, 2} at hop 0; frontier {1,2,3} reaches 4 at hop 1; 5 at hop 2
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+
+def test_eigencentrality_by_hand(fake_edges):
+    import pytest as pt
+
+    from ed_twitter_spark.operators.graph import kg_eigencentrality
+
+    got = {
+        r["vertex_id"]: r["centrality"]
+        for r in kg_eigencentrality(fake_edges).collect()
+    }
+    # x0=1; s1=deg=[2,2,3,2,1]/3; s2=[5/3,5/3,2,4/3,2/3]/2;
+    # s3=[11/6,11/6,7/3,4/3,2/3]/(7/3) → [11/14,11/14,1,4/7,2/7]
+    exp = {1: 11 / 14, 2: 11 / 14, 3: 1.0, 4: 4 / 7, 5: 2 / 7}
+    assert got.keys() == exp.keys()
+    for v, x in exp.items():
+        assert got[v] == pt.approx(round(x, 6), abs=1e-6)
+
+
+def test_entity_salience_by_hand(spark):
+    import pytest as pt
+
+    from ed_twitter_spark.operators.graph import entity_salience
+
+    edges = spark.createDataFrame(
+        [("cA", 1, 0), ("cA", 1, 1), ("cA", 2, 1), ("cB", 2, 5), ("cB", None, 0)],
+        "conv_id string, obj_vertex bigint, turn_idx int",
+    )
+    got = {
+        (r["conv_id"], r["vertex_id"]): (r["n_mentions"], r["first_turn"], r["salience"])
+        for r in entity_salience(edges).collect()
+    }
+    # cA: v1 share 2/3 at first_turn 0 → 2/3; v2 share 1/3 at turn 1 → 1/6
+    # cB: the NULL-vertex row is excluded, so v2 has share 1 at turn 5 → 1/6
+    assert got == {
+        ("cA", 1): (2, 0, pt.approx(round(2 / 3, 6))),
+        ("cA", 2): (1, 1, pt.approx(round(1 / 6, 6))),
+        ("cB", 2): (1, 5, pt.approx(round(1 / 6, 6))),
+    }
