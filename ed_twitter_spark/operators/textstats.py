@@ -487,3 +487,118 @@ SELECT doc_id, n_words,
         AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# character-trigram language ID
+# ---------------------------------------------------------------------------
+
+# Distinctive function-word trigrams per language (space-padded, ASCII —
+# the normalizer below strips everything outside [a-z ]). The classic
+# Cavnar–Trenkle n-gram-profile idea reduced to a fixed profile: score =
+# how many of the document's trigrams hit the language's profile. A tiny
+# constant table → the whole classifier is column algebra (array_contains
+# against a literal array), no join, no shuffle, no Python — it rides the
+# parquet scan at any scale.
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "de": [" de", "der", "er ", "ie ", "die", "und", " un", "ein", "ich",
+           "sch", "ch ", "en ", "ung", "ber", "gen"],
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", " of", "of ",
+           "ion", " to", "to ", "ed ", " in", "is "],
+    "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "que", " qu",
+           "ado", "cio", "ent", "ien", "nte", "ar "],
+    "fr": [" le", "le ", " de", "de ", "es ", " la", "la ", "ent", " et",
+           "et ", "que", " qu", "eur", "ais", "ons"],
+}
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_trigrams, lang_pred, lang_score) — character-trigram
+    language ID over ``documents``.
+
+    Normalize to lowercase [a-z ] with collapsed separators, slice every
+    char trigram, count hits against each language profile, and take the
+    argmax (ties → lexicographically-first language; zero hits → 'unk').
+    The trigram array is ~|text| elements but lives only inside one
+    projection — nothing is exploded, so the operator stays one narrow
+    whole-stage-codegen pass over the scan.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "))
+    tris = F.when(
+        F.length(norm) >= 3,
+        F.expr(
+            "transform(sequence(1, length(trim(regexp_replace(lower(text),"
+            " '[^a-z]+', ' '))) - 2),"
+            " i -> substring(trim(regexp_replace(lower(text), '[^a-z]+', ' ')),"
+            " i, 3))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select("doc_id", tris.alias("tris"))
+    def _hits(prof):
+        # nested closure: a default-arg lambda would grow a second parameter
+        # and PySpark's filter() would bind it to the element *index*
+        return lambda t: F.array_contains(F.lit(prof), t)
+
+    counts = [
+        F.size(F.filter("tris", _hits(prof))).alias(f"c_{lang}")
+        for lang, prof in sorted(LANG_TRIGRAM_PROFILES.items())
+    ]
+    d = d.select("doc_id", F.size("tris").alias("n_tri"), *counts)
+    best = F.greatest(*[F.col(f"c_{l}") for l in sorted(LANG_TRIGRAM_PROFILES)])
+    pred = F.when(best == 0, F.lit("unk"))
+    for lang in sorted(LANG_TRIGRAM_PROFILES):  # alphabetical tie-break
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return d.select(
+        "doc_id",
+        F.col("n_tri").cast("long").alias("n_trigrams"),
+        pred.alias("lang_pred"),
+        F.when(F.col("n_tri") > 0, F.round(best / F.col("n_tri"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("lang_score"),
+    )
+
+
+def _lang_profile_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{t}'" for t in LANG_TRIGRAM_PROFILES[lang]) + "]"
+
+
+LANG_ID_NGRAM_SQL = (
+    """
+WITH n AS (
+  SELECT doc_id,
+         [substring(norm, i, 3) FOR i IN range(1, length(norm) - 1)] AS tris
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS norm
+        FROM documents)
+),
+c AS (
+  SELECT doc_id, len(tris) AS n_tri,
+"""
+    + ",\n".join(
+        f"         len(list_filter(tris, t -> list_contains("
+        f"{_lang_profile_sql(lang)}, t))) AS c_{lang}"
+        for lang in sorted(LANG_TRIGRAM_PROFILES)
+    )
+    + f"""
+  FROM n
+)
+SELECT doc_id, CAST(n_tri AS BIGINT) AS n_trigrams,
+       CASE WHEN GREATEST({", ".join("c_" + l for l in sorted(LANG_TRIGRAM_PROFILES))}) = 0 THEN 'unk'
+"""
+    + "\n".join(
+        f"            WHEN c_{lang} = GREATEST("
+        f"{', '.join('c_' + l for l in sorted(LANG_TRIGRAM_PROFILES))})"
+        f" THEN '{lang}'"
+        for lang in sorted(LANG_TRIGRAM_PROFILES)
+    )
+    + """
+       END AS lang_pred,
+       CASE WHEN n_tri > 0
+            THEN ROUND(GREATEST("""
+    + ", ".join("c_" + l for l in sorted(LANG_TRIGRAM_PROFILES))
+    + """) * 1.0 / n_tri, 6)
+            ELSE 0.0 END AS lang_score
+FROM c
+"""
+)

@@ -531,3 +531,33 @@ def test_quality_gopher_rules(spark, docs_pdf):
         assert bool(g["keep"]) == keep
     # the gate must actually split the corpus, not pass/fail everything
     assert 0 < got["keep"].sum() < len(got)
+
+
+def test_lang_id_ngram_by_hand(spark, tmp_path):
+    """Pin the trigram language-ID semantics: profile hits, alphabetical
+    tie-break, unk on zero hits / short text, and the [a-z ] normalizer."""
+    import os
+
+    from ed_twitter_spark.operators.textstats import lang_id_ngram
+
+    src = str(tmp_path / "lid")
+    spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),  # en hits: the×2 he ×2  an and nd  th = 8/17
+            (2, "xyz"),                  # 1 trigram, 0 hits → unk
+            (3, "ab"),                   # < 3 chars → 0 trigrams → unk
+            (4, "die the"),              # en 2 (' th','the') ties de 2 ('die','ie ') → de
+            (5, "The--CAT!!"),           # normalizes to 'the cat' → en 2/5
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    os.rename(src, str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r.asDict() for r in lang_id_ngram(spark, str(tmp_path)).collect()}
+    assert got[1]["lang_pred"] == "en"
+    assert got[1]["n_trigrams"] == 17
+    assert got[1]["lang_score"] == pytest.approx(round(8 / 17, 6))
+    assert got[2] == {"doc_id": 2, "n_trigrams": 1, "lang_pred": "unk", "lang_score": 0.0}
+    assert got[3] == {"doc_id": 3, "n_trigrams": 0, "lang_pred": "unk", "lang_score": 0.0}
+    assert got[4]["lang_pred"] == "de"
+    assert got[4]["lang_score"] == pytest.approx(0.4)
+    assert got[5] == {"doc_id": 5, "n_trigrams": 5, "lang_pred": "en", "lang_score": 0.4}
