@@ -135,6 +135,17 @@ def test_text_stats_is_jvm_only_single_pass(spark):
     assert "Scan parquet" in plan
 
 
+def test_lang_id_ngram_is_jvm_only_single_pass(spark):
+    from ed_twitter_spark.operators.textstats import lang_id_ngram
+
+    plan = plan_of(lang_id_ngram(spark, SF_SMOKE))
+    # the trigram array + 4 profile counts live inside one Project over the
+    # scan: no explode, no join against a profile table, no Python
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan and "Generate" not in plan
+    assert "Scan parquet" in plan
+
+
 def test_event_sessions_single_exchange(spark):
     from ed_twitter_spark.operators.sessions import event_sessions
 
