@@ -1342,3 +1342,56 @@ FROM per JOIN tot ON tot.conv_id = per.conv_id
 
 def q_entity_salience(spark, sf_dir: str) -> DataFrame:
     return entity_salience(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# typed predicates from turn provenance
+# ---------------------------------------------------------------------------
+
+
+def kg_typed_edges(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """kg_edges with the constant ``links_to`` predicate refined by turn
+    provenance: ``mentioned_in_<tool>`` for tool-call turns, else
+    ``mentioned_by_<role>`` — the pred-typing step that turns the flat
+    link table into a typed KG edge set.
+
+    One equi-join on (conv_id, turn_idx): both sides derive from the same
+    transcript table and are clustered by conversation, so at scale this
+    is a co-partitioned shuffle join (AQE), not a broadcast of the
+    10^12-row turn table.
+    """
+    t = transcripts.select("conv_id", "turn_idx", "role", "tool")
+    pred = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("mentioned_in_"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("mentioned_by_"), F.col("role")))
+    return edges.drop("pred").join(t, on=["conv_id", "turn_idx"]).select(
+        "subj",
+        pred.alias("pred"),
+        "obj",
+        "obj_vertex",
+        "conv_id",
+        "turn_idx",
+        "mention_idx",
+    )
+
+
+def kg_typed_edges_oracle_sql() -> str:
+    from ed_twitter_spark import synth
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL})
+SELECT k.subj,
+       CASE WHEN t.tool IS NOT NULL THEN 'mentioned_in_' || t.tool
+            ELSE 'mentioned_by_' || t.role END AS pred,
+       k.obj, k.obj_vertex, k.conv_id, k.turn_idx, k.mention_idx
+FROM kge k JOIN tr t ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+"""
+    )
+
+
+def q_kg_typed_edges(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+
+    return kg_typed_edges(q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir))

@@ -368,6 +368,9 @@ def _register_graph():
     register("entity_salience", graph_ops.entity_salience_oracle_sql())(
         graph_ops.q_entity_salience
     )
+    register("kg_typed_edges", graph_ops.kg_typed_edges_oracle_sql())(
+        graph_ops.q_kg_typed_edges
+    )
 
 
 _register_graph()
