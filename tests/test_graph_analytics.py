@@ -270,3 +270,20 @@ def test_entity_salience_by_hand(spark):
         ("cA", 2): (1, 1, pt.approx(round(1 / 6, 6))),
         ("cB", 2): (1, 5, pt.approx(round(1 / 6, 6))),
     }
+
+
+def test_typed_edges_by_hand(spark):
+    from ed_twitter_spark.operators.graph import kg_typed_edges
+
+    edges = spark.createDataFrame(
+        [("c1#0#0", "links_to", "E1", 7, "c1", 0, 0),
+         ("c1#1#0", "links_to", "E2", 8, "c1", 1, 0)],
+        "subj string, pred string, obj string, obj_vertex long,"
+        " conv_id string, turn_idx int, mention_idx int",
+    )
+    transcripts = spark.createDataFrame(
+        [("c1", 0, "user", None), ("c1", 1, "tool", "search"), ("c1", 2, "assistant", None)],
+        "conv_id string, turn_idx int, role string, tool string",
+    )
+    got = {r["subj"]: r["pred"] for r in kg_typed_edges(edges, transcripts).collect()}
+    assert got == {"c1#0#0": "mentioned_by_user", "c1#1#0": "mentioned_in_search"}
