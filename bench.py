@@ -44,11 +44,15 @@ HEADLINE = [
 
 def run(spark, names=None, sf_dir=SF_DIR):
     """Time each headline query under pipeline semantics: the shared
-    upstream derivations (transcripts, kb_alias) are persisted on first
-    use and reused by later stages — exactly what the production DAG does
-    (plans/pipeline.py materializes each stage once). The first queries in
-    HEADLINE are those derivations themselves, so their build cost is
-    still inside the timed total, exactly once."""
+    upstream derivations (transcripts, kb_alias, prior triples, CC labels)
+    are persisted once and reused by later stages — exactly what the
+    production DAG does (plans/pipeline.py materializes each stage once).
+
+    The one-time materialization cost is charged to its own
+    ``_shared_build`` row instead of whichever query happens to run first,
+    so per-query rows stay comparable round-over-round (the r3
+    transcripts/text_stats "regressions" were this accounting artifact).
+    ``_shared_build`` is inside the timed total, exactly once."""
     from ed_twitter_spark import synth
     from ed_twitter_spark.caching import release_caches
     from ed_twitter_spark.plans import registry
@@ -59,6 +63,20 @@ def run(spark, names=None, sf_dir=SF_DIR):
     n_triples = 0
     synth.enable_shared_cache(True)
     try:
+        t0 = time.time()
+        from ed_twitter_spark.operators.canonicalize import (
+            components_for,
+            prior_triples,
+        )
+
+        for df in (
+            synth.transcripts(spark, sf_dir),
+            synth.kb_alias(spark, sf_dir),
+            prior_triples(spark, sf_dir),
+            components_for(spark, sf_dir),
+        ):
+            df.count()
+        timings["_shared_build"] = round(time.time() - t0, 3)
         for name in names:
             t0 = time.time()
             df = qs[name](spark, sf_dir)

@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 # entities), not stream-sized, so most deployments take the local path; the
 # iterative loop is the correctness-identical big-graph fallback.
 DRIVER_CC_MAX_EDGES = 2_000_000
+# Edge count alone is blind to node-id width: 2M edges of pathological
+# multi-KB surface strings would still land GBs on the driver. The local
+# path additionally requires the summed string payload to fit this budget
+# (256 MB of raw characters — a few× that after Python object overhead,
+# well inside a standard driver heap).
+DRIVER_CC_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _local_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
@@ -60,13 +66,14 @@ def connected_components(
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
     algorithm: str = "hashmin",
     stats: dict | None = None,
+    driver_max_bytes: int = DRIVER_CC_MAX_BYTES,
 ) -> DataFrame:
     """(node string, component string) — component = min node id reachable.
 
     ``edges`` is an undirected edge list (direction ignored). Graphs up to
-    ``driver_max_edges`` distinct edges run as a driver-side union-find
-    (same labeling: component = min member); larger graphs run a
-    distributed loop:
+    ``driver_max_edges`` distinct edges AND ``driver_max_bytes`` of summed
+    node-string payload run as a driver-side union-find (same labeling:
+    component = min member); larger graphs run a distributed loop:
 
     * ``algorithm="hashmin"`` — classic min-label propagation, one shuffle
       round per hop: O(diameter) rounds. Right for the low-diameter
@@ -91,6 +98,15 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     )
     if dedup.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        # count gate passed → the byte probe is a cheap agg over ≤ max_edges
+        # rows; it guards against few-but-huge node strings (VERDICT r3 §3)
+        payload = dedup.agg(
+            F.sum(F.length("a") + F.length("b")).alias("chars")
+        ).first()["chars"]
+        if payload is not None and payload > driver_max_bytes:
+            if algorithm == "star":
+                return _star_components(dedup, max_iter, stats)
+            return _hashmin_components(dedup, max_iter, stats)
         pairs = [(r["a"], r["b"]) for r in dedup.collect()]
         dedup.unpersist()
         labels = _local_union_find(pairs)

@@ -1070,10 +1070,12 @@ def _nt_iri_enc(c: F.Column) -> F.Column:
 
 
 def _nt_lit_esc(c: F.Column) -> F.Column:
-    """N-Triples literal escaping: backslash, then quote, then newline."""
+    """N-Triples literal escaping: backslash, then quote, then LF/CR
+    (STRING_LITERAL_QUOTE forbids unescaped 0x0A and 0x0D)."""
     c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
     c = F.replace(c, F.lit('"'), F.lit('\\"'))
-    return F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    return F.replace(c, F.lit("\r"), F.lit("\\r"))
 
 
 def kg_ntriples(edges: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -1116,7 +1118,8 @@ def kg_ntriples_oracle_sql() -> str:
         "replace(replace(replace({x}, '%', '%25'), '#', '%23'), ' ', '%20')"
     )
     esc = (
-        "replace(replace(replace({x}, '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n')"
+        "replace(replace(replace(replace({x}, '\\', '\\\\'), '\"', '\\\"'),"
+        " chr(10), '\\n'), chr(13), '\\r')"
     )
     return (
         _kg_edges_named_sql()

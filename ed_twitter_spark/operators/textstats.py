@@ -410,7 +410,10 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``alpha_word_ratio`` — words containing an ASCII letter / words,
                              gated >= 0.8;
     * ``n_stop_hits``      — how many of the 8 Gopher function words
-                             appear at least once, gated >= 2;
+                             appear at least once, gated >=
+                             GOPHER_MIN_STOP_HITS (published default 2;
+                             see the constant's comment for why this
+                             corpus pins 1);
     * ``keep``             — AND of all five gates.
 
     Rule comparisons use the raw (unrounded) ratios; both engines compute

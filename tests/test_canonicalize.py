@@ -103,6 +103,32 @@ def test_star_beats_hashmin_on_chain(spark):
     assert s_star["rounds"] < s_hash["rounds"] / 2
 
 
+def test_cc_byte_gate_forces_distributed(spark):
+    """Few edges but oversized node strings must skip the driver collect:
+    the byte probe routes to the distributed loop (rounds > 0) and labels
+    stay correct. Same edge set under the default budget stays local
+    (rounds == 0)."""
+    big = "x" * 4000
+    edges = [(f"{big}{i}", f"{big}{i + 1}") for i in range(6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    s_forced, s_local = {}, {}
+    forced = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, driver_max_bytes=1024, stats=s_forced
+        ).collect()
+    }
+    local = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=s_local).collect()
+    }
+    assert s_forced["rounds"] > 0  # distributed path executed
+    assert s_local["rounds"] == 0  # default budget keeps the local path
+    assert forced == local
+    assert set(forced.values()) == {f"{big}0"}
+
+
 def test_pagerank_mass_conservation(spark):
     """With no dangling nodes (symmetric co-occurrence edges), total rank
     mass stays 1 after every iteration — the standard PageRank invariant."""
