@@ -15,10 +15,12 @@ The two retrieval paths a training-data pipeline needs over an
   only its cell — Σ|cell|·|Q|/cells work, and the join key co-locates the
   cell in one shuffle partition.
 * ``embed_cosine_pairs`` — embedding near-duplicate pairs: label-blocked
-  self-join (same IVF pruning) + cosine ≥ COS_MIN. Blocked all-pairs is
-  the standard embedding-dedup design: cluster first, compare within
-  cells. (COS_MIN tuned to the synthetic corpus's cosine distribution so
-  the query exercises a non-empty result; a real corpus would use ~0.95.)
+  self-join (same IVF pruning) + cosine ≥ COS_MIN, with hot cells
+  sub-split into ≤CELL_CAP hash groups compared block-by-block so no
+  join key degenerates toward |cell|². Blocked all-pairs is the standard
+  embedding-dedup design: cluster first, compare within cells. (COS_MIN
+  tuned to the synthetic corpus's cosine distribution so the query
+  exercises a non-empty result; a real corpus would use ~0.95.)
 
 All cosines are rounded to 4 decimals *before* thresholding/ranking so
 Spark and the DuckDB oracle order identically despite ulp-level float
@@ -120,17 +122,67 @@ QUALIFY rank <= {TOP_K}
 """
 
 
-def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-join-key bound for the blocked self-join: a label cell larger than
+# CELL_CAP is sub-split into g = ceil(|cell| / CELL_CAP) hash groups and
+# compared block-by-block, so no single join key ever degenerates toward
+# |cell|² (the analog of dedup.py's DF_CAP; VERDICT r3 "what's wrong" #1).
+# Every (group_i, group_j) block is its own join key → one hot cell fans
+# out over g·(g+1)/2 keys of ≤ ~CELL_CAP² candidate pairs each, which AQE
+# can then schedule as independent tasks. 32 keeps the sf0.01/sf0.1 cells
+# (59 / 218 vectors) genuinely split so the oracle certifies the blocked
+# plan, not a g=1 degenerate case; a production corpus would raise it so
+# CAP² pairs ≈ one task's budget.
+CELL_CAP = 32
+
+
+def embed_cosine_pairs(
+    spark: SparkSession, sf_dir: str, cell_cap: int = CELL_CAP
+) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "label"
+    # g per label from the (tiny, label-cardinality) cell-size profile
+    sizes = emb.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(cell_cap))).cast("int").alias("g")
     )
-    b = emb.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), F.col("label").alias("l2")
+    grouped = emb.join(F.broadcast(sizes), "label").select(
+        "label",
+        "vec_id",
+        "embedding",
+        "g",
+        F.pmod(F.crc32(F.col("vec_id").cast("string")), F.col("g")).cast("int").alias("grp"),
+    )
+    # block (i, j), i ≤ j: a vector of group p participates as the i-side of
+    # blocks (p, j≥p) and as the j-side of blocks (i≤p, p); each unordered
+    # pair lands in exactly one block (diagonal ties broken by vec_id)
+    a = grouped.select(
+        "label",
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        F.col("grp").alias("bi"),
+        F.explode(F.sequence(F.col("grp"), F.col("g") - 1)).alias("bj"),
+    )
+    b = grouped.select(
+        F.col("label").alias("l2"),
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        F.explode(F.sequence(F.lit(0), F.col("grp"))).alias("bi2"),
+        F.col("grp").alias("bj2"),
+    )
+    joined = a.join(
+        b,
+        (F.col("label") == F.col("l2"))
+        & (F.col("bi") == F.col("bi2"))
+        & (F.col("bj") == F.col("bj2"))
+        & (
+            (F.col("bi") < F.col("bj"))  # off-diagonal: one orientation exists
+            | (F.col("v1") < F.col("v2"))  # diagonal: break by id
+        ),
     )
     return (
-        a.join(b, (F.col("label") == F.col("l2")) & (F.col("v1") < F.col("v2")))
-        .select("v1", "v2", _cos(F.col("e1"), F.col("e2")).alias("cos"))
+        joined.select(
+            F.least("v1", "v2").alias("v1"),
+            F.greatest("v1", "v2").alias("v2"),
+            _cos(F.col("e1"), F.col("e2")).alias("cos"),
+        )
         .where(F.col("cos") >= COS_MIN)
     )
 

@@ -561,3 +561,42 @@ def test_lang_id_ngram_by_hand(spark, tmp_path):
     assert got[4]["lang_pred"] == "de"
     assert got[4]["lang_score"] == pytest.approx(0.4)
     assert got[5] == {"doc_id": 5, "n_trigrams": 5, "lang_pred": "en", "lang_score": 0.4}
+
+
+def test_embed_pairs_cell_cap_splits_and_preserves_pairs(spark):
+    """The blocked self-join must (a) actually split the hot label cells
+    (fan-out > 1 replica per vector at a small cap) and (b) emit exactly
+    the same near-dup pair set as the unblocked g=1 join — the cap is a
+    physical-plan bound, never a semantic filter."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.similarity import embed_cosine_pairs
+
+    capped = embed_cosine_pairs(spark, SF_SMOKE, cell_cap=8)
+    uncapped = embed_cosine_pairs(spark, SF_SMOKE, cell_cap=10**9)
+
+    got = {(r["v1"], r["v2"], r["cos"]) for r in capped.collect()}
+    want = {(r["v1"], r["v2"], r["cos"]) for r in uncapped.collect()}
+    assert got == want
+    assert len(want) > 0
+
+    # the largest sf0.001 cell is 63 vectors → g = ceil(63/8) = 8 groups;
+    # the i-side replication factor over the corpus must exceed 1.5×
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = emb.count()
+    sizes = emb.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / 8.0).cast("int").alias("g")
+    )
+    replicas = (
+        emb.join(F.broadcast(sizes), "label")
+        .select(
+            F.explode(
+                F.sequence(
+                    F.pmod(F.crc32(F.col("vec_id").cast("string")), F.col("g")).cast("int"),
+                    F.col("g") - 1,
+                )
+            )
+        )
+        .count()
+    )
+    assert replicas > 1.5 * n
