@@ -9,11 +9,14 @@ The two retrieval paths a training-data pipeline needs over an
   query. This is the exactness baseline; at corpus scale its cost is
   |Q|·|corpus| — fine for |Q| ≪ corpus since the corpus side stays
   pipelined in one scan with no shuffle before the (tiny) top-k.
-* ``ann_ivf_topk``     — the scale path: IVF-style partition pruning using
-  the precomputed coarse-cluster ``label`` column (= IVF centroid
-  assignment, nprobe=1). The probe joins on label, so each query scores
-  only its cell — Σ|cell|·|Q|/cells work, and the join key co-locates the
-  cell in one shuffle partition.
+* ``ann_ivf_topk``     — the scale path: IVF partition pruning over a
+  coarse quantizer computed **in-engine** (``ivf_centroids``: seeded,
+  fixed-iteration Lloyd k-means — assignment is a broadcast of K tiny
+  centroids against one corpus scan per iteration, update a map-side-
+  combined per-dim mean). Queries probe their NPROBE nearest cells, so
+  each query scores ~NPROBE/K of the corpus; ``ann_recall`` measures
+  recall@k against the brute-force baseline, so the pruning loss is a
+  reported number, not a guess.
 * ``embed_cosine_pairs`` — embedding near-duplicate pairs: label-blocked
   self-join (same IVF pruning) + cosine ≥ COS_MIN, with hot cells
   sub-split into ≤CELL_CAP hash groups compared block-by-block so no
@@ -88,17 +91,103 @@ QUALIFY rank <= {TOP_K}
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("label").alias("qlabel"),
+# ---------------------------------------------------------------------------
+# In-engine IVF coarse quantizer: seeded, fixed-iteration Lloyd k-means
+# ---------------------------------------------------------------------------
+#
+# Determinism contract (so the DuckDB oracle reproduces it bit-for-bit):
+# seeds = the K_CENTROIDS lowest vec_ids; squared-L2 distances are rounded
+# to 4 decimals before the argmin (ties → smaller centroid id); centroid
+# components are per-dim means rounded to 6 decimals after every update.
+# Fixed KMEANS_ITERS iterations — no convergence test, so both engines run
+# the identical computation. At scale each iteration is ONE corpus scan
+# (centroids broadcast, K·d doubles) + one map-side-combined aggregate;
+# the k-means|| refinement would only change the seeding step.
+
+K_CENTROIDS = 8
+KMEANS_ITERS = 3
+NPROBE = 2
+EMB_DIMS = 64
+
+
+def _sqdist(a, b):
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
     )
-    joined = emb.join(
-        F.broadcast(q),
-        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", "vec_id", _cos(F.col("qe"), F.col("embedding")).alias("cos"))
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def _centroid_frames(emb: DataFrame) -> DataFrame:
+    """(cid int, cvec array<double>) after KMEANS_ITERS Lloyd rounds."""
+    cents = emb.where(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cvec")
+    )
+    for _ in range(KMEANS_ITERS):
+        best = _assign(emb, cents)
+        cents = (
+            best.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("cvec")
+            )
+            # K·d doubles: materialize eagerly so each Lloyd round reads the
+            # previous round's result instead of re-deriving the whole chain
+            .localCheckpoint()
+        )
+    return cents
+
+
+def _assign(emb: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
+    """Each vector with its n nearest centroids (rounded-L2, tie → cid)."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", _sqdist(F.col("v"), F.col("cvec")).alias("d"))
+        .withColumn("nn", F.row_number().over(w))
+        .where(F.col("nn") <= n)
+    )
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the trained coarse quantizer as (cid, dim, val)."""
+    cents = _centroid_frames(_emb_double(spark, sf_dir))
+    return cents.select("cid", F.posexplode("cvec").alias("dim", "val"))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: corpus vectors live in their nearest cell; each query
+    scores only its NPROBE nearest cells' members. The cell join key
+    co-locates each posting list in one shuffle partition; queries are
+    broadcast."""
+    emb = _emb_double(spark, sf_dir)
+    cents = _centroid_frames(emb)
+    corpus = _assign(emb, cents).select("cid", "vec_id", "v")
+    probes = _assign(
+        emb.where(F.col("vec_id") < N_QUERIES), cents, n=NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qe"),
+        F.col("cid").alias("pcid"),
+    )
+    joined = corpus.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", _cos(F.col("qe"), F.col("v")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         joined.withColumn("rank", F.row_number().over(w))
@@ -107,18 +196,137 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_IVF_SQL = f"""
-WITH scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos
-  FROM embeddings q JOIN embeddings c
-    ON c.label = q.label AND c.vec_id <> q.vec_id
-  WHERE q.vec_id < {N_QUERIES}
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_queries, k, n_hits, recall) — recall@TOP_K of the IVF path vs the
+    brute-force baseline: the pruning loss as a measured number."""
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = exact.join(ivf, ["query_id", "vec_id"], "left_semi")
+    return exact.agg(
+        F.countDistinct("query_id").cast("int").alias("n_queries"),
+        F.lit(TOP_K).cast("int").alias("k"),
+    ).crossJoin(
+        hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    ).select(
+        "n_queries",
+        "k",
+        "n_hits",
+        F.round(F.col("n_hits") / (F.col("n_queries") * F.col("k")), 6).alias("recall"),
+    )
+
+
+# --- DuckDB twins: the identical k-means unrolled as chained CTEs ----------
+
+_EMB_D_SQL = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings"
 )
-SELECT query_id,
-       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank,
-       vec_id, cos
-FROM scored
-QUALIFY rank <= {TOP_K}
+_SQD_SQL = (
+    f"ROUND(list_sum(list_transform(range(1, {EMB_DIMS + 1}),"
+    " k -> (e.v[k] - c.cvec[k]) ** 2)), 4)"
+)
+
+
+def _kmeans_cte() -> str:
+    parts = [
+        f"emb AS ({_EMB_D_SQL})",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cvec FROM emb WHERE vec_id < {K_CENTROIDS})",
+    ]
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS nn
+  FROM (SELECT e.vec_id, e.v, c.cid, {_SQD_SQL} AS d
+        FROM emb e CROSS JOIN {prev} c)
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT cid, list(val ORDER BY dim) AS cvec FROM (
+    SELECT cid, dim, ROUND(AVG(x), 6) AS val FROM (
+      SELECT cid, CAST(unnest(range(len(v))) AS INTEGER) AS dim, unnest(v) AS x
+      FROM a{i} WHERE nn = 1
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+)"""
+        )
+        prev = f"c{i}"
+    return ",\n".join(parts), prev
+
+
+_KMEANS_BODY, _KMEANS_FINAL = _kmeans_cte()
+
+ANN_IVF_CENTROIDS_SQL = f"""
+WITH {_KMEANS_BODY}
+SELECT cid, CAST(unnest(range(len(cvec))) AS INTEGER) AS dim, unnest(cvec) AS val
+FROM {_KMEANS_FINAL}
+"""
+
+# scored IVF candidates: corpus in nearest cell, queries probe NPROBE cells
+_IVF_SCORED_CTE = f"""
+corpus AS (
+  SELECT cid, vec_id, v FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQD_SQL}, c.cid) AS nn
+    FROM emb e CROSS JOIN {_KMEANS_FINAL} c
+  ) WHERE nn = 1
+),
+probes AS (
+  SELECT cid, vec_id AS query_id, v AS qe FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQD_SQL}, c.cid) AS nn
+    FROM emb e CROSS JOIN {_KMEANS_FINAL} c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE nn <= {NPROBE}
+),
+ivf_scored AS (
+  SELECT p.query_id, x.vec_id,
+         ROUND(list_dot_product(p.qe, x.v)
+               / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(x.v, x.v))), 4) AS cos
+  FROM corpus x JOIN probes p ON x.cid = p.cid AND x.vec_id <> p.query_id
+),
+ivf_topk AS (
+  SELECT query_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cos
+  FROM ivf_scored
+  QUALIFY rank <= {TOP_K}
+)"""
+
+ANN_IVF_SQL = f"""
+WITH {_KMEANS_BODY},
+{_IVF_SCORED_CTE}
+SELECT query_id, rank, vec_id, cos FROM ivf_topk
+"""
+
+ANN_RECALL_SQL = f"""
+WITH {_KMEANS_BODY},
+{_IVF_SCORED_CTE},
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+exact_topk AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM exact_scored
+  QUALIFY rank <= {TOP_K}
+),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM exact_topk e WHERE EXISTS (
+    SELECT 1 FROM ivf_topk i
+    WHERE i.query_id = e.query_id AND i.vec_id = e.vec_id
+  )
+)
+SELECT CAST((SELECT COUNT(DISTINCT query_id) FROM exact_topk) AS INTEGER) AS n_queries,
+       CAST({TOP_K} AS INTEGER) AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits * 1.0 / ((SELECT COUNT(DISTINCT query_id) FROM exact_topk) * {TOP_K}), 6) AS recall
+FROM hits
 """
 
 

@@ -600,3 +600,34 @@ def test_embed_pairs_cell_cap_splits_and_preserves_pairs(spark):
         .count()
     )
     assert replicas > 1.5 * n
+
+
+def test_ivf_quantizer_in_engine(spark):
+    """The coarse quantizer is computed by the engine, not read from a
+    precomputed column: Lloyd iterations move the centroids off their
+    seeds, every corpus vector lands in exactly one cell, and nprobe=2
+    recall@k vs the brute-force baseline stays high (measured 0.9-0.95
+    across sf0.001-0.1; floor 0.8 guards against a regressed quantizer)."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators import similarity as sim
+
+    emb = sim._emb_double(spark, SF_SMOKE)
+    cents = sim._centroid_frames(emb)
+    seeds = emb.where(F.col("vec_id") < sim.K_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("svec")
+    )
+    moved = (
+        cents.join(seeds, "cid")
+        .where(F.col("cvec") != F.col("svec"))
+        .count()
+    )
+    assert moved >= sim.K_CENTROIDS - 1  # Lloyd actually ran
+
+    n = emb.count()
+    assigned = sim._assign(emb, cents)
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+
+    recall = sim.ann_recall(spark, SF_SMOKE).first()["recall"]
+    assert recall >= 0.8
