@@ -139,13 +139,22 @@ def _slot_scores(
     n_vec: int,
     spark: SparkSession,
     sf_dir: str,
+    suffix: str = "",
 ) -> DataFrame:
     """One row per (example, positive i, slot j) with the rounded cosine.
 
     Columns: doc_id, pos, ent_name, i, j, t (positive slot), wvid (slot
     word's vector id), x (round(cos, 6)).
+
+    ``suffix`` namespaces the deterministic md5 probes: the reference
+    redraws its positive/slot/negative randoms every epoch
+    (`learn_a.py:158-160` reads fresh minibatches each epoch), so epoch
+    e ≥ 2 salts every probe key with ``@e{e}`` — epoch 1 keeps the
+    unsuffixed keys so the single-epoch queries stay bit-stable.
     """
     key = F.concat_ws("#", "doc_id", "pos")
+    if suffix:
+        key = F.concat(key, F.lit(suffix))
     ctx = F.filter(
         F.split(F.concat_ws(" ", "hyp_left", "hyp_right"), " "),
         lambda w: (w != "EMPTYCTXT") & (w != ""),
@@ -254,14 +263,13 @@ def train_epoch_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def train_entity_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(ent_name, dim, val) — entity vectors after one full-batch
-    max-margin step from the K9 init.
+def _epoch_update(sc: DataFrame, ev_full: DataFrame, emb: DataFrame) -> DataFrame:
+    """(ent_name, dim, val) — one full-batch max-margin step applied to
+    the vectors in ``ev_full`` given the coefficiented slot frame ``sc``.
 
     grad_e = (1/N)·Σ_rows c·∂cos/∂e with ∂cos(w,e)/∂e = (ŵ − cos·ê)/‖e‖,
     decomposed as (Σ c·ŵ − (Σ c·x)·ê)/‖e‖ so the heavy part aggregates
     per (entity, word-vector id) before touching any 64-dim array."""
-    sc, ev_full, emb = _epoch_frames(spark, sf_dir)
     n_rows = sc.groupBy().agg(F.count(F.lit(1)).alias("nr"))  # N·K, one row
 
     # per-(entity, word-vec) coefficient sums → A_e,d = Σ coef·ŵ_d
@@ -302,6 +310,216 @@ def train_entity_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return upd
+
+
+def train_entity_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ent_name, dim, val) — entity vectors after one full-batch
+    max-margin step from the K9 init."""
+    sc, ev_full, emb = _epoch_frames(spark, sf_dir)
+    return _epoch_update(sc, ev_full, emb)
+
+
+# ---------------------------------------------------------------------------
+# K7 full scope — the multi-epoch loop (learn_a.py:148-208)
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 3  # registry/oracle default (reference runs 85, learn_a.py:137)
+EPOCH_STAGE_VERSION = "v1"  # bump when epoch semantics change
+
+
+def _epoch_suffix(epoch: int) -> str:
+    return "" if epoch == 1 else f"@e{epoch}"
+
+
+def _vecs_of(comp: DataFrame) -> DataFrame:
+    """(ent_name, dim, val) components → (ent_name, evec, en)."""
+    return (
+        comp.groupBy("ent_name")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))), lambda s: s["val"]
+            ).alias("evec")
+        )
+        .select(
+            "ent_name", "evec", F.sqrt(_dot(F.col("evec"), F.col("evec"))).alias("en")
+        )
+    )
+
+
+def _default_epoch_root(sf_dir: str) -> str:
+    import hashlib
+
+    return f"/tmp/ed_twitter_train_epochs/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+
+
+def _input_stat_sig(sf_dir: str) -> str:
+    """(size, mtime_ns) signature of the parquet inputs the epoch chain
+    reads. Mixed into every epoch fingerprint so a REGENERATED sf_dir
+    (same path, new data — the driver rewrites /root/testdata per round)
+    invalidates stale /tmp checkpoints instead of serving old vectors
+    against fresh oracle data."""
+    import os
+
+    parts = []
+    for t in ("documents", "embeddings"):
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{t}:missing")
+    return "|".join(parts)
+
+
+def run_train_epochs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_epochs: int = N_EPOCHS,
+    checkpoint_root: str | None = None,
+    resume: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's epoch loop (`learn_a.py:148-208`), distributed.
+
+    Epoch k+1 consumes epoch k's entity vectors exactly as the reference's
+    optimizer state persists across epochs; every epoch redraws its
+    positive/slot/negative probes (suffix-salted md5, mirroring the fresh
+    minibatch sampling per epoch) and takes one deterministic full-batch
+    step. Each epoch's vectors AND loss row are materialized through the
+    S10 checkpoint machinery (`io.write_stage` — data + metrics + lineage
+    row, the analog of ``ent_vecs__ep_{k}``, `learn_a.py:199-208`): the
+    boundary truncates lineage (the epoch-k plan never re-executes inside
+    epoch k+1), and a killed run resumes at the first epoch whose recorded
+    fingerprint is missing or stale.
+
+    Returns ``(losses, final_components)`` where losses has one row per
+    epoch ``(epoch, n_examples, avg_loss)`` and final_components is
+    ``(ent_name, dim, val)`` after the last epoch.
+
+    Scale shape: the per-epoch wide work is the same as the single epoch
+    (context scan is read from the persisted W5 frame, the coefficient
+    aggregate map-side combines); the epoch boundary is an entity-count-
+    sized dim table — at 10^12 turns each epoch is one bounded job and the
+    chain is N jobs, not one N-times-deeper plan.
+    """
+    from ed_twitter_spark import io as kgio
+    from ed_twitter_spark.caching import persist_tracked
+
+    root = checkpoint_root or _default_epoch_root(sf_dir)
+    n_vec = _n_vec(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("wemb"),
+    )
+    emb = emb.select(
+        "vec_id", "wemb", F.sqrt(_dot(F.col("wemb"), F.col("wemb"))).alias("wn")
+    )
+
+    hc = None  # built lazily — a fully-resumed run never scans the corpus
+
+    def _contexts() -> DataFrame:
+        nonlocal hc
+        if hc is None:
+            hc = persist_tracked(hyperlink_contexts(spark, sf_dir))
+        return hc
+
+    comp = None  # (ent_name, dim, val) of the previous epoch (None → K9 init)
+    losses: list[DataFrame] = []
+    fp_prev = _input_stat_sig(sf_dir)
+    import time
+
+    for epoch in range(1, n_epochs + 1):
+        vec_stage, loss_stage = f"ent_vecs_ep_{epoch}", f"train_loss_ep_{epoch}"
+        fp = kgio.fingerprint(vec_stage, EPOCH_STAGE_VERSION, sf_dir, fp_prev)
+        fp_prev = fp
+        vec_lin = kgio.read_lineage(spark, root, vec_stage) if resume else None
+        loss_lin = kgio.read_lineage(spark, root, loss_stage) if resume else None
+        if (
+            vec_lin is not None
+            and loss_lin is not None
+            and vec_lin["fingerprint"] == fp
+            and loss_lin["fingerprint"] == fp
+        ):
+            comp = kgio.read_stage(spark, root, vec_stage)
+            losses.append(kgio.read_stage(spark, root, loss_stage))
+            continue
+        t0 = time.time()
+        ev = _ent_init_vecs(
+            spark,
+            sf_dir,
+            n_vec,
+            _contexts().select(F.col("gold_ent").alias("ent_name")).distinct(),
+        ) if comp is None else _vecs_of(comp)
+        sc = persist_tracked(
+            _with_coeffs(
+                _slot_scores(
+                    _contexts(), emb, ev, n_vec, spark, sf_dir, _epoch_suffix(epoch)
+                )
+            )
+        )
+        loss = sc.agg(
+            (F.count(F.lit(1)) / NEG_SLOTS).cast("long").alias("n_examples"),
+            F.round(F.sum("lterm") / (F.count(F.lit(1)) / NEG_SLOTS), 6).alias(
+                "avg_loss"
+            ),
+        ).select(F.lit(epoch).alias("epoch"), "n_examples", "avg_loss")
+        upd = _epoch_update(sc, ev, emb)
+        kgio.write_stage(upd, root, vec_stage, fp, [], started_at=t0)
+        kgio.write_stage(loss, root, loss_stage, fp, [vec_stage], started_at=t0)
+        comp = kgio.read_stage(spark, root, vec_stage)
+        losses.append(kgio.read_stage(spark, root, loss_stage))
+
+    out = losses[0]
+    for extra in losses[1:]:
+        out = out.unionByName(extra)
+    return out, comp
+
+
+def train_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch, n_examples, avg_loss) per epoch of the N-epoch loop —
+    the oracle-checked surface of `run_train_epochs` (the loss sequence
+    pins every epoch's slot scores, hinge decisions AND the vectors the
+    next epoch consumed, since epoch k's scores read epoch k−1's step)."""
+    losses, _ = run_train_epochs(spark, sf_dir)
+    return losses.select(
+        "epoch", "n_examples", F.col("avg_loss").cast("double").alias("avg_loss")
+    )
+
+
+def train_epochs_vectors(
+    spark: SparkSession, sf_dir: str, n_epochs: int = N_EPOCHS
+) -> DataFrame:
+    """(ent_name, dim, val) after ``n_epochs`` chained epochs."""
+    _, comp = run_train_epochs(spark, sf_dir, n_epochs=n_epochs)
+    return comp
+
+
+def fixed_batch_loss(
+    spark: SparkSession, sf_dir: str, comp: DataFrame | None = None
+) -> DataFrame:
+    """(avg_loss) of the *epoch-1* example set under the given vectors
+    (K9 init when ``comp`` is None) with NO update — the held-fixed-batch
+    probe the multi-epoch test uses to show training actually descends
+    (per-epoch train losses are not comparable across epochs because each
+    epoch redraws its examples, exactly like the reference's fresh
+    minibatches)."""
+    n_vec = _n_vec(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("wemb"),
+    )
+    emb = emb.select(
+        "vec_id", "wemb", F.sqrt(_dot(F.col("wemb"), F.col("wemb"))).alias("wn")
+    )
+    hc = hyperlink_contexts(spark, sf_dir)
+    if comp is None:
+        ents = hc.select(F.col("gold_ent").alias("ent_name")).distinct()
+        ev = _ent_init_vecs(spark, sf_dir, n_vec, ents)
+    else:
+        ev = _vecs_of(comp)
+    sc = _with_coeffs(_slot_scores(hc, emb, ev, n_vec, spark, sf_dir))
+    return sc.agg(
+        F.round(F.sum("lterm") / (F.count(F.lit(1)) / NEG_SLOTS), 6).alias("avg_loss")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -406,6 +624,154 @@ SELECT CAST(COUNT(*) / {NEG_SLOTS} AS BIGINT) AS n_examples,
        ROUND(SUM(lterm) / (COUNT(*) / {NEG_SLOTS}), 6) AS avg_loss
 FROM cc
 """
+    )
+
+
+# --- multi-epoch twin: the same chain unrolled, one CTE block per epoch ---
+
+_EPOCH_PREFIX_SQL = f"""
+hyp AS ({{HYP_SQL}}),
+probes AS ({NEGATIVE_SAMPLING_SQL}),
+wv AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS wemb,
+         sqrt(list_dot_product(list_transform(embedding, v -> CAST(v AS DOUBLE)),
+                               list_transform(embedding, v -> CAST(v AS DOUBLE)))) AS wn
+  FROM embeddings
+),
+ei0 AS (
+  SELECT ent_name, dim, AVG(v) AS val
+  FROM (
+    SELECT tw.ent_name,
+           CAST(unnest(range(len(wv.wemb))) AS INTEGER) AS dim,
+           unnest(wv.wemb) AS v
+    FROM (
+      SELECT ent_name, {_WVID_SQL.format(w='tw')} AS vec_id
+      FROM (SELECT ent_name, unnest(string_split(ent_name, '_')) AS tw
+            FROM (SELECT DISTINCT gold_ent AS ent_name FROM hyp))
+    ) tw JOIN wv ON wv.vec_id = tw.vec_id
+  ) GROUP BY ent_name, dim
+),
+ev0 AS (
+  SELECT ent_name, list(val ORDER BY dim) AS evec,
+         sqrt(list_dot_product(list(val ORDER BY dim), list(val ORDER BY dim))) AS en
+  FROM ei0 GROUP BY ent_name
+),
+base AS (
+  SELECT doc_id, pos, gold_ent AS ent_name,
+         doc_id || '#' || CAST(pos AS VARCHAR) AS key,
+         CASE WHEN len(ctx) > 0 THEN ctx ELSE string_split(gold_ent, '_') END AS pos_w
+  FROM (
+    SELECT *, list_filter(string_split(hyp_left || ' ' || hyp_right, ' '),
+                          w -> w <> 'EMPTYCTXT' AND w <> '') AS ctx
+    FROM hyp
+  )
+)
+"""
+
+
+def _epoch_block_sql(e: int) -> str:
+    """CTE block for epoch ``e`` reading vectors ei{e-1}/ev{e-1} and
+    producing loss source cc{e} + updated vectors ei{e}/ev{e}."""
+    suf = _epoch_suffix(e)
+    p = e - 1
+    return f"""
+ex{e} AS (
+  SELECT doc_id, pos, ent_name, key, i,
+         pos_w[CAST({h32_sql(f"key || '{suf}#p#' || CAST(i AS VARCHAR)")} % len(pos_w) AS INTEGER) + 1] AS wpos,
+         CAST({h32_sql(f"key || '{suf}#t#' || CAST(i AS VARCHAR)")} % {NEG_SLOTS} AS INTEGER) AS t
+  FROM base, UNNEST(range(0, {WORDS_PER_ENT})) AS s(i)
+),
+slots{e} AS (
+  SELECT q.doc_id, q.pos, q.ent_name, q.i, q.j, q.t,
+         CASE WHEN q.j = q.t THEN q.wpos ELSE pb.word END AS word
+  FROM (
+    SELECT ex.*, s.j,
+           CAST({h32_sql(f"ex.key || '{suf}#n#' || CAST(ex.i AS VARCHAR) || '#' || CAST(s.j AS VARCHAR)")} % {N_PROBES} AS INTEGER) AS nk
+    FROM ex{e} ex, UNNEST(range(0, {NEG_SLOTS})) AS s(j)
+  ) q
+  LEFT JOIN probes pb ON q.j <> q.t AND pb.k = q.nk
+),
+scored{e} AS (
+  SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t,
+         {_WVID_SQL.format(w='sl.word')} AS wvid,
+         ROUND(list_dot_product(wv.wemb, ev.evec) / (wv.wn * ev.en), 6) AS x
+  FROM slots{e} sl
+  JOIN wv ON wv.vec_id = {_WVID_SQL.format(w='sl.word')}
+  JOIN ev{p} ev ON ev.ent_name = sl.ent_name
+),
+cc{e} AS (
+  SELECT *,
+         CASE WHEN j = t
+              THEN -(SUM(viol) OVER (PARTITION BY doc_id, pos, i)) / {NEG_SLOTS}.0
+              ELSE viol / {NEG_SLOTS}.0 END AS c,
+         CASE WHEN viol = 1 THEN ({MARGIN} - xt + x) / {NEG_SLOTS} ELSE 0.0 END AS lterm
+  FROM (
+    SELECT *,
+           CASE WHEN j <> t AND {MARGIN} - xt + x > 0 THEN 1 ELSE 0 END AS viol
+    FROM (
+      SELECT *, MAX(CASE WHEN j = t THEN x END)
+                  OVER (PARTITION BY doc_id, pos, i) AS xt
+      FROM scored{e}
+    )
+  )
+),
+nr{e} AS (SELECT COUNT(*) AS nr FROM cc{e}),
+coef{e} AS (SELECT ent_name, wvid, SUM(c) AS coef FROM cc{e} GROUP BY ent_name, wvid),
+a_ed{e} AS (
+  SELECT ent_name, dim, SUM(a) AS a
+  FROM (
+    SELECT coef.ent_name,
+           CAST(unnest(range(len(wv.wemb))) AS INTEGER) AS dim,
+           unnest(list_transform(wv.wemb, v -> coef.coef * v / wv.wn)) AS a
+    FROM coef{e} coef JOIN wv ON wv.vec_id = coef.wvid
+  ) GROUP BY ent_name, dim
+),
+s_e{e} AS (SELECT ent_name, SUM(c * x) AS s FROM cc{e} GROUP BY ent_name),
+ei{e} AS (
+  SELECT evd.ent_name, evd.dim,
+         ROUND(evd.e - {LR} * (COALESCE(a_ed.a, 0.0)
+                   - COALESCE(s_e.s, 0.0) * evd.e / evd.en)
+               / evd.en / (nr.nr / {NEG_SLOTS}), 6) AS val
+  FROM (SELECT ev.ent_name, ei.dim, ei.val AS e, ev.en
+        FROM ei{p} ei JOIN ev{p} ev ON ev.ent_name = ei.ent_name) evd
+  LEFT JOIN a_ed{e} a_ed ON a_ed.ent_name = evd.ent_name AND a_ed.dim = evd.dim
+  LEFT JOIN s_e{e} s_e ON s_e.ent_name = evd.ent_name
+  CROSS JOIN nr{e} nr
+),
+ev{e} AS (
+  SELECT ent_name, list(val ORDER BY dim) AS evec,
+         sqrt(list_dot_product(list(val ORDER BY dim), list(val ORDER BY dim))) AS en
+  FROM ei{e} GROUP BY ent_name
+)"""
+
+
+def train_epochs_sql(n_epochs: int = N_EPOCHS) -> str:
+    """(epoch, n_examples, avg_loss) for the chained N-epoch loop."""
+    blocks = ",".join(_epoch_block_sql(e) for e in range(1, n_epochs + 1))
+    losses = "\nUNION ALL\n".join(
+        f"SELECT {e} AS epoch, CAST(COUNT(*) / {NEG_SLOTS} AS BIGINT) AS n_examples,"
+        f" ROUND(SUM(lterm) / (COUNT(*) / {NEG_SLOTS}), 6) AS avg_loss FROM cc{e}"
+        for e in range(1, n_epochs + 1)
+    )
+    return (
+        "WITH "
+        + _EPOCH_PREFIX_SQL.format(HYP_SQL=_hyp_sql())
+        + ","
+        + blocks
+        + "\n"
+        + losses
+    )
+
+
+def train_epochs_vectors_sql(n_epochs: int = N_EPOCHS) -> str:
+    """(ent_name, dim, val) after the final chained epoch."""
+    blocks = ",".join(_epoch_block_sql(e) for e in range(1, n_epochs + 1))
+    return (
+        "WITH "
+        + _EPOCH_PREFIX_SQL.format(HYP_SQL=_hyp_sql())
+        + ","
+        + blocks
+        + f"\nSELECT ent_name, dim, val FROM ei{n_epochs}"
     )
 
 

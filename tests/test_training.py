@@ -30,8 +30,15 @@ def _wvid(w: str, n_vec: int) -> int:
     return int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % n_vec
 
 
-def _numpy_epoch(sf_dir: str):
-    """Pure numpy/DuckDB rerun of the deterministic epoch."""
+def _numpy_epochs(sf_dir: str, n_epochs: int = 1):
+    """Pure numpy/DuckDB rerun of the deterministic chained epochs.
+
+    Follows the engine chain exactly: epoch e ≥ 2 salts every probe key
+    with ``@e{e}`` (fresh samples per epoch, `learn_a.py:158-160`) and
+    consumes the previous epoch's vectors ROUNDED to 6 decimals (the
+    checkpoint representation both engines share). Returns
+    (ents, N, losses, new) with one loss per epoch and ``new`` the final
+    un-rounded update."""
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
         con.execute(
@@ -58,55 +65,65 @@ def _numpy_epoch(sf_dir: str):
     evec = np.stack(
         [np.mean([raw[_wvid(w, n_vec)] for w in e.split("_")], axis=0) for e in ents]
     )
-    en = np.linalg.norm(evec, axis=1)
-    ehat = evec / en[:, None]
 
     K, P = T.NEG_SLOTS, T.WORDS_PER_ENT
-    rows_e, rows_w, rows_t = [], [], []
-    for r in hyp.itertuples():
-        key = f"{r.doc_id}#{r.pos}"
-        ctx = [
-            w
-            for w in f"{r.hyp_left} {r.hyp_right}".split(" ")
-            if w not in ("EMPTYCTXT", "")
-        ]
-        pos_w = ctx if ctx else r.gold_ent.split("_")
-        for i in range(P):
-            wpos = pos_w[_h32(f"{key}#p#{i}") % len(pos_w)]
-            t = _h32(f"{key}#t#{i}") % K
-            slot_words = [
-                wpos if j == t else probes[_h32(f"{key}#n#{i}#{j}") % 100]
-                for j in range(K)
+    losses, new, N = [], None, 0
+    for epoch in range(1, n_epochs + 1):
+        suf = "" if epoch == 1 else f"@e{epoch}"
+        en = np.linalg.norm(evec, axis=1)
+        ehat = evec / en[:, None]
+
+        rows_e, rows_w, rows_t = [], [], []
+        for r in hyp.itertuples():
+            key = f"{r.doc_id}#{r.pos}{suf}"
+            ctx = [
+                w
+                for w in f"{r.hyp_left} {r.hyp_right}".split(" ")
+                if w not in ("EMPTYCTXT", "")
             ]
-            rows_e.append(e_index[r.gold_ent])
-            rows_t.append(t)
-            rows_w.append([_wvid(w, n_vec) for w in slot_words])
+            pos_w = ctx if ctx else r.gold_ent.split("_")
+            for i in range(P):
+                wpos = pos_w[_h32(f"{key}#p#{i}") % len(pos_w)]
+                t = _h32(f"{key}#t#{i}") % K
+                slot_words = [
+                    wpos if j == t else probes[_h32(f"{key}#n#{i}#{j}") % 100]
+                    for j in range(K)
+                ]
+                rows_e.append(e_index[r.gold_ent])
+                rows_t.append(t)
+                rows_w.append([_wvid(w, n_vec) for w in slot_words])
 
-    e_idx = np.asarray(rows_e)
-    t_idx = np.asarray(rows_t)
-    w_idx = np.asarray(rows_w)  # (N, K)
-    N = len(e_idx)
+        e_idx = np.asarray(rows_e)
+        t_idx = np.asarray(rows_t)
+        w_idx = np.asarray(rows_w)  # (N, K)
+        N = len(e_idx)
 
-    W = wnorm[w_idx]  # (N, K, d)
-    X = np.round(np.einsum("nkd,nd->nk", W, ehat[e_idx]), 6)
-    Xt = X[np.arange(N), t_idx]
-    H = T.MARGIN - Xt[:, None] + X  # hinge argument per slot
-    H[np.arange(N), t_idx] = 0.0
-    viol = H > 0
-    loss = float(np.sum(np.where(viol, H, 0.0)) / K / N)
+        W = wnorm[w_idx]  # (N, K, d)
+        X = np.round(np.einsum("nkd,nd->nk", W, ehat[e_idx]), 6)
+        Xt = X[np.arange(N), t_idx]
+        H = T.MARGIN - Xt[:, None] + X  # hinge argument per slot
+        H[np.arange(N), t_idx] = 0.0
+        viol = H > 0
+        losses.append(float(np.sum(np.where(viol, H, 0.0)) / K / N))
 
-    # dL/dx coefficients (mean reduction): 1/K per violating slot, minus
-    # the violation count at the target slot
-    C = viol.astype(float) / K
-    C[np.arange(N), t_idx] = -viol.sum(axis=1) / K
-    # grad_e = (1/N)·Σ (Σ_j c_j ŵ_j − (Σ_j c_j x_j)·ê)/‖e‖
-    A = np.zeros_like(evec)
-    np.add.at(A, e_idx, np.einsum("nk,nkd->nd", C, W))
-    s = np.zeros(len(ents))
-    np.add.at(s, e_idx, np.einsum("nk,nk->n", C, X))
-    grad = (A - s[:, None] * ehat) / en[:, None] / N
-    new = evec - T.LR * grad
-    return ents, N, loss, new
+        # dL/dx coefficients (mean reduction): 1/K per violating slot, minus
+        # the violation count at the target slot
+        C = viol.astype(float) / K
+        C[np.arange(N), t_idx] = -viol.sum(axis=1) / K
+        # grad_e = (1/N)·Σ (Σ_j c_j ŵ_j − (Σ_j c_j x_j)·ê)/‖e‖
+        A = np.zeros_like(evec)
+        np.add.at(A, e_idx, np.einsum("nk,nkd->nd", C, W))
+        s = np.zeros(len(ents))
+        np.add.at(s, e_idx, np.einsum("nk,nk->n", C, X))
+        grad = (A - s[:, None] * ehat) / en[:, None] / N
+        new = evec - T.LR * grad
+        evec = np.round(new, 6)  # the 6-dp checkpoint both engines store
+    return ents, N, losses, new
+
+
+def _numpy_epoch(sf_dir: str):
+    ents, n, losses, new = _numpy_epochs(sf_dir, 1)
+    return ents, n, losses[0], new
 
 
 @pytest.fixture(scope="module")
@@ -131,6 +148,85 @@ def test_entity_update_matches_transcription(spark, numpy_epoch):
     for ei, e in enumerate(ents):
         for d in range(0, T.EMB_DIMS, 7):  # stride keeps the check O(n/7)
             assert g[(e, d)] == pytest.approx(new[ei, d], abs=5e-5), (e, d)
+
+
+def test_train_epochs_chain_matches_transcription(spark, tmp_path):
+    """The 3-epoch chain (fresh probes per epoch, epoch k+1 reading epoch
+    k's 6-dp-rounded checkpoint) reproduces the numpy transcription's
+    per-epoch loss sequence and final vectors."""
+    ents, n, losses, new = _numpy_epochs(SF_SMOKE, T.N_EPOCHS)
+    got_losses, comp = T.run_train_epochs(
+        spark, SF_SMOKE, checkpoint_root=str(tmp_path / "ck")
+    )
+    rows = {r["epoch"]: r for r in got_losses.collect()}
+    assert sorted(rows) == list(range(1, T.N_EPOCHS + 1))
+    for e, expected in enumerate(losses, start=1):
+        assert rows[e]["n_examples"] == n
+        assert rows[e]["avg_loss"] == pytest.approx(expected, abs=1e-5), e
+    g = comp.toPandas().set_index(["ent_name", "dim"])["val"]
+    for ei, e in enumerate(ents):
+        for d in range(0, T.EMB_DIMS, 13):
+            assert g[(e, d)] == pytest.approx(new[ei, d], abs=5e-5), (e, d)
+
+
+def test_train_epochs_resume_skips_recompute(spark, tmp_path, monkeypatch):
+    """S10 semantics: a second run over an intact checkpoint root reads
+    every epoch back (zero write_stage calls) and returns identical
+    losses; wiping one epoch's lineage re-runs that epoch and its
+    descendants only."""
+    from ed_twitter_spark import io as kgio
+    from ed_twitter_spark.operators import training as tr
+
+    root = str(tmp_path / "ck")
+    first = {r["epoch"]: r["avg_loss"] for r in
+             T.run_train_epochs(spark, SF_SMOKE, checkpoint_root=root)[0].collect()}
+
+    calls = []
+    real = kgio.write_stage
+
+    def counting(df, *a, **k):
+        calls.append(a[1])
+        return real(df, *a, **k)
+
+    monkeypatch.setattr(kgio, "write_stage", counting)
+    second = {r["epoch"]: r["avg_loss"] for r in
+              T.run_train_epochs(spark, SF_SMOKE, checkpoint_root=root)[0].collect()}
+    assert calls == []
+    assert second == first
+
+    # wipe epoch 2's lineage (simulated mid-chain loss) → ONLY epoch 2
+    # re-runs: the deterministic fingerprint chain proves the recompute
+    # reproduces the exact vectors epoch 3's still-valid checkpoint was
+    # built from, so later epochs stay skipped (minimal-recompute resume)
+    import shutil
+
+    shutil.rmtree(f"{root}/ent_vecs_ep_2/_lineage")
+    third = {r["epoch"]: r["avg_loss"] for r in
+             T.run_train_epochs(spark, SF_SMOKE, checkpoint_root=root)[0].collect()}
+    assert third == first
+    assert sorted(calls) == ["ent_vecs_ep_2", "train_loss_ep_2"]
+
+    # a regenerated input dir (same path, new bytes → new stat signature)
+    # must invalidate EVERY epoch: stale vectors over fresh data is a
+    # silent-wrong-answer, not a resume
+    calls.clear()
+    monkeypatch.setattr(tr, "_input_stat_sig", lambda d: "regenerated!")
+    T.run_train_epochs(spark, SF_SMOKE, checkpoint_root=root)
+    assert sorted(calls) == sorted(
+        [f"ent_vecs_ep_{e}" for e in range(1, T.N_EPOCHS + 1)]
+        + [f"train_loss_ep_{e}" for e in range(1, T.N_EPOCHS + 1)]
+    )
+
+
+def test_training_descends_on_fixed_batch(spark, tmp_path):
+    """Held-fixed-batch probe (the epoch-1 example set): the chained
+    3-epoch vectors must score a strictly lower hinge loss than the K9
+    init — the distributed loop genuinely optimizes the reference
+    objective even though per-epoch train losses are over fresh samples."""
+    init_loss = T.fixed_batch_loss(spark, SF_SMOKE).first()["avg_loss"]
+    _, comp = T.run_train_epochs(spark, SF_SMOKE, checkpoint_root=str(tmp_path / "ck"))
+    final_loss = T.fixed_batch_loss(spark, SF_SMOKE, comp).first()["avg_loss"]
+    assert final_loss < init_loss
 
 
 def test_trained_embeddings_roundtrip_linker(spark, numpy_epoch):
