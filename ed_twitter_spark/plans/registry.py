@@ -513,6 +513,130 @@ _register_spans_rel()
 
 
 # ---------------------------------------------------------------------------
+# 31b. K10 ingestion — reference relatedness format reader + RLTD union
+# (relatedness.py:39-110,160-199). All three queries route through the
+# serialized txt/CSV fixtures and the READERS, so parse semantics sit
+# inside the oracle-checked path; the DuckDB twins derive the same values
+# straight from the embeddings table.
+# ---------------------------------------------------------------------------
+
+
+def _register_relatedness_sources():
+    from ed_twitter_spark.operators.similarity import _COS_SQL
+    from ed_twitter_spark.sources import relatedness as rel
+
+    @register(
+        "rltd_dataset",
+        f"SELECT query_id, e1, e2, label FROM ({rel.PAIRS_SQL})",
+    )
+    def q_rltd_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+        val_dir, test_dir = rel.write_reference_relatedness(spark, sf_dir)
+        return rel.read_relatedness_txt(spark, val_dir).unionByName(
+            rel.read_relatedness_txt(spark, test_dir)
+        )
+
+    @register(
+        "rltd_union",
+        f"""
+WITH pairs AS ({rel.PAIRS_SQL}),
+ids AS (
+  SELECT e1 AS ent_wikiid FROM pairs
+  UNION SELECT e2 FROM pairs
+  UNION SELECT CAST(vec_id * 3 + 5 AS BIGINT) FROM embeddings
+        WHERE vec_id < {rel.N_ED_CSV_DOCS}
+  UNION SELECT CAST(vec_id * 5 + 2 AS BIGINT) FROM embeddings
+        WHERE vec_id < {rel.N_ED_CSV_DOCS}
+  UNION SELECT CAST({rel.UNK_ENT_WIKIID} AS BIGINT)
+)
+SELECT ent_wikiid,
+       CAST(ROW_NUMBER() OVER (ORDER BY ent_wikiid) - 1 AS INTEGER) AS rltd_id
+FROM ids
+""",
+    )
+    def q_rltd_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+        val_dir, test_dir = rel.write_reference_relatedness(spark, sf_dir)
+        csv_path = rel.write_reference_ed_csv(spark, sf_dir)
+        return rel.rltd_entity_union(
+            rel.read_relatedness_txt(spark, val_dir),
+            rel.read_relatedness_txt(spark, test_dir),
+            rel.ed_candidate_wikiids(spark, csv_path),
+        ).select("ent_wikiid", F.col("rltd_id").cast("int").alias("rltd_id"))
+
+    @register(
+        "rltd_metrics_val",
+        f"""
+WITH pairs AS (SELECT * FROM ({rel.PAIRS_SQL}) WHERE e1 % 2 = 0),
+scored AS (
+  SELECT p.query_id, p.e2, p.label, {_COS_SQL} AS score
+  FROM pairs p
+  JOIN embeddings q ON q.vec_id = p.e1
+  JOIN embeddings c ON c.vec_id = p.e2
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, e2) AS rn,
+         SUM(label) OVER (PARTITION BY query_id ORDER BY score DESC, e2
+                          ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM scored
+),
+per_q AS (
+  SELECT query_id,
+         SUM(label * cum_rel * 1.0 / rn) / SUM(label) AS ap,
+         SUM(CASE WHEN rn <= 1  THEN label / log2(rn + 1) ELSE 0 END) AS dcg1,
+         SUM(CASE WHEN rn <= 5  THEN label / log2(rn + 1) ELSE 0 END) AS dcg5,
+         SUM(CASE WHEN rn <= 10 THEN label / log2(rn + 1) ELSE 0 END) AS dcg10,
+         SUM(label) AS n_rel
+  FROM ranked GROUP BY query_id
+),
+norm AS (
+  SELECT query_id, ap,
+         dcg1  / list_sum(list_transform(range(1, CAST(LEAST(1,  n_rel) AS BIGINT) + 1),
+                  i -> 1.0 / log2(i + 1))) AS ndcg1,
+         dcg5  / list_sum(list_transform(range(1, CAST(LEAST(5,  n_rel) AS BIGINT) + 1),
+                  i -> 1.0 / log2(i + 1))) AS ndcg5,
+         dcg10 / list_sum(list_transform(range(1, CAST(LEAST(10, n_rel) AS BIGINT) + 1),
+                  i -> 1.0 / log2(i + 1))) AS ndcg10
+  FROM per_q
+  WHERE n_rel > 0
+)
+SELECT ROUND(AVG(ap), 6)     AS map,
+       ROUND(AVG(ndcg1), 6)  AS ndcg1,
+       ROUND(AVG(ndcg5), 6)  AS ndcg5,
+       ROUND(AVG(ndcg10), 6) AS ndcg10
+FROM norm
+""",
+    )
+    def q_rltd_metrics_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ed_twitter_spark.operators.similarity import _cos
+
+        val_dir, _ = rel.write_reference_relatedness(spark, sf_dir)
+        pairs = rel.read_relatedness_txt(spark, val_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # the relatedness set is an eval artifact (thousands of pairs);
+        # the embedding corpus is not. Scan emb once per side with the
+        # TINY id set broadcast into it, then broadcast the resulting
+        # slim vector lookups back onto the pairs — emb itself is never
+        # broadcast or shuffled.
+        qvecs = emb.join(
+            F.broadcast(pairs.select(F.col("e1").alias("vec_id")).distinct()), "vec_id"
+        ).select(F.col("vec_id").alias("e1"), F.col("embedding").alias("qe"))
+        cvecs = emb.join(
+            F.broadcast(pairs.select(F.col("e2").alias("vec_id")).distinct()), "vec_id"
+        ).select(F.col("vec_id").alias("e2"), F.col("embedding").alias("ce"))
+        scored = (
+            pairs.join(F.broadcast(qvecs), "e1")
+            .join(F.broadcast(cvecs), "e2")
+            .select(
+                "query_id", "e2", "label", _cos(F.col("qe"), F.col("ce")).alias("score")
+            )
+        )
+        return rel.relatedness_metrics(scored)
+
+
+_register_relatedness_sources()
+
+
+# ---------------------------------------------------------------------------
 # 32. W1/W3 conversation windows under the oracle (linker stage-1 semantics)
 # ---------------------------------------------------------------------------
 
@@ -636,6 +760,9 @@ def _register_training():
 
     register("train_epoch_loss", tr.train_epoch_loss_sql())(tr.train_epoch_loss)
     register("train_entity_epoch", tr.train_entity_epoch_sql())(tr.train_entity_epoch)
+    # K7 full scope: the chained N-epoch loop (epoch k+1 consumes epoch k's
+    # checkpointed vectors; per-epoch loss sequence pins the whole chain)
+    register("train_epochs", tr.train_epochs_sql())(tr.train_epochs)
 
 
 _register_training()

@@ -1,0 +1,329 @@
+"""Entity-relatedness dataset ingestion (K10 input side).
+
+Readers + set construction for the reference's relatedness validation/test
+format and the RLTD restricted-entity union
+(`deep-ed-pytorch/entities/relatedness/relatedness.py:39-110,160-199`):
+
+* ``read_relatedness_txt`` — the SVMrank-ish line format
+  ``<label> qid:<q> <ignored...> # <e1>-<e2>``: label ∈ {0,1}, q from the
+  2nd token split on ':', the candidate pair from the token AFTER the
+  literal ``#`` token (``relatedness.py:171-184``). Dict semantics are
+  reproduced relationally: ``reltd[q]['ent'] = e1`` binds on the FIRST
+  line of a query (later conflicting e1s are ignored), and
+  ``reltd[q]['cand'][e2] = label`` means the LAST line of a (q, e2) pair
+  wins. Parsing is pure JVM column algebra over a distributed text scan —
+  no Python in the row path.
+* ``rltd_entity_union`` — the restricted training-entity set
+  (``relatedness.py:38-96``): e1/e2 of both relatedness splits ∪ every
+  candidate wikiid of the ED mention-context CSVs (lines containing
+  ``EMPTYCAND`` skipped, candidates = tab fields after the ``CANDIDATES``
+  marker, wikiid = the first comma field) ∪ the unk id 1, sorted by
+  wikiid, densely enumerated from 0 (``rltd_id``).
+* ``relatedness_metrics`` — MAP + NDCG@{1,5,10} of a scored candidate
+  ranking, reference-exact (``relatedness.py:202-286``): AP normalized by
+  the query's relevant count, binary-gain DCG against the ideal top-k.
+
+Scale shape: the text scans distribute; the per-query windows shuffle on
+``query_id`` (relatedness datasets are eval artifacts — thousands of
+queries, not corpus-sized); the union's global sort-enumeration is one
+row_number over a candidate-vocabulary-sized frame, documented as the
+single-partition dim-table step it is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+UNK_ENT_WIKIID = 1  # relatedness.py:81-83
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+
+def read_relatedness_txt(spark: SparkSession, path: str) -> DataFrame:
+    """(query_id, e1, e2, label) from the reference relatedness format.
+
+    Line grammar (relatedness.py:171-184): space-separated tokens;
+    token 1 = binary label, token 2 = ``qid:<q>``, any number of ignored
+    feature tokens, a literal ``#`` token, then ``<e1>-<e2>``. First-wins
+    e1 per query / last-wins label per (query, candidate), keyed on file
+    order (monotonically_increasing_id over the ordered text splits).
+    """
+    lines = spark.read.text(path).select(
+        "value", F.monotonically_increasing_id().alias("_ord")
+    )
+    parts = F.split(F.trim(F.col("value")), " ")
+    ents = F.split(
+        F.element_at(parts, (F.array_position(parts, "#") + F.lit(1)).cast("int")), "-"
+    )
+    parsed = (
+        lines.where(F.trim(F.col("value")) != "")
+        .select(
+            F.element_at(parts, 1).cast("int").alias("label"),
+            F.element_at(F.split(F.element_at(parts, 2), ":"), 2)
+            .cast("int")
+            .alias("query_id"),
+            F.element_at(ents, 1).cast("bigint").alias("e1"),
+            F.element_at(ents, 2).cast("bigint").alias("e2"),
+            "_ord",
+        )
+    )
+    w_first = Window.partitionBy("query_id").orderBy("_ord")
+    w_last = Window.partitionBy("query_id", "e2").orderBy(F.desc("_ord"))
+    return (
+        parsed.withColumn("e1", F.first("e1").over(w_first))
+        .withColumn("_rn", F.row_number().over(w_last))
+        .where(F.col("_rn") == 1)
+        .select("query_id", "e1", "e2", "label")
+    )
+
+
+def ed_candidate_wikiids(spark: SparkSession, path: str) -> DataFrame:
+    """(ent_wikiid) — every candidate id of an ED mention-context CSV
+    (relatedness.py:57-80): skip empty / EMPTYCAND lines, require the
+    ``CANDIDATES`` marker at tab field 6, candidates are fields 7..n-2
+    (the last two being ``GT:`` and the gold tuple), wikiid = the first
+    comma component of each candidate."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    cands = F.slice(parts, 7, F.greatest(F.size(parts) - 8, F.lit(0)))
+    return (
+        lines.where(
+            (F.trim(F.col("value")) != "")
+            & (~F.col("value").contains("EMPTYCAND"))
+            & (F.element_at(parts, 6) == "CANDIDATES")
+        )
+        .select(F.explode(cands).alias("cand"))
+        .select(
+            F.element_at(F.split(F.col("cand"), ","), 1)
+            .cast("bigint")
+            .alias("ent_wikiid")
+        )
+    )
+
+
+def rltd_entity_union(
+    rel_validate: DataFrame,
+    rel_test: DataFrame,
+    ed_cand_ids: DataFrame | None = None,
+) -> DataFrame:
+    """(ent_wikiid, rltd_id) — the sorted, densely-enumerated restricted
+    entity set (relatedness.py:38-96). The distinct shuffles on wikiid;
+    the enumeration is one row_number over the distinct set — a dim table
+    (candidate vocabulary), so the single-partition window is bounded by
+    design, not by luck."""
+    ids = rel_validate.select(F.col("e1").alias("ent_wikiid")).unionByName(
+        rel_validate.select(F.col("e2").alias("ent_wikiid"))
+    )
+    for df in (rel_test,):
+        ids = ids.unionByName(
+            df.select(F.col("e1").alias("ent_wikiid"))
+        ).unionByName(df.select(F.col("e2").alias("ent_wikiid")))
+    if ed_cand_ids is not None:
+        ids = ids.unionByName(ed_cand_ids.select("ent_wikiid"))
+    ids = ids.unionByName(
+        ids.sparkSession.range(1).select(
+            F.lit(UNK_ENT_WIKIID).cast("bigint").alias("ent_wikiid")
+        )
+    )
+    return ids.distinct().select(
+        "ent_wikiid",
+        (F.row_number().over(Window.orderBy("ent_wikiid")) - 1).alias("rltd_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# metrics over reference-shaped pairs
+# ---------------------------------------------------------------------------
+
+
+def relatedness_metrics(scored: DataFrame) -> DataFrame:
+    """One row (map, ndcg1, ndcg5, ndcg10) from (query_id, e2, label,
+    score): rank candidates per query by score desc (ties by e2 asc so
+    both engines agree where the reference's stable sort is
+    insertion-order-dependent), reference-exact MAP
+    (relatedness.py:225-247) and binary-gain NDCG against the ideal
+    top-min(k, n_rel). Queries with zero relevant candidates are excluded
+    (the reference's data guarantees ≥1; its AP would divide by zero)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("e2"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cum = (
+        Window.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = ranked.withColumn("cum_rel", F.sum("label").over(cum))
+
+    def _dcg(k: int):
+        return F.sum(
+            F.when(
+                F.col("rn") <= k, F.col("label") / F.log2(F.col("rn") + 1)
+            ).otherwise(0.0)
+        )
+
+    per_q = ranked.groupBy("query_id").agg(
+        (F.sum(F.col("label") * F.col("cum_rel") / F.col("rn")) / F.sum("label")).alias(
+            "ap"
+        ),
+        _dcg(1).alias("dcg1"),
+        _dcg(5).alias("dcg5"),
+        _dcg(10).alias("dcg10"),
+        F.sum("label").alias("n_rel"),
+    )
+    per_q = per_q.where(F.col("n_rel") > 0)
+    for k in (1, 5, 10):
+        idcg = F.expr(
+            f"aggregate(sequence(1, int(least({k}, n_rel))), 0.0D,"
+            " (a, i) -> a + 1.0D / log2(i + 1))"
+        )
+        per_q = per_q.withColumn(f"ndcg{k}", F.col(f"dcg{k}") / idcg)
+    return per_q.agg(
+        F.round(F.avg("ap"), 6).alias("map"),
+        F.round(F.avg("ndcg1"), 6).alias("ndcg1"),
+        F.round(F.avg("ndcg5"), 6).alias("ndcg5"),
+        F.round(F.avg("ndcg10"), 6).alias("ndcg10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic reference-shaped synthesis (registry/bench input)
+# ---------------------------------------------------------------------------
+
+N_RLTD_QUERIES = 24  # e1 = vec_id 0..23; even → validate, odd → test
+CANDS_PER_QUERY = 12
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed-form relatedness pairs both engines derive from the
+    ``embeddings`` table: query entities are the first N_RLTD_QUERIES
+    vec_ids, candidates e2 = (e1·7 + 13·k) mod n_vec for k = 1..12
+    (distinct for the k range at every SF's n_vec), label = shared coarse
+    label (the corpus's relatedness ground truth, as in
+    ``relatedness_eval``)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.groupBy().agg(F.count(F.lit(1)).alias("n_vec"))
+    q = (
+        emb.where(F.col("vec_id") < N_RLTD_QUERIES)
+        .crossJoin(F.broadcast(n_vec))
+        .select(
+            F.col("vec_id").alias("e1"),
+            F.col("label").alias("l1"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {CANDS_PER_QUERY}),"
+                    " k -> (vec_id * 7 + 13 * k) % n_vec)"
+                )
+            ).alias("e2"),
+        )
+        .where(F.col("e2") != F.col("e1"))
+    )
+    c = emb.select(F.col("vec_id").alias("e2"), F.col("label").alias("l2"))
+    return q.join(F.broadcast(c), "e2").select(
+        F.col("e1").cast("int").alias("query_id"),
+        F.col("e1").cast("bigint").alias("e1"),
+        F.col("e2").cast("bigint").alias("e2"),
+        (F.col("l1") == F.col("l2")).cast("int").alias("label"),
+    )
+
+
+PAIRS_SQL = f"""
+SELECT CAST(q.vec_id AS INTEGER) AS query_id,
+       CAST(q.vec_id AS BIGINT)  AS e1,
+       CAST((q.vec_id * 7 + 13 * s.k) % n.n_vec AS BIGINT) AS e2,
+       CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS label
+FROM embeddings q
+CROSS JOIN (SELECT COUNT(*) AS n_vec FROM embeddings) n
+CROSS JOIN UNNEST(range(1, {CANDS_PER_QUERY} + 1)) AS s(k)
+JOIN embeddings c ON c.vec_id = (q.vec_id * 7 + 13 * s.k) % n.n_vec
+WHERE q.vec_id < {N_RLTD_QUERIES}
+  AND (q.vec_id * 7 + 13 * s.k) % n.n_vec <> q.vec_id
+"""
+
+
+def format_relatedness_lines(pairs: DataFrame) -> DataFrame:
+    """(value) — pairs serialized back into the reference line grammar,
+    with two filler feature tokens so parsers must honor the ``#`` marker
+    rather than a fixed column position."""
+    return pairs.select(
+        F.concat_ws(
+            " ",
+            F.col("label").cast("string"),
+            F.concat(F.lit("qid:"), F.col("query_id").cast("string")),
+            F.lit("1:0.000000"),
+            F.lit("2:0.000000"),
+            F.lit("#"),
+            F.concat_ws("-", F.col("e1").cast("string"), F.col("e2").cast("string")),
+        ).alias("value")
+    )
+
+
+def write_reference_relatedness(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the deterministic pairs as two reference-format txt
+    datasets (validate = even e1, test = odd e1) under a temp dir;
+    returns (validate_path, test_path). This is the fixture-generation
+    path the registry queries use so the READER sits inside the
+    oracle-checked pipeline: any parse defect surfaces as a value
+    mismatch against the table-direct DuckDB twin."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="rltd_ref_")
+    pairs = _pairs(spark, sf_dir)
+    val_dir, test_dir = f"{root}/validate", f"{root}/test"
+    format_relatedness_lines(pairs.where(F.col("e1") % 2 == 0)).coalesce(
+        1
+    ).write.mode("overwrite").text(val_dir)
+    format_relatedness_lines(pairs.where(F.col("e1") % 2 == 1)).coalesce(
+        1
+    ).write.mode("overwrite").text(test_dir)
+    return val_dir, test_dir
+
+
+N_ED_CSV_DOCS = 10  # synthetic ED CSV: one mention row per vec_id < 10
+
+
+def write_reference_ed_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a deterministic ED mention-context CSV (the S5 9-field
+    grammar the union scans for candidate wikiids, relatedness.py:57-80):
+    one CANDIDATES row per vec_id < N_ED_CSV_DOCS with candidate ids
+    3·v+5 and 5·v+2, plus EMPTYCAND rows that the scan must skip."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("vec_id").cast("string")
+    rows = emb.where(F.col("vec_id") < N_ED_CSV_DOCS).select(
+        F.concat_ws(
+            "\t",
+            F.concat(F.lit("d"), v),
+            F.concat(F.lit("doc "), v),
+            F.concat(F.lit("mention"), v),
+            F.lit("left ctx"),
+            F.lit("right ctx"),
+            F.lit("CANDIDATES"),
+            F.concat((F.col("vec_id") * 3 + 5).cast("string"), F.lit(",0.5,Name_A")),
+            F.concat((F.col("vec_id") * 5 + 2).cast("string"), F.lit(",0.25,Name_B")),
+            F.lit("GT:"),
+            F.concat(
+                F.lit("1,"), (F.col("vec_id") * 3 + 5).cast("string"),
+                F.lit(",0.5,Name_A"),
+            ),
+        ).alias("value")
+    )
+    empty = spark.range(2).select(
+        F.concat_ws(
+            "\t",
+            F.concat(F.lit("dx"), F.col("id").cast("string")),
+            F.lit("doc x"),
+            F.lit("unresolvable"),
+            F.lit("l"),
+            F.lit("r"),
+            F.lit("EMPTYCAND"),
+            F.lit("GT:"),
+            F.lit("-1"),
+        ).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="rltd_edcsv_") + "/ed.csv"
+    rows.unionByName(empty).coalesce(1).write.mode("overwrite").text(out)
+    return out
