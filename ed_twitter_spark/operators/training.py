@@ -218,6 +218,7 @@ def _slot_scores(
             "i",
             "j",
             "t",
+            "word",
             "wvid",
             # model_a.py:60-76: cos(normalize(w), normalize(e)); rounded so
             # every engine makes the same margin decision
@@ -582,7 +583,7 @@ slots AS (
   LEFT JOIN probes p ON q.j <> q.t AND p.k = q.nk
 ),
 scored AS (
-  SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t,
+  SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t, sl.word,
          {_WVID_SQL.format(w='sl.word')} AS wvid,
          ROUND(list_dot_product(wv.wemb, ev.evec) / (wv.wn * ev.en), 6) AS x
   FROM slots sl
@@ -772,6 +773,245 @@ def train_epochs_vectors_sql(n_epochs: int = N_EPOCHS) -> str:
         + ","
         + blocks
         + f"\nSELECT ent_name, dim, val FROM ei{n_epochs}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K7 loss variants — neg / nce / is beside maxm (model_a.py:81-93,
+# learn_a.py:39-42,96-101, batch_dataset_a.py:82-90)
+# ---------------------------------------------------------------------------
+#
+# The reference selects among four criteria over the SAME slot-score
+# matrix; only the score adjustment and the criterion differ:
+#   maxm: MultiMarginLoss(margin=0.1) on raw cosines (the default above);
+#   neg : SoftMarginLoss with targets +1 at the positive slot, −1
+#         elsewhere, scores unadjusted (no branch in model_a's if-chain);
+#   nce : same SoftMarginLoss, scores shifted by −ln(p_pow(word)·(K−1));
+#   is  : CrossEntropyLoss over the K slots, scores shifted by
+#         −ln(p_pow(word)).
+# p_pow is the word's probability under the SAME quantized unigram^0.6
+# distribution K8 samples negatives from (w/total with w =
+# round(freq^0.6·1e6)); words below K8's MIN_FREQ vocabulary floor fall
+# back to weight W_SCALE (freq-1 equivalent) — deterministic on both
+# engines. Adjusted scores are re-rounded to 6 dp so every engine makes
+# identical decisions downstream.
+
+LOSS_VARIANTS = ("maxm", "neg", "nce", "is")
+
+
+def _word_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, w) — K8's integer micro-unit power weights (sampling.py)."""
+    from ed_twitter_spark.operators.sampling import MIN_FREQ, POW, W_SCALE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= MIN_FREQ)
+        .select(
+            "word", F.round(F.pow("freq", F.lit(POW)) * W_SCALE).cast("long").alias("w")
+        )
+    )
+
+
+def _with_ppow(scored: DataFrame, wpw: DataFrame) -> DataFrame:
+    """Attach p = p_pow(word) to the slot frame. The vocab table is a
+    dim-side broadcast (word counts ≪ corpus); missing words coalesce to
+    the freq-1 weight."""
+    from ed_twitter_spark.operators.sampling import W_SCALE
+
+    tot = wpw.groupBy().agg(F.sum("w").alias("total"))
+    return (
+        scored.join(F.broadcast(wpw), "word", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p", F.coalesce(F.col("w"), F.lit(W_SCALE)) * F.lit(1.0) / F.col("total")
+        )
+    )
+
+
+def _variant_coeffs(sp: DataFrame, loss: str) -> DataFrame:
+    """Per-slot (lterm, c) under the given criterion; c is dL/dcos scaled
+    so `_epoch_update`'s final /N division completes the mean reduction
+    (÷K inside for the elementwise losses, softmax row terms for is)."""
+    if loss == "maxm":
+        return _with_coeffs(sp)
+    if loss in ("neg", "nce"):
+        xa = (
+            F.round(F.col("x") - F.log(F.col("p") * (NEG_SLOTS - 1)), 6)
+            if loss == "nce"
+            else F.col("x")
+        )
+        sp = sp.withColumn("xa", xa)
+        y = F.when(F.col("j") == F.col("t"), F.lit(1.0)).otherwise(F.lit(-1.0))
+        z = -y * F.col("xa")  # SoftMarginLoss: log(1 + exp(−y·x))
+        return sp.withColumn(
+            "lterm", F.log(F.lit(1.0) + F.exp(z)) / NEG_SLOTS
+        ).withColumn("c", -y / (F.lit(1.0) + F.exp(-z)) / NEG_SLOTS)
+    if loss == "is":
+        sp = sp.withColumn("xa", F.round(F.col("x") - F.log("p"), 6))
+        w = Window.partitionBy("doc_id", "pos", "i")
+        sp = sp.withColumn("lse", F.log(F.sum(F.exp("xa")).over(w)))
+        return sp.withColumn(
+            "lterm",
+            F.when(F.col("j") == F.col("t"), F.col("lse") - F.col("xa")).otherwise(
+                F.lit(0.0)
+            ),
+        ).withColumn(
+            "c",
+            F.exp(F.col("xa") - F.col("lse"))
+            - F.when(F.col("j") == F.col("t"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+    raise ValueError(f"unknown loss {loss!r}")
+
+
+def train_loss_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(loss, n_examples, avg_loss) — all four criteria over the shared
+    epoch-1 slot scores (one scored-frame build, four cheap aggregates)."""
+    from ed_twitter_spark.caching import persist_tracked
+
+    n_vec = _n_vec(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("wemb"),
+    )
+    emb = emb.select(
+        "vec_id", "wemb", F.sqrt(_dot(F.col("wemb"), F.col("wemb"))).alias("wn")
+    )
+    hc = hyperlink_contexts(spark, sf_dir)
+    ents = hc.select(F.col("gold_ent").alias("ent_name")).distinct()
+    ev = _ent_init_vecs(spark, sf_dir, n_vec, ents)
+    sp = persist_tracked(
+        _with_ppow(
+            _slot_scores(hc, emb, ev, n_vec, spark, sf_dir),
+            _word_weights(spark, sf_dir),
+        )
+    )
+    out = None
+    for loss in LOSS_VARIANTS:
+        agg = _variant_coeffs(sp, loss).agg(
+            (F.count(F.lit(1)) / NEG_SLOTS).cast("long").alias("n_examples"),
+            F.round(F.sum("lterm") / (F.count(F.lit(1)) / NEG_SLOTS), 6).alias(
+                "avg_loss"
+            ),
+        )
+        agg = agg.select(F.lit(loss).alias("loss"), "n_examples", "avg_loss")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def train_entity_epoch_nce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ent_name, dim, val) — one full-batch step under the NCE criterion
+    (the same `_epoch_update` gradient plumbing; only dL/dcos changes)."""
+    n_vec = _n_vec(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("wemb"),
+    )
+    emb = emb.select(
+        "vec_id", "wemb", F.sqrt(_dot(F.col("wemb"), F.col("wemb"))).alias("wn")
+    )
+    hc = hyperlink_contexts(spark, sf_dir)
+    ents = hc.select(F.col("gold_ent").alias("ent_name")).distinct()
+    ev = _ent_init_vecs(spark, sf_dir, n_vec, ents)
+    sp = _with_ppow(
+        _slot_scores(hc, emb, ev, n_vec, spark, sf_dir), _word_weights(spark, sf_dir)
+    )
+    return _epoch_update(_variant_coeffs(sp, "nce"), ev, emb)
+
+
+def _ppow_sql() -> str:
+    from ed_twitter_spark.functions.hashing import TOKS_SQL
+    from ed_twitter_spark.operators.sampling import MIN_FREQ, POW, W_SCALE
+
+    return f"""
+wpw AS (
+  SELECT word, CAST(ROUND(power(COUNT(*), {POW}) * {W_SCALE}) AS BIGINT) AS w
+  FROM (SELECT unnest({TOKS_SQL}) AS word FROM documents)
+  GROUP BY word HAVING COUNT(*) >= {MIN_FREQ}
+),
+tot AS (SELECT SUM(w) AS total FROM wpw),
+sp AS (
+  SELECT s.*, COALESCE(wpw.w, {W_SCALE}) * 1.0 / tot.total AS p
+  FROM scored s LEFT JOIN wpw ON wpw.word = s.word CROSS JOIN tot
+)"""
+
+
+def train_loss_variants_sql() -> str:
+    k = NEG_SLOTS
+    soft = """
+SELECT '{name}' AS loss, CAST(COUNT(*) / {k} AS BIGINT) AS n_examples,
+       ROUND(SUM(ln(1 + exp(CASE WHEN j = t THEN -{xa} ELSE {xa} END)) / {k})
+             / (COUNT(*) / {k}), 6) AS avg_loss
+FROM {src}"""
+    return (
+        "WITH "
+        + _SLOT_SQL.format(HYP_SQL=_hyp_sql())
+        + ","
+        + _ppow_sql()
+        + f""",
+nce_x AS (SELECT *, ROUND(x - ln(p * {k - 1}), 6) AS xa FROM sp),
+is_x AS (
+  SELECT *, ln(SUM(exp(xa)) OVER (PARTITION BY doc_id, pos, i)) AS lse
+  FROM (SELECT *, ROUND(x - ln(p), 6) AS xa FROM sp)
+)
+SELECT 'maxm' AS loss, CAST(COUNT(*) / {k} AS BIGINT) AS n_examples,
+       ROUND(SUM(lterm) / (COUNT(*) / {k}), 6) AS avg_loss
+FROM cc
+UNION ALL
+{soft.format(name="neg", k=k, xa="x", src="sp")}
+UNION ALL
+{soft.format(name="nce", k=k, xa="xa", src="nce_x")}
+UNION ALL
+SELECT 'is' AS loss, CAST(COUNT(*) / {k} AS BIGINT) AS n_examples,
+       ROUND(SUM(CASE WHEN j = t THEN lse - xa ELSE 0.0 END)
+             / (COUNT(*) / {k}), 6) AS avg_loss
+FROM is_x
+"""
+    )
+
+
+def train_entity_epoch_nce_sql() -> str:
+    k = NEG_SLOTS
+    return (
+        "WITH "
+        + _SLOT_SQL.format(HYP_SQL=_hyp_sql())
+        + ","
+        + _ppow_sql()
+        + f""",
+ncc AS (
+  SELECT *,
+         ln(1 + exp(CASE WHEN j = t THEN -xa ELSE xa END)) / {k} AS lterm,
+         (CASE WHEN j = t THEN -1.0 ELSE 1.0 END)
+           / (1 + exp(CASE WHEN j = t THEN xa ELSE -xa END)) / {k} AS c
+  FROM (SELECT *, ROUND(x - ln(p * {k - 1}), 6) AS xa FROM sp)
+),
+nr AS (SELECT COUNT(*) AS nr FROM ncc),
+coef AS (SELECT ent_name, wvid, SUM(c) AS coef FROM ncc GROUP BY ent_name, wvid),
+a_ed AS (
+  SELECT ent_name, dim, SUM(a) AS a
+  FROM (
+    SELECT coef.ent_name,
+           CAST(unnest(range(len(wv.wemb))) AS INTEGER) AS dim,
+           unnest(list_transform(wv.wemb, v -> coef.coef * v / wv.wn)) AS a
+    FROM coef JOIN wv ON wv.vec_id = coef.wvid
+  ) GROUP BY ent_name, dim
+),
+s_e AS (SELECT ent_name, SUM(c * x) AS s FROM ncc GROUP BY ent_name),
+evd AS (
+  SELECT e.ent_name, ei.dim, ei.val AS e, e.en
+  FROM einit ei JOIN ev e ON e.ent_name = ei.ent_name
+)
+SELECT evd.ent_name, evd.dim,
+       ROUND(evd.e - {LR} * (COALESCE(a_ed.a, 0.0)
+                 - COALESCE(s_e.s, 0.0) * evd.e / evd.en)
+             / evd.en / (nr.nr / {k}), 6) AS val
+FROM evd
+LEFT JOIN a_ed ON a_ed.ent_name = evd.ent_name AND a_ed.dim = evd.dim
+LEFT JOIN s_e ON s_e.ent_name = evd.ent_name
+CROSS JOIN nr
+"""
     )
 
 

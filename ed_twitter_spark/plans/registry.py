@@ -763,6 +763,14 @@ def _register_training():
     # K7 full scope: the chained N-epoch loop (epoch k+1 consumes epoch k's
     # checkpointed vectors; per-epoch loss sequence pins the whole chain)
     register("train_epochs", tr.train_epochs_sql())(tr.train_epochs)
+    # K7 loss variants: neg/nce/is beside maxm over the shared slot scores
+    # (model_a.py:81-93), plus the entity step under the NCE criterion
+    register("train_loss_variants", tr.train_loss_variants_sql())(
+        tr.train_loss_variants
+    )
+    register("train_entity_epoch_nce", tr.train_entity_epoch_nce_sql())(
+        tr.train_entity_epoch_nce
+    )
 
 
 _register_training()

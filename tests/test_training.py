@@ -126,6 +126,98 @@ def _numpy_epoch(sf_dir: str):
     return ents, n, losses[0], new
 
 
+def _numpy_variants(sf_dir: str):
+    """Independent transcription of the neg/nce/is criteria
+    (model_a.py:81-93, learn_a.py:96-101, batch_dataset_a.py:82-90) over
+    the epoch-1 slot matrix. Returns ({loss: avg_loss}, ents, nce_new)."""
+    from ed_twitter_spark.operators.sampling import MIN_FREQ, POW, W_SCALE
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    hyp = con.sql(T._hyp_sql()).df()
+    probes = con.sql(T.NEGATIVE_SAMPLING_SQL).df().sort_values("k")["word"].tolist()
+    wfreq = dict(
+        con.sql(
+            r"SELECT word, COUNT(*) AS f FROM (SELECT unnest(string_split_regex(text,"
+            rf" '\s+')) AS word FROM documents) GROUP BY word HAVING COUNT(*) >= {MIN_FREQ}"
+        ).fetchall()
+    )
+    wts = {w: round((f**POW) * W_SCALE) for w, f in wfreq.items()}
+    total = sum(wts.values())
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_ids = tbl.column("vec_id").to_numpy()
+    col = tbl.column("embedding").combine_chunks()
+    raw = np.zeros((int(vec_ids.max()) + 1, T.EMB_DIMS))
+    raw[vec_ids] = (
+        col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), T.EMB_DIMS)
+    )
+    n_vec = raw.shape[0]
+    wnorm = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+
+    ents = sorted(hyp["gold_ent"].unique())
+    e_index = {e: i for i, e in enumerate(ents)}
+    evec = np.stack(
+        [np.mean([raw[_wvid(w, n_vec)] for w in e.split("_")], axis=0) for e in ents]
+    )
+    en = np.linalg.norm(evec, axis=1)
+    ehat = evec / en[:, None]
+
+    K, P = T.NEG_SLOTS, T.WORDS_PER_ENT
+    rows_e, rows_w, rows_t, rows_p = [], [], [], []
+    for r in hyp.itertuples():
+        key = f"{r.doc_id}#{r.pos}"
+        ctx = [
+            w
+            for w in f"{r.hyp_left} {r.hyp_right}".split(" ")
+            if w not in ("EMPTYCTXT", "")
+        ]
+        pos_w = ctx if ctx else r.gold_ent.split("_")
+        for i in range(P):
+            wpos = pos_w[_h32(f"{key}#p#{i}") % len(pos_w)]
+            t = _h32(f"{key}#t#{i}") % K
+            slot_words = [
+                wpos if j == t else probes[_h32(f"{key}#n#{i}#{j}") % 100]
+                for j in range(K)
+            ]
+            rows_e.append(e_index[r.gold_ent])
+            rows_t.append(t)
+            rows_w.append([_wvid(w, n_vec) for w in slot_words])
+            rows_p.append([wts.get(w, W_SCALE) * 1.0 / total for w in slot_words])
+
+    e_idx, t_idx = np.asarray(rows_e), np.asarray(rows_t)
+    w_idx, pmat = np.asarray(rows_w), np.asarray(rows_p)  # (N, K)
+    N = len(e_idx)
+    W = wnorm[w_idx]
+    X = np.round(np.einsum("nkd,nd->nk", W, ehat[e_idx]), 6)
+    Y = -np.ones_like(X)
+    Y[np.arange(N), t_idx] = 1.0
+
+    losses = {}
+    # neg: SoftMarginLoss on raw cosines, mean over N·K elements
+    losses["neg"] = float(np.sum(np.log1p(np.exp(-Y * X)) / K) / N)
+    # nce: scores shifted by -ln(p_pow·(K-1)) first
+    Xn = np.round(X - np.log(pmat * (K - 1)), 6)
+    losses["nce"] = float(np.sum(np.log1p(np.exp(-Y * Xn)) / K) / N)
+    # is: shifted by -ln(p_pow), CrossEntropy over the K slots
+    Xi = np.round(X - np.log(pmat), 6)
+    lse = np.log(np.sum(np.exp(Xi), axis=1))
+    losses["is"] = float(np.sum(lse - Xi[np.arange(N), t_idx]) / N)
+
+    # nce full-batch entity step: dL/dx = -y·sigma(-y·x̃)/(N·K)
+    C = (-Y / (1.0 + np.exp(Y * Xn))) / K
+    A = np.zeros_like(evec)
+    np.add.at(A, e_idx, np.einsum("nk,nkd->nd", C, W))
+    s = np.zeros(len(ents))
+    np.add.at(s, e_idx, np.einsum("nk,nk->n", C, X))
+    grad = (A - s[:, None] * ehat) / en[:, None] / N
+    nce_new = evec - T.LR * grad
+    return losses, ents, nce_new
+
+
 @pytest.fixture(scope="module")
 def numpy_epoch():
     return _numpy_epoch(SF_SMOKE)
@@ -148,6 +240,33 @@ def test_entity_update_matches_transcription(spark, numpy_epoch):
     for ei, e in enumerate(ents):
         for d in range(0, T.EMB_DIMS, 7):  # stride keeps the check O(n/7)
             assert g[(e, d)] == pytest.approx(new[ei, d], abs=5e-5), (e, d)
+
+
+def test_loss_variants_match_transcription(spark):
+    """Each alternative criterion's epoch-1 loss equals the independent
+    numpy transcription of the reference math (golden-loss per loss)."""
+    want, _, _ = _numpy_variants(SF_SMOKE)
+    got = {
+        r["loss"]: r["avg_loss"]
+        for r in T.train_loss_variants(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {"maxm", "neg", "nce", "is"}
+    for loss, expected in want.items():
+        assert got[loss] == pytest.approx(expected, abs=1e-5), loss
+    # maxm row must equal the long-standing single-epoch query
+    base = T.train_epoch_loss(spark, SF_SMOKE).first()["avg_loss"]
+    assert got["maxm"] == pytest.approx(base, abs=1e-9)
+
+
+def test_nce_update_matches_transcription(spark):
+    """The NCE full-batch entity step reproduces the numpy gradient."""
+    _, ents, nce_new = _numpy_variants(SF_SMOKE)
+    g = T.train_entity_epoch_nce(spark, SF_SMOKE).toPandas().set_index(
+        ["ent_name", "dim"]
+    )["val"]
+    for ei, e in enumerate(ents):
+        for d in range(0, T.EMB_DIMS, 13):
+            assert g[(e, d)] == pytest.approx(nce_new[ei, d], abs=5e-5), (e, d)
 
 
 def test_train_epochs_chain_matches_transcription(spark, tmp_path):
