@@ -68,12 +68,16 @@ def run(spark, names=None, sf_dir=SF_DIR):
             components_for,
             prior_triples,
         )
+        from ed_twitter_spark.operators.similarity import _centroids_for
 
         for df in (
             synth.transcripts(spark, sf_dir),
             synth.kb_alias(spark, sf_dir),
             prior_triples(spark, sf_dir),
             components_for(spark, sf_dir),
+            # the IVF coarse quantizer is an index-build artifact: built
+            # once, probed by every ANN query
+            _centroids_for(spark, sf_dir),
         ):
             df.count()
         timings["_shared_build"] = round(time.time() - t0, 3)
