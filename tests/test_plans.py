@@ -331,3 +331,33 @@ def test_tfidf_singleton_is_the_only_nl_join(spark):
     plan = plan_of(tfidf_top_terms(spark, SF_SMOKE))
     assert len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_relatedness_reader_is_jvm_only(spark, tmp_path):
+    """The relatedness-format parse is pure column algebra over the text
+    scan — no Python in the row path (no BatchEvalPython / ArrowEval /
+    mapInPandas), and the only Exchanges are the two query_id windows."""
+    from ed_twitter_spark.sources.relatedness import read_relatedness_txt
+
+    p = tmp_path / "val.txt"
+    p.write_text("1 qid:1 # 2-3\n0 qid:1 # 2-4\n")
+    plan = plan_of(read_relatedness_txt(spark, str(p)))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_loss_variants_reuse_one_slot_frame(spark):
+    """All four criteria aggregate the SAME persisted slot-score frame:
+    the union's plan reads InMemoryTableScan (not four rebuilt score
+    pipelines), so the corpus-side work runs once per epoch regardless of
+    how many criteria are evaluated."""
+    from ed_twitter_spark.caching import release_caches
+    from ed_twitter_spark.operators.training import train_loss_variants
+
+    try:
+        df = train_loss_variants(spark, SF_SMOKE)
+        plan = plan_of(df)
+        assert plan.count("InMemoryTableScan") >= 4
+    finally:
+        release_caches()
