@@ -143,8 +143,8 @@ def _slot_scores(
 ) -> DataFrame:
     """One row per (example, positive i, slot j) with the rounded cosine.
 
-    Columns: doc_id, pos, ent_name, i, j, t (positive slot), wvid (slot
-    word's vector id), x (round(cos, 6)).
+    Columns: doc_id, pos, ent_name, i, j, t (positive slot), word (slot
+    word), wvid (its vector id), x (round(cos, 6)).
 
     ``suffix`` namespaces the deterministic md5 probes: the reference
     redraws its positive/slot/negative randoms every epoch

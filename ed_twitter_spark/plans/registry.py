@@ -763,6 +763,11 @@ def _register_training():
     # K7 full scope: the chained N-epoch loop (epoch k+1 consumes epoch k's
     # checkpointed vectors; per-epoch loss sequence pins the whole chain)
     register("train_epochs", tr.train_epochs_sql())(tr.train_epochs)
+    # final chained vectors, component-exact (the loss rows pin the chain
+    # only at aggregate level; this hashes every (ent, dim) value)
+    register("train_epochs_vectors", tr.train_epochs_vectors_sql())(
+        tr.train_epochs_vectors
+    )
     # K7 loss variants: neg/nce/is beside maxm over the shared slot scores
     # (model_a.py:81-93), plus the entity step under the NCE criterion
     register("train_loss_variants", tr.train_loss_variants_sql())(
