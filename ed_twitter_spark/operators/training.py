@@ -372,14 +372,69 @@ def _input_stat_sig(sf_dir: str) -> str:
     return "|".join(parts)
 
 
+ADAGRAD_EPS = 1e-10  # torch.optim.Adagrad default (learn_a.py:112-113)
+
+
+def _epoch_grad(sc: DataFrame, ev_full: DataFrame, emb: DataFrame) -> DataFrame:
+    """(ent_name, dim, e, g) — the raw full-batch gradient, rounded to
+    6 dp (the cross-engine state representation), beside the current
+    component. Same decomposition as `_epoch_update`; kept separate so the
+    long-committed SGD value chain (which rounds only the updated value)
+    stays bit-stable."""
+    n_rows = sc.groupBy().agg(F.count(F.lit(1)).alias("nr"))
+    coef = sc.groupBy("ent_name", "wvid").agg(F.sum("c").alias("coef"))
+    a_ed = (
+        coef.join(F.broadcast(emb), coef["wvid"] == emb["vec_id"])
+        .select(
+            "ent_name",
+            F.posexplode(
+                F.transform("wemb", lambda v: F.col("coef") * v / F.col("wn"))
+            ).alias("dim", "a"),
+        )
+        .groupBy("ent_name", "dim")
+        .agg(F.sum("a").alias("a"))
+    )
+    s_e = sc.groupBy("ent_name").agg(F.sum(F.col("c") * F.col("x")).alias("s"))
+    ev = ev_full.select("ent_name", F.posexplode("evec").alias("dim", "e"), "en")
+    return (
+        ev.join(a_ed, ["ent_name", "dim"], "left")
+        .join(F.broadcast(s_e), "ent_name", "left")
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "ent_name",
+            "dim",
+            "e",
+            F.round(
+                (
+                    F.coalesce(F.col("a"), F.lit(0.0))
+                    - F.coalesce(F.col("s"), F.lit(0.0)) * F.col("e") / F.col("en")
+                )
+                / F.col("en")
+                / (F.col("nr") / NEG_SLOTS),
+                6,
+            ).alias("g"),
+        )
+    )
+
+
 def run_train_epochs(
     spark: SparkSession,
     sf_dir: str,
     n_epochs: int = N_EPOCHS,
     checkpoint_root: str | None = None,
     resume: bool = True,
+    optimizer: str = "sgd",
 ) -> tuple[DataFrame, DataFrame]:
     """The reference's epoch loop (`learn_a.py:148-208`), distributed.
+
+    ``optimizer``: "sgd" (one plain full-batch step per epoch) or
+    "adagrad" — the reference's actual optimizer (`learn_a.py:112-113`,
+    torch Adagrad, lr 0.3): per-component squared-gradient accumulators
+    carried across epochs as their own checkpointed stage, update
+    e − lr·g/(√G + 1e-10). Gradients are rounded to 6 dp before entering
+    the accumulator (the shared cross-engine state representation); the
+    remaining arithmetic (g², Σ over the fixed epoch order, IEEE sqrt) is
+    exactly reproducible in both engines.
 
     Epoch k+1 consumes epoch k's entity vectors exactly as the reference's
     optimizer state persists across epochs; every epoch redraws its
@@ -423,24 +478,31 @@ def run_train_epochs(
             hc = persist_tracked(hyperlink_contexts(spark, sf_dir))
         return hc
 
+    if optimizer not in ("sgd", "adagrad"):
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+    pfx = "" if optimizer == "sgd" else "adagrad_"
     comp = None  # (ent_name, dim, val) of the previous epoch (None → K9 init)
+    gstate = None  # (ent_name, dim, gsq) adagrad accumulator (None → zeros)
     losses: list[DataFrame] = []
     fp_prev = _input_stat_sig(sf_dir)
     import time
 
     for epoch in range(1, n_epochs + 1):
-        vec_stage, loss_stage = f"ent_vecs_ep_{epoch}", f"train_loss_ep_{epoch}"
-        fp = kgio.fingerprint(vec_stage, EPOCH_STAGE_VERSION, sf_dir, fp_prev)
+        vec_stage = f"{pfx}ent_vecs_ep_{epoch}"
+        loss_stage = f"{pfx}train_loss_ep_{epoch}"
+        gsq_stage = f"{pfx}gsq_ep_{epoch}"
+        fp = kgio.fingerprint(
+            vec_stage, EPOCH_STAGE_VERSION, optimizer, sf_dir, fp_prev
+        )
         fp_prev = fp
-        vec_lin = kgio.read_lineage(spark, root, vec_stage) if resume else None
-        loss_lin = kgio.read_lineage(spark, root, loss_stage) if resume else None
-        if (
-            vec_lin is not None
-            and loss_lin is not None
-            and vec_lin["fingerprint"] == fp
-            and loss_lin["fingerprint"] == fp
-        ):
+        stages = [vec_stage, loss_stage] + (
+            [gsq_stage] if optimizer == "adagrad" else []
+        )
+        lins = [kgio.read_lineage(spark, root, s) if resume else None for s in stages]
+        if all(lin is not None and lin["fingerprint"] == fp for lin in lins):
             comp = kgio.read_stage(spark, root, vec_stage)
+            if optimizer == "adagrad":
+                gstate = kgio.read_stage(spark, root, gsq_stage)
             losses.append(kgio.read_stage(spark, root, loss_stage))
             continue
         t0 = time.time()
@@ -463,7 +525,41 @@ def run_train_epochs(
                 "avg_loss"
             ),
         ).select(F.lit(epoch).alias("epoch"), "n_examples", "avg_loss")
-        upd = _epoch_update(sc, ev, emb)
+        if optimizer == "sgd":
+            upd = _epoch_update(sc, ev, emb)
+        else:
+            grad = _epoch_grad(sc, ev, emb)
+            if gstate is None:
+                grad = grad.withColumn("gsq_prev", F.lit(0.0))
+            else:
+                grad = grad.join(
+                    gstate.withColumnRenamed("gsq", "gsq_prev"),
+                    ["ent_name", "dim"],
+                    "left",
+                ).withColumn("gsq_prev", F.coalesce("gsq_prev", F.lit(0.0)))
+            grad = grad.withColumn(
+                "gsq", F.col("gsq_prev") + F.col("g") * F.col("g")
+            )
+            upd = grad.select(
+                "ent_name",
+                "dim",
+                F.round(
+                    F.col("e")
+                    - F.lit(LR)
+                    * F.col("g")
+                    / (F.sqrt("gsq") + F.lit(ADAGRAD_EPS)),
+                    6,
+                ).alias("val"),
+            )
+            kgio.write_stage(
+                grad.select("ent_name", "dim", "gsq"),
+                root,
+                gsq_stage,
+                fp,
+                [],
+                started_at=t0,
+            )
+            gstate = kgio.read_stage(spark, root, gsq_stage)
         kgio.write_stage(upd, root, vec_stage, fp, [], started_at=t0)
         kgio.write_stage(loss, root, loss_stage, fp, [vec_stage], started_at=t0)
         comp = kgio.read_stage(spark, root, vec_stage)
@@ -673,6 +769,29 @@ base AS (
 def _epoch_block_sql(e: int) -> str:
     """CTE block for epoch ``e`` reading vectors ei{e-1}/ev{e-1} and
     producing loss source cc{e} + updated vectors ei{e}/ev{e}."""
+    p = e - 1
+    return _cc_chain_sql(e) + f""",
+ei{e} AS (
+  SELECT evd.ent_name, evd.dim,
+         ROUND(evd.e - {LR} * (COALESCE(a_ed.a, 0.0)
+                   - COALESCE(s_e.s, 0.0) * evd.e / evd.en)
+               / evd.en / (nr.nr / {NEG_SLOTS}), 6) AS val
+  FROM (SELECT ev.ent_name, ei.dim, ei.val AS e, ev.en
+        FROM ei{p} ei JOIN ev{p} ev ON ev.ent_name = ei.ent_name) evd
+  LEFT JOIN a_ed{e} a_ed ON a_ed.ent_name = evd.ent_name AND a_ed.dim = evd.dim
+  LEFT JOIN s_e{e} s_e ON s_e.ent_name = evd.ent_name
+  CROSS JOIN nr{e} nr
+),
+ev{e} AS (
+  SELECT ent_name, list(val ORDER BY dim) AS evec,
+         sqrt(list_dot_product(list(val ORDER BY dim), list(val ORDER BY dim))) AS en
+  FROM ei{e} GROUP BY ent_name
+)"""
+
+
+def _cc_chain_sql(e: int) -> str:
+    """The optimizer-independent per-epoch CTEs: probe draws, slot scores
+    against ev{e-1}, maxm coefficients, and the gradient aggregates."""
     suf = _epoch_suffix(e)
     p = e - 1
     return f"""
@@ -727,17 +846,46 @@ a_ed{e} AS (
     FROM coef{e} coef JOIN wv ON wv.vec_id = coef.wvid
   ) GROUP BY ent_name, dim
 ),
-s_e{e} AS (SELECT ent_name, SUM(c * x) AS s FROM cc{e} GROUP BY ent_name),
-ei{e} AS (
-  SELECT evd.ent_name, evd.dim,
-         ROUND(evd.e - {LR} * (COALESCE(a_ed.a, 0.0)
+s_e{e} AS (SELECT ent_name, SUM(c * x) AS s FROM cc{e} GROUP BY ent_name)"""
+
+
+def _adagrad_block_sql(e: int) -> str:
+    """CTE block for one Adagrad epoch: the shared chain, then the raw
+    6-dp gradient g{e}, the squared-gradient accumulator gs{e} (carried
+    from gs{e-1}), and the e − lr·g/(√G + eps) update."""
+    p = e - 1
+    prev = (
+        "0.0"
+        if e == 1
+        else "COALESCE(gp.gsq, 0.0)"
+    )
+    join_prev = (
+        ""
+        if e == 1
+        else f"LEFT JOIN gs{p} gp ON gp.ent_name = g.ent_name AND gp.dim = g.dim"
+    )
+    return _cc_chain_sql(e) + f""",
+g{e} AS MATERIALIZED (
+  SELECT evd.ent_name, evd.dim, evd.e,
+         ROUND((COALESCE(a_ed.a, 0.0)
                    - COALESCE(s_e.s, 0.0) * evd.e / evd.en)
-               / evd.en / (nr.nr / {NEG_SLOTS}), 6) AS val
+               / evd.en / (nr.nr / {NEG_SLOTS}), 6) AS g
   FROM (SELECT ev.ent_name, ei.dim, ei.val AS e, ev.en
         FROM ei{p} ei JOIN ev{p} ev ON ev.ent_name = ei.ent_name) evd
   LEFT JOIN a_ed{e} a_ed ON a_ed.ent_name = evd.ent_name AND a_ed.dim = evd.dim
   LEFT JOIN s_e{e} s_e ON s_e.ent_name = evd.ent_name
   CROSS JOIN nr{e} nr
+),
+gs{e} AS MATERIALIZED (
+  -- MATERIALIZED (with g{e}): both are read twice (update + next epoch's
+  -- accumulator); inlined they re-expand the whole upstream chain 2^N×
+  SELECT g.ent_name, g.dim, {prev} + g.g * g.g AS gsq
+  FROM g{e} g {join_prev}
+),
+ei{e} AS (
+  SELECT g.ent_name, g.dim,
+         ROUND(g.e - {LR} * g.g / (sqrt(gs.gsq) + {ADAGRAD_EPS}), 6) AS val
+  FROM g{e} g JOIN gs{e} gs ON gs.ent_name = g.ent_name AND gs.dim = g.dim
 ),
 ev{e} AS (
   SELECT ent_name, list(val ORDER BY dim) AS evec,
@@ -773,6 +921,36 @@ def train_epochs_vectors_sql(n_epochs: int = N_EPOCHS) -> str:
         + ","
         + blocks
         + f"\nSELECT ent_name, dim, val FROM ei{n_epochs}"
+    )
+
+
+def train_epochs_adagrad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch, n_examples, avg_loss) per epoch under the reference's
+    actual optimizer (torch Adagrad, lr 0.3, `learn_a.py:112-113`):
+    squared-gradient accumulators persist across epochs as their own
+    checkpointed stage, exactly like the optimizer state object the
+    reference keeps alive across its epoch loop."""
+    losses, _ = run_train_epochs(spark, sf_dir, optimizer="adagrad")
+    return losses.select(
+        "epoch", "n_examples", F.col("avg_loss").cast("double").alias("avg_loss")
+    )
+
+
+def train_epochs_adagrad_sql(n_epochs: int = N_EPOCHS) -> str:
+    """The Adagrad chain unrolled: per-epoch g/gs accumulator CTEs."""
+    blocks = ",".join(_adagrad_block_sql(e) for e in range(1, n_epochs + 1))
+    losses = "\nUNION ALL\n".join(
+        f"SELECT {e} AS epoch, CAST(COUNT(*) / {NEG_SLOTS} AS BIGINT) AS n_examples,"
+        f" ROUND(SUM(lterm) / (COUNT(*) / {NEG_SLOTS}), 6) AS avg_loss FROM cc{e}"
+        for e in range(1, n_epochs + 1)
+    )
+    return (
+        "WITH "
+        + _EPOCH_PREFIX_SQL.format(HYP_SQL=_hyp_sql())
+        + ","
+        + blocks
+        + "\n"
+        + losses
     )
 
 

@@ -768,6 +768,17 @@ def _register_training():
     register("train_epochs_vectors", tr.train_epochs_vectors_sql())(
         tr.train_epochs_vectors
     )
+    # the reference's actual optimizer: Adagrad accumulators carried
+    # across epochs as checkpointed state (learn_a.py:112-113)
+    register("train_epochs_adagrad", tr.train_epochs_adagrad_sql())(
+        tr.train_epochs_adagrad
+    )
+    # the ranker's Adam training loop, distilled to the linear scorer
+    # over (ctx_dot, ln prior) — margin 0.01, per-step micro-F1, monotone
+    # best-F1 LR drop (ed_ranker.py:262-369, main.py:73-98)
+    from ed_twitter_spark.operators import ranker_train as rk
+
+    register("rank_train_steps", rk.rank_train_steps_sql())(rk.rank_train_steps)
     # K7 loss variants: neg/nce/is beside maxm over the shared slot scores
     # (model_a.py:81-93), plus the entity step under the NCE criterion
     register("train_loss_variants", tr.train_loss_variants_sql())(

@@ -115,13 +115,11 @@ def rltd_entity_union(
     the enumeration is one row_number over the distinct set — a dim table
     (candidate vocabulary), so the single-partition window is bounded by
     design, not by luck."""
-    ids = rel_validate.select(F.col("e1").alias("ent_wikiid")).unionByName(
-        rel_validate.select(F.col("e2").alias("ent_wikiid"))
-    )
-    for df in (rel_test,):
-        ids = ids.unionByName(
-            df.select(F.col("e1").alias("ent_wikiid"))
-        ).unionByName(df.select(F.col("e2").alias("ent_wikiid")))
+    ids = None
+    for df in (rel_validate, rel_test):
+        for col in ("e1", "e2"):
+            part = df.select(F.col(col).alias("ent_wikiid"))
+            ids = part if ids is None else ids.unionByName(part)
     if ed_cand_ids is not None:
         ids = ids.unionByName(ed_cand_ids.select("ent_wikiid"))
     ids = ids.unionByName(

@@ -30,7 +30,7 @@ def _wvid(w: str, n_vec: int) -> int:
     return int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % n_vec
 
 
-def _numpy_epochs(sf_dir: str, n_epochs: int = 1):
+def _numpy_epochs(sf_dir: str, n_epochs: int = 1, optimizer: str = "sgd"):
     """Pure numpy/DuckDB rerun of the deterministic chained epochs.
 
     Follows the engine chain exactly: epoch e ≥ 2 salts every probe key
@@ -68,6 +68,7 @@ def _numpy_epochs(sf_dir: str, n_epochs: int = 1):
 
     K, P = T.NEG_SLOTS, T.WORDS_PER_ENT
     losses, new, N = [], None, 0
+    G = None  # adagrad squared-gradient accumulator
     for epoch in range(1, n_epochs + 1):
         suf = "" if epoch == 1 else f"@e{epoch}"
         en = np.linalg.norm(evec, axis=1)
@@ -116,7 +117,12 @@ def _numpy_epochs(sf_dir: str, n_epochs: int = 1):
         s = np.zeros(len(ents))
         np.add.at(s, e_idx, np.einsum("nk,nk->n", C, X))
         grad = (A - s[:, None] * ehat) / en[:, None] / N
-        new = evec - T.LR * grad
+        if optimizer == "adagrad":
+            g6 = np.round(grad, 6)  # the 6-dp cross-engine state repr
+            G = g6 * g6 if G is None else G + g6 * g6
+            new = evec - T.LR * g6 / (np.sqrt(G) + T.ADAGRAD_EPS)
+        else:
+            new = evec - T.LR * grad
         evec = np.round(new, 6)  # the 6-dp checkpoint both engines store
     return ents, N, losses, new
 
@@ -286,6 +292,32 @@ def test_train_epochs_chain_matches_transcription(spark, tmp_path):
     for ei, e in enumerate(ents):
         for d in range(0, T.EMB_DIMS, 13):
             assert g[(e, d)] == pytest.approx(new[ei, d], abs=5e-5), (e, d)
+
+
+def test_adagrad_chain_matches_transcription(spark, tmp_path):
+    """The Adagrad chain (6-dp gradients entering a cross-epoch squared
+    accumulator, e − lr·g/(√G + eps) updates) reproduces the numpy
+    transcription's loss sequence and final vectors, and genuinely
+    diverges from the SGD chain after epoch 1."""
+    ents, n, losses, new = _numpy_epochs(SF_SMOKE, T.N_EPOCHS, optimizer="adagrad")
+    got_losses, comp = T.run_train_epochs(
+        spark, SF_SMOKE, checkpoint_root=str(tmp_path / "ck"), optimizer="adagrad"
+    )
+    rows = {r["epoch"]: r for r in got_losses.collect()}
+    for e, expected in enumerate(losses, start=1):
+        assert rows[e]["n_examples"] == n
+        assert rows[e]["avg_loss"] == pytest.approx(expected, abs=1e-5), e
+    g = comp.toPandas().set_index(["ent_name", "dim"])["val"]
+    for ei, e in enumerate(ents):
+        for d in range(0, T.EMB_DIMS, 13):
+            assert g[(e, d)] == pytest.approx(new[ei, d], abs=5e-5), (e, d)
+    # epoch-1 losses agree across optimizers (same init vectors), later
+    # epochs must not (different step sizes → different vectors)
+    _, _, sgd_losses, _ = _numpy_epochs(SF_SMOKE, T.N_EPOCHS)
+    assert rows[1]["avg_loss"] == pytest.approx(sgd_losses[0], abs=1e-5)
+    assert rows[T.N_EPOCHS]["avg_loss"] != pytest.approx(
+        sgd_losses[T.N_EPOCHS - 1], abs=1e-7
+    )
 
 
 def test_train_epochs_resume_skips_recompute(spark, tmp_path, monkeypatch):
