@@ -678,7 +678,7 @@ slots AS (
   ) q
   LEFT JOIN probes p ON q.j <> q.t AND p.k = q.nk
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t, sl.word,
          {_WVID_SQL.format(w='sl.word')} AS wvid,
          ROUND(list_dot_product(wv.wemb, ev.evec) / (wv.wn * ev.en), 6) AS x
@@ -695,7 +695,7 @@ cf AS (
     FROM scored
   )
 ),
-cc AS (
+cc AS MATERIALIZED (
   SELECT *,
          CASE WHEN j = t
               THEN -(SUM(viol) OVER (PARTITION BY doc_id, pos, i)) / {NEG_SLOTS}.0
@@ -1110,7 +1110,7 @@ wpw AS (
   GROUP BY word HAVING COUNT(*) >= {MIN_FREQ}
 ),
 tot AS (SELECT SUM(w) AS total FROM wpw),
-sp AS (
+sp AS MATERIALIZED (
   SELECT s.*, COALESCE(wpw.w, {W_SCALE}) * 1.0 / tot.total AS p
   FROM scored s LEFT JOIN wpw ON wpw.word = s.word CROSS JOIN tot
 )"""
