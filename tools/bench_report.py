@@ -78,6 +78,7 @@ def render() -> None:
 
     for q in queries:
         lines.append(_row(q, q))
+    lines.append(_row("shared build (within total)", "_shared_build"))
     lines.append(_row("**total**", "_total"))
     lines.append(_row("triples/sec", "_triples_per_sec"))
     lines.append("")
