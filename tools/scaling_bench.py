@@ -11,7 +11,8 @@ The measured job is the end-to-end embedding linker (link_embed: window
 build -> broadcast candidate join -> kernel scoring), timed after a warmup
 query so JVM/codegen startup is excluded from both sides equally.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/SCALING_LAST_RUN.md (single-run record; the multi-run
+analysis in BENCH/BASELINE.md is curated by hand) and prints one JSON line.
 
 Usage: python tools/scaling_bench.py [sf_dir] [n_small] [n_large]
 """
@@ -127,7 +128,7 @@ def main():
     print(json.dumps(result))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    with open(f"{REPO}/BENCH/SCALING_LAST_RUN.md", "w") as f:
         f.write(f"""# BENCH — measured scaling evidence (north rule)
 
 Job: `link_embed` — the full embedding linker (per-conversation window
