@@ -221,11 +221,16 @@ tok_pos AS (
   FROM documents
 ),
 ctx AS (
-  SELECT m.conv_id, m.turn_idx, m.mention_idx, tp.tok
+  -- token wvid PROJECTED (nv via cross join), never a scalar subquery
+  -- inside a join key: that shape defeats DuckDB's hash join and cost
+  -- ~90 s at sf0.001 (same rows, same values)
+  SELECT m.conv_id, m.turn_idx, m.mention_idx,
+         CAST(('0x' || substr(md5(tp.tok), 1, 6)) AS BIGINT) % nv.n AS wvid
   FROM m JOIN tok_pos tp
     ON m.doc_id = tp.doc_id
    AND tp.pos <> m.mention_idx
    AND abs(tp.pos - m.mention_idx) <= {COS_WINDOW}
+  CROSS JOIN nv
 ),
 ctx_dots AS (
   SELECT c.conv_id, c.turn_idx, c.mention_idx, kb.ent_name,
@@ -233,9 +238,11 @@ ctx_dots AS (
   FROM ctx c
   JOIN (SELECT conv_id, turn_idx, mention_idx, mention FROM m) mm
     USING (conv_id, turn_idx, mention_idx)
-  JOIN kb ON kb.mention = mm.mention
-  JOIN wv ON wv.vec_id = CAST(('0x' || substr(md5(c.tok), 1, 6)) AS BIGINT) % (SELECT n FROM nv)
-  JOIN wv ev ON ev.vec_id = CAST(('0x' || substr(md5(kb.ent_name), 1, 8)) AS BIGINT) % (SELECT n FROM nv)
+  JOIN (SELECT kb.*,
+               CAST(('0x' || substr(md5(kb.ent_name), 1, 8)) AS BIGINT) % nv.n AS evid
+        FROM kb CROSS JOIN nv) kb ON kb.mention = mm.mention
+  JOIN wv ON wv.vec_id = c.wvid
+  JOIN wv ev ON ev.vec_id = kb.evid
   GROUP BY 1, 2, 3, 4
 ),
 scored AS (

@@ -154,21 +154,36 @@ def rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_NOT_INC = 10  # early stop after this many strictly-worse evals (main.py:79)
+
+
+def early_stop_update(nb: int, best_f1: float, f1: float) -> tuple[int, float]:
+    """The reference's post-eval counter (`ed_ranker.py:358-367`): a
+    STRICT decrease vs the best increments the not-better counter; an
+    equal-or-better eval resets it and advances the best. Stop when the
+    counter reaches N_NOT_INC."""
+    if f1 < best_f1:
+        return nb + 1, best_f1
+    return 0, f1
+
+
 def run_rank_training(
     spark: SparkSession,
     sf_dir: str,
     n_steps: int = N_STEPS,
     f1_drop: float = F1_DROP,
+    n_not_inc: int = N_NOT_INC,
 ) -> list[dict]:
     """The training loop: per step (1-indexed) score → hinge loss →
     3-scalar gradient → Adam update → post-step micro-F1 → monotone
-    best-F1 LR drop. Returns one dict per step."""
+    best-F1 LR drop → early-stop counter. Returns one dict per step
+    actually run (the reference breaks AFTER the stopping eval)."""
     from ed_twitter_spark.caching import persist_tracked
 
     feats = persist_tracked(rank_features(spark, sf_dir))
     w1, w2, b = THETA0
     m1 = m2 = mb = v1 = v2 = vb = 0.0
-    lr, best_f1 = RANK_LR, 0.0
+    lr, best_f1, nb = RANK_LR, 0.0, 0
     out = []
     for t in range(1, n_steps + 1):
         s = F.round(F.lit(w1) * F.col("f1") + F.lit(w2) * F.col("f2") + F.lit(b), 6)
@@ -232,7 +247,7 @@ def run_rank_training(
         pred = feats.withColumn("s2", s2).withColumn("rnk", rnk).where(F.col("rnk") == 1)
         correct = pred.agg(F.sum("is_gold").alias("ok")).first()["ok"]
         micro_f1 = round(correct / M, 6)
-        best_f1 = max(best_f1, micro_f1)
+        nb, best_f1 = early_stop_update(nb, best_f1, micro_f1)
         if best_f1 >= f1_drop:
             lr = RANK_LR_DROPPED  # monotone: best F1 never decreases
         out.append(
@@ -247,6 +262,8 @@ def run_rank_training(
                 "b": b,
             }
         )
+        if nb == n_not_inc:  # break AFTER the stopping eval (ed_ranker.py:366)
+            break
     return out
 
 
@@ -350,7 +367,7 @@ feats AS MATERIALIZED (
 )"""
 
 
-def _step_sql(t: int, f1_drop: float) -> str:
+def _step_sql(t: int, f1_drop: float, n_not_inc: int) -> str:
     p = t - 1
     bc1, bc2 = 1 - ADAM_B1**t, 1 - ADAM_B2**t
     return f"""
@@ -424,24 +441,36 @@ th{t} AS MATERIALIZED (
   SELECT nw.w1, nw.w2, nw.b, nw.m1, nw.m2, nw.mb, nw.v1, nw.v2, nw.vb,
          CASE WHEN GREATEST(nw.pbest, f1s.micro_f1) >= {f1_drop!r}
               THEN {RANK_LR_DROPPED!r} ELSE nw.lr_used END AS lr,
-         GREATEST(nw.pbest, f1s.micro_f1) AS best_f1
-  FROM nw{t} nw CROSS JOIN f1s{t} f1s
+         GREATEST(nw.pbest, f1s.micro_f1) AS best_f1,
+         CASE WHEN f1s.micro_f1 < nw.pbest THEN th.nb + 1 ELSE 0 END AS nb,
+         th.stopped OR
+           (CASE WHEN f1s.micro_f1 < nw.pbest THEN th.nb + 1 ELSE 0 END)
+             = {n_not_inc} AS stopped
+  FROM nw{t} nw CROSS JOIN f1s{t} f1s CROSS JOIN th{p} th
 ),
 row{t} AS (
   SELECT {t} AS step, CAST(g.M AS BIGINT) AS n_mentions, g.avg_loss,
          f1s.micro_f1, g.lr_used, nw.w1, nw.w2, nw.b
   FROM g{t} g CROSS JOIN f1s{t} f1s CROSS JOIN nw{t} nw
+  CROSS JOIN th{p} th WHERE NOT th.stopped
 )"""
 
 
-def rank_train_steps_sql(n_steps: int = N_STEPS, f1_drop: float = F1_DROP) -> str:
+def rank_train_steps_sql(
+    n_steps: int = N_STEPS,
+    f1_drop: float = F1_DROP,
+    n_not_inc: int = N_NOT_INC,
+) -> str:
     th0 = (
         f"th0 AS (SELECT {THETA0[0]!r} AS w1, {THETA0[1]!r} AS w2,"
         f" {THETA0[2]!r} AS b, 0.0 AS m1, 0.0 AS m2, 0.0 AS mb,"
         f" 0.0 AS v1, 0.0 AS v2, 0.0 AS vb,"
-        f" {RANK_LR!r} AS lr, 0.0 AS best_f1)"
+        f" {RANK_LR!r} AS lr, 0.0 AS best_f1,"
+        f" 0 AS nb, FALSE AS stopped)"
     )
-    blocks = ",".join(_step_sql(t, f1_drop) for t in range(1, n_steps + 1))
+    blocks = ",".join(
+        _step_sql(t, f1_drop, n_not_inc) for t in range(1, n_steps + 1)
+    )
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM row{t}" for t in range(1, n_steps + 1)
     )

@@ -679,11 +679,12 @@ slots AS (
   LEFT JOIN probes p ON q.j <> q.t AND p.k = q.nk
 ),
 scored AS MATERIALIZED (
-  SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t, sl.word,
-         {_WVID_SQL.format(w='sl.word')} AS wvid,
+  -- wvid PROJECTED before the join: the scalar subquery inside a join
+  -- key defeats the hash join (see cosine_linker.py's oracle note)
+  SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t, sl.word, sl.wvid,
          ROUND(list_dot_product(wv.wemb, ev.evec) / (wv.wn * ev.en), 6) AS x
-  FROM slots sl
-  JOIN wv ON wv.vec_id = {_WVID_SQL.format(w='sl.word')}
+  FROM (SELECT s.*, {_WVID_SQL.format(w='s.word')} AS wvid FROM slots s) sl
+  JOIN wv ON wv.vec_id = sl.wvid
   JOIN ev ON ev.ent_name = sl.ent_name
 ),
 cf AS (
@@ -735,7 +736,7 @@ wv AS (
                                list_transform(embedding, v -> CAST(v AS DOUBLE)))) AS wn
   FROM embeddings
 ),
-ei0 AS (
+ei0 AS MATERIALIZED (
   SELECT ent_name, dim, AVG(v) AS val
   FROM (
     SELECT tw.ent_name,
@@ -748,7 +749,7 @@ ei0 AS (
     ) tw JOIN wv ON wv.vec_id = tw.vec_id
   ) GROUP BY ent_name, dim
 ),
-ev0 AS (
+ev0 AS MATERIALIZED (
   SELECT ent_name, list(val ORDER BY dim) AS evec,
          sqrt(list_dot_product(list(val ORDER BY dim), list(val ORDER BY dim))) AS en
   FROM ei0 GROUP BY ent_name
@@ -771,7 +772,7 @@ def _epoch_block_sql(e: int) -> str:
     producing loss source cc{e} + updated vectors ei{e}/ev{e}."""
     p = e - 1
     return _cc_chain_sql(e) + f""",
-ei{e} AS (
+ei{e} AS MATERIALIZED (
   SELECT evd.ent_name, evd.dim,
          ROUND(evd.e - {LR} * (COALESCE(a_ed.a, 0.0)
                    - COALESCE(s_e.s, 0.0) * evd.e / evd.en)
@@ -782,7 +783,7 @@ ei{e} AS (
   LEFT JOIN s_e{e} s_e ON s_e.ent_name = evd.ent_name
   CROSS JOIN nr{e} nr
 ),
-ev{e} AS (
+ev{e} AS MATERIALIZED (
   SELECT ent_name, list(val ORDER BY dim) AS evec,
          sqrt(list_dot_product(list(val ORDER BY dim), list(val ORDER BY dim))) AS en
   FROM ei{e} GROUP BY ent_name
@@ -812,11 +813,10 @@ slots{e} AS (
   LEFT JOIN probes pb ON q.j <> q.t AND pb.k = q.nk
 ),
 scored{e} AS (
-  SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t,
-         {_WVID_SQL.format(w='sl.word')} AS wvid,
+  SELECT sl.doc_id, sl.pos, sl.ent_name, sl.i, sl.j, sl.t, sl.wvid,
          ROUND(list_dot_product(wv.wemb, ev.evec) / (wv.wn * ev.en), 6) AS x
-  FROM slots{e} sl
-  JOIN wv ON wv.vec_id = {_WVID_SQL.format(w='sl.word')}
+  FROM (SELECT s.*, {_WVID_SQL.format(w='s.word')} AS wvid FROM slots{e} s) sl
+  JOIN wv ON wv.vec_id = sl.wvid
   JOIN ev{p} ev ON ev.ent_name = sl.ent_name
 ),
 cc{e} AS (
@@ -882,12 +882,12 @@ gs{e} AS MATERIALIZED (
   SELECT g.ent_name, g.dim, {prev} + g.g * g.g AS gsq
   FROM g{e} g {join_prev}
 ),
-ei{e} AS (
+ei{e} AS MATERIALIZED (
   SELECT g.ent_name, g.dim,
          ROUND(g.e - {LR} * g.g / (sqrt(gs.gsq) + {ADAGRAD_EPS}), 6) AS val
   FROM g{e} g JOIN gs{e} gs ON gs.ent_name = g.ent_name AND gs.dim = g.dim
 ),
-ev{e} AS (
+ev{e} AS MATERIALIZED (
   SELECT ent_name, list(val ORDER BY dim) AS evec,
          sqrt(list_dot_product(list(val ORDER BY dim), list(val ORDER BY dim))) AS en
   FROM ei{e} GROUP BY ent_name

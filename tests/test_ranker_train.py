@@ -106,6 +106,41 @@ def test_lr_drop_rule_is_monotone(spark):
     assert all(r["lr_used"] == R.RANK_LR_DROPPED for r in rows[1:])
 
 
+def test_early_stop_counter_rule():
+    """ed_ranker.py:358-367 semantics: STRICT decreases increment; equal
+    or better resets AND advances the best."""
+    nb, best = 0, 0.0
+    seq = [0.5, 0.5, 0.4, 0.3, 0.5, 0.2, 0.2]
+    got = []
+    for f1 in seq:
+        nb, best = R.early_stop_update(nb, best, f1)
+        got.append((nb, best))
+    assert got == [
+        (0, 0.5),  # first eval sets best
+        (0, 0.5),  # equal → reset (equal is "not worse")
+        (1, 0.5),  # strict decrease
+        (2, 0.5),
+        (0, 0.5),  # recovery resets
+        (1, 0.5),
+        (2, 0.5),  # 0.2 < best twice in a row
+    ]
+
+
+def test_early_stop_truncates_steps_in_both_engines(spark):
+    """With n_not_inc forced to 0, the loop stops after its first eval;
+    the SQL twin's stopped-gating produces the same single row."""
+    rows = R.run_rank_training(spark, SF_SMOKE, n_not_inc=0)
+    assert len(rows) == 1 and rows[0]["step"] == 1
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    df = con.execute(R.rank_train_steps_sql(n_not_inc=0)).df()
+    assert len(df) == 1 and int(df.iloc[0]["step"]) == 1
+    assert df.iloc[0]["micro_f1"] == pytest.approx(rows[0]["micro_f1"], abs=1e-9)
+
+
 def test_theta0_recovers_link_cosine(spark):
     """θ0 = (1, 1, 0) scores are link_cosine's scorer: the argmax per
     mention matches the link_cosine query's prediction."""
