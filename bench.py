@@ -97,6 +97,32 @@ def run(spark, names=None, sf_dir=SF_DIR):
     return timings, n_triples
 
 
+def host_probe() -> dict:
+    """Pre-run contention probe, recorded into the bench JSON so rounds
+    can be normalized: the 1-minute load average (work already queued on
+    the host) and a fixed single-thread spin calibration (μs per 10^6
+    fused multiply-adds in pure Python — rises when the host is busy or
+    throttled). r4's committed bench read as a 40% regression until an
+    independent quiet-window re-run showed host contention; these fields
+    make that visible in the artifact itself."""
+    import math
+
+    la1, la5, la15 = os.getloadavg()
+    t0 = time.perf_counter()
+    x = 1.0
+    for _ in range(1_000_000):
+        x = x * 1.0000001 + 1e-9
+    spin_us = (time.perf_counter() - t0) * 1e6
+    return {
+        "load_avg_1m": round(la1, 2),
+        "load_avg_5m": round(la5, 2),
+        "spin_1e6_us": round(spin_us, 1),
+        "ncpu": os.cpu_count(),
+        # crude contention flag: queued work exceeds half the cores
+        "contended": bool(la1 > (os.cpu_count() or 1) / 2) or math.isnan(la1),
+    }
+
+
 def _warm(spark):
     """Warm JVM codegen AND the Python worker pool: the first pandas-UDF
     stage otherwise pays worker fork + numpy import once per core, billed
@@ -130,6 +156,8 @@ def main():
             )
         )
 
+    probe = host_probe()
+
     from ed_twitter_spark.session import get_spark
 
     spark = get_spark("bench", cores=CPUS)
@@ -150,6 +178,7 @@ def main():
         "triples": n_triples,
         "triples_per_sec": round(n_triples / link_sec, 1) if n_triples else 0,
         "cores": CPUS,
+        "host_probe": probe,
     }
     print(json.dumps(out))
 

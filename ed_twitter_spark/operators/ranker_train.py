@@ -5,21 +5,38 @@ ranking loss (margin 0.01) over candidate scores vs the gold candidate,
 per-epoch dev micro-F1 evaluation, and an LR drop to 1e-5 once the best
 dev F1 reaches 0.915 (`mulrel-nel/nel/ed_ranker.py:262-369`,
 `mulrel-nel/nel/main.py:73-98`). The full torch model's gradient is not
-SQL-expressible; the honest distributed distillation keeps every part of
-the TRAINING LOOP exactly and shrinks the model to the linear scorer over
-the two per-candidate signals the repo's linkers already compute:
+SQL-expressible; the honest distributed distillation keeps the LOOP
+MECHANISMS (margin-0.01 hinge, Adam update math, monotone best-F1 LR
+drop, the `ed_ranker.py:358-367` early-stop counter with equal-F1 reset)
+and makes two explicitly-declared substitutions beyond the model
+shrinking: (a) eval cadence — the reference evaluates dev micro-F1 only
+every `eval_after_n_epochs` epochs (5, then 2 after the LR drop,
+`ed_ranker.py:288-300`), while this loop evaluates after EVERY step, so
+the LR-drop/early-stop triggers fire on a denser schedule; (b) eval set —
+the reference uses a held-out dev split, this loop scores the training
+frame itself (the synthetic corpus has no dev split). The model is the
+linear scorer over the two per-candidate signals the repo's linkers
+already compute:
 
     s(m, c; θ) = w1·ctx_dot(m, c) + w2·ln p(c|m) + b
 
 (θ = (1, 1, 0) recovers `link_cosine`'s score exactly). Each step is a
 full-batch pass: hinge coefficients per (mention, candidate), a 3-scalar
-gradient aggregate, a bit-reproducible Adam update (β1 0.9, β2 0.999,
+gradient aggregate, a deterministic Adam update (β1 0.9, β2 0.999,
 eps 1e-8 — torch defaults), post-step micro-F1, and the reference's
 monotone best-F1 LR-drop rule. Features are rounded to 4 dp and per-step
 scores to 6 dp so both engines make identical hinge/argmax decisions;
 gradients are rounded to 6 dp before entering the Adam state (the shared
-cross-engine representation), after which every operation is plain IEEE
-arithmetic both engines reproduce bit-for-bit.
+cross-engine representation), after which the scalar Adam recurrence is
+plain IEEE arithmetic. Reproducibility caveat (why this is
+"empirically stable at tested SFs", not bit-for-bit by construction):
+the gradient sums underneath the 6-dp rounding are unordered
+floating-point reductions (Spark partition order vs DuckDB scan order),
+and Python round() is half-even over exact decimals while DuckDB ROUND
+is std::round over x*1e6 — a sum landing within ~1e-13 of a 6-dp
+midpoint could round differently per engine/run. The tested SFs sit far
+from midpoints (verified green across rounds); per-row pre-rounding, as
+done for slot scores, is the escalation path if a future SF trips it.
 
 Scale shape: the feature build is the corpus-wide pass (context-vector
 sums per mention — one shuffle on the mention key; the KB and the

@@ -448,8 +448,13 @@ def relatedness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ranked.withColumn("cum_rel", F.sum("rel").over(cum))
 
     def _dcg(k: int):
+        # reference discount is 1/log2(max(2, rank)) — rank 1 AND rank 2
+        # both get 1.0 (relatedness.py:263-272), not the textbook log2(rank+1)
         return F.sum(
-            F.when(F.col("rn") <= k, F.col("rel") / F.log2(F.col("rn") + 1)).otherwise(0.0)
+            F.when(
+                F.col("rn") <= k,
+                F.col("rel") / F.log2(F.greatest(F.col("rn"), F.lit(2))),
+            ).otherwise(0.0)
         )
 
     per_q = ranked.groupBy("query_id").agg(
@@ -460,12 +465,13 @@ def relatedness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rel").alias("n_rel"),
     )
     # queries with zero relevant rows are excluded from the averages: their
-    # ap is 0/0 and sequence(1, least(k, 0)) = [1, 0] would fold through
-    # log2(1)=0 — both with engine-dependent NULL/NaN semantics
+    # ap is 0/0 and an empty ideal list would divide by zero — both with
+    # engine-dependent NULL/NaN semantics
     per_q = per_q.where(F.col("n_rel") > 0)
     for k in (1, 5, 10):
         idcg = F.expr(
-            f"aggregate(sequence(1, int(least({k}, n_rel))), 0.0D, (a, i) -> a + 1.0D / log2(i + 1))"
+            f"aggregate(sequence(1, int(least({k}, n_rel))), 0.0D,"
+            " (a, i) -> a + 1.0D / log2(greatest(i, 2)))"
         )
         per_q = per_q.withColumn(f"ndcg{k}", F.col(f"dcg{k}") / idcg)
     return per_q.agg(
@@ -493,20 +499,20 @@ ranked AS (
 per_q AS (
   SELECT query_id,
          SUM(rel * cum_rel * 1.0 / rn) / SUM(rel) AS ap,
-         SUM(CASE WHEN rn <= 1  THEN rel / log2(rn + 1) ELSE 0 END) AS dcg1,
-         SUM(CASE WHEN rn <= 5  THEN rel / log2(rn + 1) ELSE 0 END) AS dcg5,
-         SUM(CASE WHEN rn <= 10 THEN rel / log2(rn + 1) ELSE 0 END) AS dcg10,
+         SUM(CASE WHEN rn <= 1  THEN rel / log2(GREATEST(rn, 2)) ELSE 0 END) AS dcg1,
+         SUM(CASE WHEN rn <= 5  THEN rel / log2(GREATEST(rn, 2)) ELSE 0 END) AS dcg5,
+         SUM(CASE WHEN rn <= 10 THEN rel / log2(GREATEST(rn, 2)) ELSE 0 END) AS dcg10,
          SUM(rel) AS n_rel
   FROM ranked GROUP BY query_id
 ),
 norm AS (
   SELECT query_id, ap,
          dcg1  / list_sum(list_transform(range(1, CAST(LEAST(1,  n_rel) AS BIGINT) + 1),
-                  i -> 1.0 / log2(i + 1))) AS ndcg1,
+                  i -> 1.0 / log2(GREATEST(i, 2)))) AS ndcg1,
          dcg5  / list_sum(list_transform(range(1, CAST(LEAST(5,  n_rel) AS BIGINT) + 1),
-                  i -> 1.0 / log2(i + 1))) AS ndcg5,
+                  i -> 1.0 / log2(GREATEST(i, 2)))) AS ndcg5,
          dcg10 / list_sum(list_transform(range(1, CAST(LEAST(10, n_rel) AS BIGINT) + 1),
-                  i -> 1.0 / log2(i + 1))) AS ndcg10
+                  i -> 1.0 / log2(GREATEST(i, 2)))) AS ndcg10
   FROM per_q
   WHERE n_rel > 0
 )

@@ -348,17 +348,29 @@ def _vecs_of(comp: DataFrame) -> DataFrame:
 
 
 def _default_epoch_root(sf_dir: str) -> str:
+    """Checkpoint root keyed by (path, input content signature): a
+    regenerated or cache-restored sf_dir lands in a fresh directory, so
+    concurrent runs over different data can never interleave writes in
+    one stage dir, and runs over identical data write identical bytes."""
     import hashlib
 
-    return f"/tmp/ed_twitter_train_epochs/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    key = f"{sf_dir}|{_input_stat_sig(sf_dir)}"
+    return f"/tmp/ed_twitter_train_epochs/{hashlib.md5(key.encode()).hexdigest()[:10]}"
 
 
 def _input_stat_sig(sf_dir: str) -> str:
-    """(size, mtime_ns) signature of the parquet inputs the epoch chain
-    reads. Mixed into every epoch fingerprint so a REGENERATED sf_dir
-    (same path, new data — the driver rewrites /root/testdata per round)
+    """Content signature of the parquet inputs the epoch chain reads.
+    Mixed into every epoch fingerprint so a REGENERATED sf_dir (same
+    path, new data — the driver rewrites /root/testdata per round)
     invalidates stale /tmp checkpoints instead of serving old vectors
-    against fresh oracle data."""
+    against fresh oracle data. Beyond (size, mtime_ns), each file
+    contributes a digest of its parquet FOOTER bytes (row counts,
+    column min/max statistics, offsets — pyarrow reads just the footer,
+    not the data pages), so even a `cp -p`/cache-restored file with
+    preserved stat metadata but different content re-keys the chain;
+    two files with identical footers are byte-identical data in
+    practice (the footer embeds per-column chunk offsets + stats)."""
+    import hashlib
     import os
 
     parts = []
@@ -366,7 +378,36 @@ def _input_stat_sig(sf_dir: str) -> str:
         p = f"{sf_dir}/{t}.parquet"
         try:
             st = os.stat(p)
-            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+            try:
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(p).metadata
+                foot = hashlib.md5(
+                    repr(
+                        (
+                            md.num_rows,
+                            md.num_row_groups,
+                            md.serialized_size,
+                            [
+                                (
+                                    md.row_group(g).column(c).statistics.min
+                                    if md.row_group(g).column(c).statistics
+                                    else None,
+                                    md.row_group(g).column(c).statistics.max
+                                    if md.row_group(g).column(c).statistics
+                                    else None,
+                                    md.row_group(g).column(c).total_compressed_size,
+                                    md.row_group(g).column(c).file_offset,
+                                )
+                                for g in range(md.num_row_groups)
+                                for c in range(md.row_group(g).num_columns)
+                            ],
+                        )
+                    ).encode()
+                ).hexdigest()[:12]
+            except Exception:
+                foot = "nofooter"
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}:{foot}")
         except OSError:
             parts.append(f"{t}:missing")
     return "|".join(parts)

@@ -582,20 +582,20 @@ ranked AS (
 per_q AS (
   SELECT query_id,
          SUM(label * cum_rel * 1.0 / rn) / SUM(label) AS ap,
-         SUM(CASE WHEN rn <= 1  THEN label / log2(rn + 1) ELSE 0 END) AS dcg1,
-         SUM(CASE WHEN rn <= 5  THEN label / log2(rn + 1) ELSE 0 END) AS dcg5,
-         SUM(CASE WHEN rn <= 10 THEN label / log2(rn + 1) ELSE 0 END) AS dcg10,
+         SUM(CASE WHEN rn <= 1  THEN label / log2(GREATEST(rn, 2)) ELSE 0 END) AS dcg1,
+         SUM(CASE WHEN rn <= 5  THEN label / log2(GREATEST(rn, 2)) ELSE 0 END) AS dcg5,
+         SUM(CASE WHEN rn <= 10 THEN label / log2(GREATEST(rn, 2)) ELSE 0 END) AS dcg10,
          SUM(label) AS n_rel
   FROM ranked GROUP BY query_id
 ),
 norm AS (
   SELECT query_id, ap,
          dcg1  / list_sum(list_transform(range(1, CAST(LEAST(1,  n_rel) AS BIGINT) + 1),
-                  i -> 1.0 / log2(i + 1))) AS ndcg1,
+                  i -> 1.0 / log2(GREATEST(i, 2)))) AS ndcg1,
          dcg5  / list_sum(list_transform(range(1, CAST(LEAST(5,  n_rel) AS BIGINT) + 1),
-                  i -> 1.0 / log2(i + 1))) AS ndcg5,
+                  i -> 1.0 / log2(GREATEST(i, 2)))) AS ndcg5,
          dcg10 / list_sum(list_transform(range(1, CAST(LEAST(10, n_rel) AS BIGINT) + 1),
-                  i -> 1.0 / log2(i + 1))) AS ndcg10
+                  i -> 1.0 / log2(GREATEST(i, 2)))) AS ndcg10
   FROM per_q
   WHERE n_rel > 0
 )

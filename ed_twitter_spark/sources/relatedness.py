@@ -49,11 +49,25 @@ def read_relatedness_txt(spark: SparkSession, path: str) -> DataFrame:
     Line grammar (relatedness.py:171-184): space-separated tokens;
     token 1 = binary label, token 2 = ``qid:<q>``, any number of ignored
     feature tokens, a literal ``#`` token, then ``<e1>-<e2>``. First-wins
-    e1 per query / last-wins label per (query, candidate), keyed on file
-    order (monotonically_increasing_id over the ordered text splits).
+    e1 per query / last-wins label per (query, candidate), keyed on exact
+    file line order: the scan is ``wholetext`` (one row per file) +
+    ``posexplode`` of the line split, so the order key (file name, line
+    index) is deterministic however Spark packs splits — a plain
+    ``spark.read.text`` + monotonically_increasing_id would depend on
+    size-ordered split planning for multi-split inputs. Multi-file inputs
+    are ordered by file name (the reference reads exactly one file per
+    split, so cross-file order is a non-semantic extension). wholetext
+    materializes one file per row, which is the right trade for these
+    eval-artifact-sized inputs; corpus-scale text goes through S1, not here.
     """
-    lines = spark.read.text(path).select(
-        "value", F.monotonically_increasing_id().alias("_ord")
+    lines = (
+        spark.read.text(path, wholetext=True)
+        .select(F.input_file_name().alias("_file"), "value")
+        .select(
+            "_file",
+            F.posexplode(F.split(F.col("value"), "\r?\n")).alias("_line", "value"),
+        )
+        .select("value", F.struct("_file", "_line").alias("_ord"))
     )
     parts = F.split(F.trim(F.col("value")), " ")
     ents = F.split(
@@ -156,9 +170,12 @@ def relatedness_metrics(scored: DataFrame) -> DataFrame:
     ranked = ranked.withColumn("cum_rel", F.sum("label").over(cum))
 
     def _dcg(k: int):
+        # reference discount 1/log2(max(2, rank)) (relatedness.py:263-272):
+        # ranks 1 and 2 both discount to 1.0, unlike the textbook log2(rank+1)
         return F.sum(
             F.when(
-                F.col("rn") <= k, F.col("label") / F.log2(F.col("rn") + 1)
+                F.col("rn") <= k,
+                F.col("label") / F.log2(F.greatest(F.col("rn"), F.lit(2))),
             ).otherwise(0.0)
         )
 
@@ -175,7 +192,7 @@ def relatedness_metrics(scored: DataFrame) -> DataFrame:
     for k in (1, 5, 10):
         idcg = F.expr(
             f"aggregate(sequence(1, int(least({k}, n_rel))), 0.0D,"
-            " (a, i) -> a + 1.0D / log2(i + 1))"
+            " (a, i) -> a + 1.0D / log2(greatest(i, 2)))"
         )
         per_q = per_q.withColumn(f"ndcg{k}", F.col(f"dcg{k}") / idcg)
     return per_q.agg(

@@ -122,9 +122,10 @@ def run_ingest_to_stage(
 
 def run_ingest_once(
     spark: SparkSession, src_dir: str, checkpoint_dir: str
-) -> list:
+) -> DataFrame:
     """Bounded replay (availableNow) of the stream into a memory sink;
-    returns the collected windowed aggregate rows.
+    returns the windowed aggregate as a DataFrame (the memory-sink table —
+    nothing is driver-materialized; callers decide whether to collect).
 
     ``append`` output mode is what makes the watermark contract real: a
     window row is emitted exactly once, when the watermark passes its end
@@ -143,4 +144,4 @@ def run_ingest_once(
         .start()
     )
     q.awaitTermination(300)
-    return spark.sql("SELECT * FROM mention_rate").collect()
+    return spark.sql("SELECT * FROM mention_rate")

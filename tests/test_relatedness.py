@@ -126,3 +126,53 @@ def test_metrics_match_duckdb_reference_transcription(spark):
     want = con.execute(registry.oracle_sql()["rltd_metrics_val"]).fetchone()
     for g, w in zip((got["map"], got["ndcg1"], got["ndcg5"], got["ndcg10"]), want):
         assert g == pytest.approx(w, abs=1e-6)
+
+
+def test_metrics_match_pure_python_reference_transcription(spark):
+    """relatedness_metrics equals a line-by-line Python transcription of
+    the reference's compute_map / compute_DCG / compute_NDCG
+    (`relatedness.py:225-286`) on a hand fixture whose relevant items sit
+    PAST rank 1 — this is the case where the reference's 1/log2(max(2,i))
+    discount (ranks 1 and 2 both 1.0) diverges from the textbook
+    1/log2(i+1), and it cannot be caught by the DuckDB oracle because
+    both engines share one formula string."""
+    from math import log2
+
+    # (query_id, e2, label, score) — distinct scores so ranking order is
+    # tie-free in both engines and the transcription
+    pairs = [
+        (1, 10, 0, 0.9), (1, 11, 1, 0.8), (1, 12, 1, 0.3),  # rel at rn 2,3
+        (2, 20, 1, 0.7), (2, 21, 0, 0.5), (2, 22, 1, 0.1),  # rel at rn 1,3
+        (3, 30, 0, 0.6), (3, 31, 0, 0.4), (3, 32, 1, 0.2),  # rel at rn 3
+    ]
+    df = spark.createDataFrame(pairs, "query_id int, e2 bigint, label int, score double")
+    got = rel.relatedness_metrics(df).first()
+
+    def disc(i):
+        return 1.0 / log2(max(2, i))  # relatedness.py:271
+
+    by_q = {}
+    for q, e2, label, score in pairs:
+        by_q.setdefault(q, []).append((e2, label, score))
+    aps, ndcg = [], {1: [], 5: [], 10: []}
+    for q, cands in by_q.items():
+        ranked = sorted(cands, key=lambda t: -t[2])
+        n_rel_so_far, sum_prec = 0, 0.0
+        for i, (_, label, _) in enumerate(ranked, start=1):
+            if label == 1:
+                n_rel_so_far += 1
+                sum_prec += n_rel_so_far / i
+        aps.append(sum_prec / n_rel_so_far)
+        n_rel = sum(1 for _, label, _ in cands if label == 1)
+        for k in (1, 5, 10):
+            dcg = sum(
+                disc(i)
+                for i, (_, label, _) in enumerate(ranked, start=1)
+                if label == 1 and i <= k
+            )
+            idcg = sum(disc(i) for i in range(1, min(k, n_rel) + 1))
+            ndcg[k].append(dcg / idcg)
+    n = len(by_q)
+    assert got["map"] == pytest.approx(sum(aps) / n, abs=1e-6)
+    for k in (1, 5, 10):
+        assert got[f"ndcg{k}"] == pytest.approx(sum(ndcg[k]) / n, abs=1e-6), k

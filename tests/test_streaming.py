@@ -65,7 +65,7 @@ def _finalized_keys(spark, src, batch_rows):
 
 def test_stream_matches_batch_aggregate(spark, tmp_path):
     src = _materialize_transcripts(spark, tmp_path)
-    rows = ingest.run_ingest_once(spark, src, str(tmp_path / "ckpt"))
+    rows = ingest.run_ingest_once(spark, src, str(tmp_path / "ckpt")).collect()
     got = {(r["win_start"], r["conv_id"]): r["mentions"] for r in rows}
 
     batch = _batch_aggregate(spark, src)
@@ -81,7 +81,7 @@ def test_stream_matches_batch_aggregate(spark, tmp_path):
 
 def test_stream_dedups_redelivered_turns(spark, tmp_path):
     src = _materialize_transcripts(spark, tmp_path, duplicate=True)
-    rows = ingest.run_ingest_once(spark, src, str(tmp_path / "ckpt2"))
+    rows = ingest.run_ingest_once(spark, src, str(tmp_path / "ckpt2")).collect()
     got = {(r["win_start"], r["conv_id"]): r["mentions"] for r in rows}
 
     batch_once = _batch_aggregate(spark, src)  # deduped batch twin
