@@ -96,6 +96,19 @@ _TRIPLE_SCHEMA = StructType(
 # task. Halo duplication overhead ≈ 2·RAW_WINDOW/SEG_TOKENS ≈ 5%.
 SEG_TOKENS = 4096
 
+# Per-process memo of ent_code (md5 of the entity name): head entities
+# recur across every chunk a worker scores, so the md5 is paid once per
+# distinct name per worker instead of once per (mention, candidate) slot.
+_ENT_CODE_CACHE: dict[str, int] = {}
+
+
+def _ent_code_cached(name: str) -> int:
+    code = _ENT_CODE_CACHE.get(name)
+    if code is None:
+        code = ent_code(name)
+        _ENT_CODE_CACHE[name] = code
+    return code
+
 
 def build_mention_windows(
     transcripts_df: DataFrame, n_vectors: int, seg_tokens: int = SEG_TOKENS
@@ -296,32 +309,70 @@ def score_mentions(
         m = len(pdf)
         c = N_CANDS_BEFORE_RANK
 
-        named: list[list[str]] = []
+        # --- candidate packing, vectorized over the ragged arrays ---
+        # flatten the per-mention candidate lists (truncated to c) once,
+        # then scatter into the rectangular (m, c) frames; per-element
+        # results are identical to the old per-row loop, including its
+        # gap semantics for None names (slot j stays unk/1e-8/0 but the
+        # compacted `named` list drops the gap — ed_ranker keeps parallel
+        # arrays the same way)
+        names_trunc: list[list] = []
+        priors_trunc: list[list] = []
+        for ns, ps in zip(pdf["cand_names"], pdf["cand_priors"]):
+            ns = list(ns) if ns is not None else []
+            ps = list(ps) if ps is not None else []
+            ln = min(len(ns), len(ps), c)  # zip() pairing of the old loop
+            names_trunc.append(ns[:ln])
+            priors_trunc.append(ps[:ln])
+        lens = np.fromiter((len(x) for x in names_trunc), dtype=np.int64, count=m)
+        flat_names = [nme for ns in names_trunc for nme in ns]
+        rows_ix = np.repeat(np.arange(m), lens)
+        cols_ix = np.concatenate(
+            [np.arange(n_) for n_ in lens]
+        ) if m else np.zeros(0, dtype=np.int64)
+        nonnull = np.fromiter(
+            (nme is not None for nme in flat_names), dtype=bool, count=len(flat_names)
+        )
+        codes = np.fromiter(
+            (
+                _ent_code_cached(nme) % n_vec if keep else 0
+                for nme, keep in zip(flat_names, nonnull)
+            ),
+            dtype=np.int64,
+            count=len(flat_names),
+        )
+        flat_priors = np.fromiter(
+            (
+                float(pr) if keep else 0.0
+                for pr, keep in zip(
+                    (p for ps in priors_trunc for p in ps), nonnull
+                )
+            ),
+            dtype=np.float64,
+            count=len(flat_names),
+        )
         cand_rows = np.full((m, c), unk_id, dtype=np.int64)
         pem = np.full((m, c), 1e-8, dtype=np.float64)
         mask = np.zeros((m, c), dtype=np.float64)
-        for i, (names, priors) in enumerate(
-            zip(pdf["cand_names"], pdf["cand_priors"])
-        ):
-            names = list(names) if names is not None else []
-            priors = list(priors) if priors is not None else []
-            names, priors = names[:c], priors[:c]
-            nm = []
-            for j, (nme, pr) in enumerate(zip(names, priors)):
-                if nme is None:
-                    continue
-                nm.append(nme)
-                cand_rows[i, j] = ent_code(nme) % n_vec
-                pem[i, j] = min(1.0, max(1e-3, float(pr)))  # ed_ranker.py:164
-                mask[i, j] = 1.0
-            named.append(nm + ["#UNK#"] * (c - len(nm)))
+        rnn, cnn = rows_ix[nonnull], cols_ix[nonnull]
+        cand_rows[rnn, cnn] = codes[nonnull]
+        # ed_ranker.py:164 clip; min/max on a python float and np.clip on a
+        # float64 array produce identical doubles
+        pem[rnn, cnn] = np.clip(flat_priors[nonnull], 1e-3, 1.0)
+        mask[rnn, cnn] = 1.0
+        named: list[list[str]] = [
+            [nme for nme in ns if nme is not None] for ns in names_trunc
+        ]
+        for i, nm in enumerate(named):
+            if len(nm) < c:
+                nm.extend(["#UNK#"] * (c - len(nm)))
 
         ent_vecs = emb[cand_rows]  # (M,C,d)
 
         # K1 prerank over ±25 slice of the filtered window (ed_ranker.py:75-81)
+        half = PRERANK_WINDOW // 2
         pr_tok = [
-            (list(l)[max(0, len(l) - PRERANK_WINDOW // 2) :])
-            + (list(r)[: PRERANK_WINDOW // 2])
+            np.concatenate((np.asarray(l)[max(0, len(l) - half) :], np.asarray(r)[:half]))
             for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
         ]
         sum_vecs = kernels.segment_sum_vecs(pr_tok, emb, unk_id)
@@ -329,15 +380,17 @@ def score_mentions(
         selected = kernels.prerank_select(log_probs, KEEP_CTX_ENT, KEEP_P_E_M)
 
         k = KEEP_CTX_ENT + KEEP_P_E_M
-        sel_rows = np.stack([cand_rows[i, s] for i, s in enumerate(selected)])
-        sel_pem = np.stack([pem[i, s] for i, s in enumerate(selected)])
-        sel_mask = np.stack([mask[i, s] for i, s in enumerate(selected)])
-        sel_named = [[named[i][j] for j in selected[i]] for i in range(m)]
+        sel_ix = np.asarray(selected, dtype=np.int64)  # (M,k) — sorted per row
+        sel_rows = np.take_along_axis(cand_rows, sel_ix, axis=1)
+        sel_pem = np.take_along_axis(pem, sel_ix, axis=1)
+        sel_mask = np.take_along_axis(mask, sel_ix, axis=1)
+        sel_named = [[named[i][j] for j in sel_ix[i]] for i in range(m)]
         sel_vecs = emb[sel_rows]  # (M,k,d)
 
         # K2 local attention over the full filtered window
         tok_lists = [
-            list(l) + list(r) for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
+            np.concatenate((np.asarray(l), np.asarray(r)))
+            for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
         ]
         tok_ids, tok_mask = kernels.pad_token_ids(tok_lists, unk_id)
         local = kernels.local_attention_scores(
@@ -345,9 +398,11 @@ def score_mentions(
         )
 
         # A9 bow context for the relation model
-        lv = kernels.masked_mean_vecs([list(x) for x in pdf["snd_l_ids"]], emb, unk_id)
-        mv = kernels.masked_mean_vecs([list(x) for x in pdf["snd_m_ids"]], emb, unk_id)
-        rv = kernels.masked_mean_vecs([list(x) for x in pdf["snd_r_ids"]], emb, unk_id)
+        # _segment_sums np.asarray()s each row, so the Arrow-native numpy
+        # arrays pass through without a per-row list() copy
+        lv = kernels.masked_mean_vecs(list(pdf["snd_l_ids"]), emb, unk_id)
+        mv = kernels.masked_mean_vecs(list(pdf["snd_m_ids"]), emb, unk_id)
+        rv = kernels.masked_mean_vecs(list(pdf["snd_r_ids"]), emb, unk_id)
         bow = np.concatenate([lv, mv, rv], axis=1)
 
         scores = kernels.global_lbp_scores(local, sel_vecs, sel_mask, sel_pem, bow, w)
