@@ -291,6 +291,114 @@ def attach_candidates(windows_df: DataFrame, kb_df: DataFrame) -> DataFrame:
     return windows_df.join(F.broadcast(kb_arrays), on="mention", how="left")
 
 
+def prepare_chunk(pdf: pd.DataFrame, emb: np.ndarray, n_vec: int, unk_id: int) -> dict:
+    """Shared per-chunk data prep for the scorer AND the full-model
+    trainer: candidate packing, K1 prerank + T5 selection, and the K2
+    token-window tensors. Returns the sorted frame plus every packed
+    array; `score_mentions` consumes it for inference and
+    `operators/ranker_full.py` for training, so both see bit-identical
+    inputs (the trainer's θ-at-fixture forward must equal inference)."""
+    pdf = pdf.sort_values("seq")
+    m = len(pdf)
+    c = N_CANDS_BEFORE_RANK
+
+    # --- candidate packing, vectorized over the ragged arrays ---
+    # flatten the per-mention candidate lists (truncated to c) once,
+    # then scatter into the rectangular (m, c) frames; per-element
+    # results are identical to the old per-row loop, including its
+    # gap semantics for None names (slot j stays unk/1e-8/0 but the
+    # compacted `named` list drops the gap — ed_ranker keeps parallel
+    # arrays the same way)
+    names_trunc: list[list] = []
+    priors_trunc: list[list] = []
+    for ns, ps in zip(pdf["cand_names"], pdf["cand_priors"]):
+        ns = list(ns) if ns is not None else []
+        ps = list(ps) if ps is not None else []
+        ln = min(len(ns), len(ps), c)  # zip() pairing of the old loop
+        names_trunc.append(ns[:ln])
+        priors_trunc.append(ps[:ln])
+    lens = np.fromiter((len(x) for x in names_trunc), dtype=np.int64, count=m)
+    flat_names = [nme for ns in names_trunc for nme in ns]
+    rows_ix = np.repeat(np.arange(m), lens)
+    cols_ix = np.concatenate(
+        [np.arange(n_) for n_ in lens]
+    ) if m else np.zeros(0, dtype=np.int64)
+    nonnull = np.fromiter(
+        (nme is not None for nme in flat_names), dtype=bool, count=len(flat_names)
+    )
+    codes = np.fromiter(
+        (
+            _ent_code_cached(nme) % n_vec if keep else 0
+            for nme, keep in zip(flat_names, nonnull)
+        ),
+        dtype=np.int64,
+        count=len(flat_names),
+    )
+    flat_priors = np.fromiter(
+        (
+            float(pr) if keep else 0.0
+            for pr, keep in zip(
+                (p for ps in priors_trunc for p in ps), nonnull
+            )
+        ),
+        dtype=np.float64,
+        count=len(flat_names),
+    )
+    cand_rows = np.full((m, c), unk_id, dtype=np.int64)
+    pem = np.full((m, c), 1e-8, dtype=np.float64)
+    mask = np.zeros((m, c), dtype=np.float64)
+    rnn, cnn = rows_ix[nonnull], cols_ix[nonnull]
+    cand_rows[rnn, cnn] = codes[nonnull]
+    # ed_ranker.py:164 clip; min/max on a python float and np.clip on a
+    # float64 array produce identical doubles
+    pem[rnn, cnn] = np.clip(flat_priors[nonnull], 1e-3, 1.0)
+    mask[rnn, cnn] = 1.0
+    named: list[list[str]] = [
+        [nme for nme in ns if nme is not None] for ns in names_trunc
+    ]
+    for i, nm in enumerate(named):
+        if len(nm) < c:
+            nm.extend(["#UNK#"] * (c - len(nm)))
+
+    ent_vecs = emb[cand_rows]  # (M,C,d)
+
+    # K1 prerank over ±25 slice of the filtered window (ed_ranker.py:75-81)
+    half = PRERANK_WINDOW // 2
+    pr_tok = [
+        np.concatenate((np.asarray(l)[max(0, len(l) - half) :], np.asarray(r)[:half]))
+        for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
+    ]
+    sum_vecs = kernels.segment_sum_vecs(pr_tok, emb, unk_id)
+    log_probs = kernels.ntee_log_probs(sum_vecs, ent_vecs, mask)
+    selected = kernels.prerank_select(log_probs, KEEP_CTX_ENT, KEEP_P_E_M)
+
+    sel_ix = np.asarray(selected, dtype=np.int64)  # (M,k) — sorted per row
+    sel_rows = np.take_along_axis(cand_rows, sel_ix, axis=1)
+    sel_pem = np.take_along_axis(pem, sel_ix, axis=1)
+    sel_mask = np.take_along_axis(mask, sel_ix, axis=1)
+    sel_named = [[named[i][j] for j in sel_ix[i]] for i in range(m)]
+    sel_vecs = emb[sel_rows]  # (M,k,d)
+
+    # K2 token window tensors (full filtered window)
+    tok_lists = [
+        np.concatenate((np.asarray(l), np.asarray(r)))
+        for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
+    ]
+    tok_ids, tok_mask = kernels.pad_token_ids(tok_lists, unk_id)
+    return {
+        "pdf": pdf,
+        "named": named,
+        "names_trunc": names_trunc,  # slot-space names (gaps preserved)
+        "sel_ix": sel_ix,
+        "sel_vecs": sel_vecs,
+        "sel_pem": sel_pem,
+        "sel_mask": sel_mask,
+        "sel_named": sel_named,
+        "tok_ids": tok_ids,
+        "tok_mask": tok_mask,
+    }
+
+
 def score_mentions(
     cands_df: DataFrame,
     emb: np.ndarray,
@@ -305,96 +413,12 @@ def score_mentions(
 
     def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         emb = bc_emb.value
-        pdf = pdf.sort_values("seq")
-        m = len(pdf)
-        c = N_CANDS_BEFORE_RANK
-
-        # --- candidate packing, vectorized over the ragged arrays ---
-        # flatten the per-mention candidate lists (truncated to c) once,
-        # then scatter into the rectangular (m, c) frames; per-element
-        # results are identical to the old per-row loop, including its
-        # gap semantics for None names (slot j stays unk/1e-8/0 but the
-        # compacted `named` list drops the gap — ed_ranker keeps parallel
-        # arrays the same way)
-        names_trunc: list[list] = []
-        priors_trunc: list[list] = []
-        for ns, ps in zip(pdf["cand_names"], pdf["cand_priors"]):
-            ns = list(ns) if ns is not None else []
-            ps = list(ps) if ps is not None else []
-            ln = min(len(ns), len(ps), c)  # zip() pairing of the old loop
-            names_trunc.append(ns[:ln])
-            priors_trunc.append(ps[:ln])
-        lens = np.fromiter((len(x) for x in names_trunc), dtype=np.int64, count=m)
-        flat_names = [nme for ns in names_trunc for nme in ns]
-        rows_ix = np.repeat(np.arange(m), lens)
-        cols_ix = np.concatenate(
-            [np.arange(n_) for n_ in lens]
-        ) if m else np.zeros(0, dtype=np.int64)
-        nonnull = np.fromiter(
-            (nme is not None for nme in flat_names), dtype=bool, count=len(flat_names)
-        )
-        codes = np.fromiter(
-            (
-                _ent_code_cached(nme) % n_vec if keep else 0
-                for nme, keep in zip(flat_names, nonnull)
-            ),
-            dtype=np.int64,
-            count=len(flat_names),
-        )
-        flat_priors = np.fromiter(
-            (
-                float(pr) if keep else 0.0
-                for pr, keep in zip(
-                    (p for ps in priors_trunc for p in ps), nonnull
-                )
-            ),
-            dtype=np.float64,
-            count=len(flat_names),
-        )
-        cand_rows = np.full((m, c), unk_id, dtype=np.int64)
-        pem = np.full((m, c), 1e-8, dtype=np.float64)
-        mask = np.zeros((m, c), dtype=np.float64)
-        rnn, cnn = rows_ix[nonnull], cols_ix[nonnull]
-        cand_rows[rnn, cnn] = codes[nonnull]
-        # ed_ranker.py:164 clip; min/max on a python float and np.clip on a
-        # float64 array produce identical doubles
-        pem[rnn, cnn] = np.clip(flat_priors[nonnull], 1e-3, 1.0)
-        mask[rnn, cnn] = 1.0
-        named: list[list[str]] = [
-            [nme for nme in ns if nme is not None] for ns in names_trunc
-        ]
-        for i, nm in enumerate(named):
-            if len(nm) < c:
-                nm.extend(["#UNK#"] * (c - len(nm)))
-
-        ent_vecs = emb[cand_rows]  # (M,C,d)
-
-        # K1 prerank over ±25 slice of the filtered window (ed_ranker.py:75-81)
-        half = PRERANK_WINDOW // 2
-        pr_tok = [
-            np.concatenate((np.asarray(l)[max(0, len(l) - half) :], np.asarray(r)[:half]))
-            for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
-        ]
-        sum_vecs = kernels.segment_sum_vecs(pr_tok, emb, unk_id)
-        log_probs = kernels.ntee_log_probs(sum_vecs, ent_vecs, mask)
-        selected = kernels.prerank_select(log_probs, KEEP_CTX_ENT, KEEP_P_E_M)
-
-        k = KEEP_CTX_ENT + KEEP_P_E_M
-        sel_ix = np.asarray(selected, dtype=np.int64)  # (M,k) — sorted per row
-        sel_rows = np.take_along_axis(cand_rows, sel_ix, axis=1)
-        sel_pem = np.take_along_axis(pem, sel_ix, axis=1)
-        sel_mask = np.take_along_axis(mask, sel_ix, axis=1)
-        sel_named = [[named[i][j] for j in sel_ix[i]] for i in range(m)]
-        sel_vecs = emb[sel_rows]  # (M,k,d)
-
-        # K2 local attention over the full filtered window
-        tok_lists = [
-            np.concatenate((np.asarray(l), np.asarray(r)))
-            for l, r in zip(pdf["lctx_ids"], pdf["rctx_ids"])
-        ]
-        tok_ids, tok_mask = kernels.pad_token_ids(tok_lists, unk_id)
+        prep = prepare_chunk(pdf, emb, n_vec, unk_id)
+        pdf = prep["pdf"]
+        sel_vecs, sel_pem = prep["sel_vecs"], prep["sel_pem"]
+        sel_mask, sel_named = prep["sel_mask"], prep["sel_named"]
         local = kernels.local_attention_scores(
-            emb[tok_ids], tok_mask, sel_vecs, sel_mask, w
+            emb[prep["tok_ids"]], prep["tok_mask"], sel_vecs, sel_mask, w
         )
 
         # A9 bow context for the relation model

@@ -787,6 +787,16 @@ def _register_training():
     register("train_entity_epoch_nce", tr.train_entity_epoch_nce_sql())(
         tr.train_entity_epoch_nce
     )
+    # FULL-model ranker training: the local model's real trainable surface
+    # (attention diagonals + combiner MLP, local_ctx_att_ranker.py:22-28)
+    # with hand gradients under applyInPandas. Non-SQL-expressible
+    # (attention top-k/softmax backward) → no oracle twin, like
+    # link_embed; pinned instead by finite-difference gradcheck,
+    # sequential-transcription equality, and the argmax-moves fixture in
+    # tests/test_ranker_full.py.
+    from ed_twitter_spark.operators import ranker_full as rkf
+
+    register("rank_train_full", None)(rkf.rank_train_full)
 
 
 _register_training()
