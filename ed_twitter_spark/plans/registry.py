@@ -462,6 +462,7 @@ def _register_corpus_ops():
     register("ann_ivf_centroids", sim.ANN_IVF_CENTROIDS_SQL)(sim.ivf_centroids)
     register("ann_ivf_topk", sim.ANN_IVF_SQL)(sim.ann_ivf_topk)
     register("ann_recall", sim.ANN_RECALL_SQL)(sim.ann_recall)
+    register("ann_recall_derived", sim.ANN_RECALL_DERIVED_SQL)(sim.ann_recall_derived)
     register("embed_cosine_pairs", sim.EMBED_PAIRS_SQL)(sim.embed_cosine_pairs)
     register("mm_assets", mm.MM_ASSETS_SQL)(mm.mm_assets)
     register("mm_decode_features", mm.MM_DECODE_SQL)(mm.mm_decode_features)

@@ -631,3 +631,53 @@ def test_ivf_quantizer_in_engine(spark):
 
     recall = sim.ann_recall(spark, SF_SMOKE).first()["recall"]
     assert recall >= 0.8
+
+
+def test_ivf_derived_configuration(spark):
+    """VERDICT r4 item 4: the IVF constants are scale-DERIVED, not pinned
+    literals — K = √n from the corpus, nprobe = the smallest probe width
+    whose MEASURED recall meets the target, queries an md5-spread sample
+    decoupled from `vec_id < 8`. Three assertions:
+
+    1. the formula: ivf_k follows √n with a floor;
+    2. the pinned gate configuration (similarity.DERIVED_*) still equals
+       the live derivation at the gate SF — the pin cannot drift silently;
+    3. engine parity of the derived configuration at a SECOND corpus size
+       (sf0.001; the sf0.01 gate row is driver-checked as
+       `ann_recall_derived`), via ann_recall_sql built for that corpus.
+    """
+    import duckdb
+
+    from ed_twitter_spark.operators import similarity as sim
+
+    assert sim.ivf_k(4) == 4 and sim.ivf_k(100) == 10
+    assert sim.ivf_k(1_000_000) == 1000  # √n at scale
+
+    # (2) pin ≡ derivation at the gate SF
+    n_gate = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").count()
+    assert n_gate == sim._GATE_N_VEC
+    nprobe, recall = sim.derive_nprobe(
+        spark, SF_CORRECT, target_recall=sim.DERIVED_RECALL_TARGET,
+        n_queries=sim.DERIVED_N_QUERIES,
+    )
+    assert nprobe == sim.DERIVED_NPROBE
+    assert recall >= sim.DERIVED_RECALL_TARGET
+
+    # (3) derived-config parity at a second corpus size
+    n_vec = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    k = sim.ivf_k(n_vec)
+    got = sim.ann_recall(
+        spark, SF_SMOKE, k=k, nprobe=sim.DERIVED_NPROBE,
+        n_queries=sim.DERIVED_N_QUERIES, hashed_queries=True,
+    ).first()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMOKE}/embeddings.parquet'"
+    )
+    want = con.execute(
+        sim.ann_recall_sql(
+            k=k, nprobe=sim.DERIVED_NPROBE, n_queries=sim.DERIVED_N_QUERIES,
+            hashed_queries=True, n_vec=n_vec,
+        )
+    ).fetchone()
+    assert (got["n_queries"], got["k"], got["n_hits"], got["recall"]) == want
