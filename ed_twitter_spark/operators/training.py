@@ -660,6 +660,97 @@ def fixed_batch_loss(
     )
 
 
+def epoch_relatedness_validation(
+    spark: SparkSession,
+    sf_dir: str,
+    rel_pairs: DataFrame,
+    n_epochs: int = N_EPOCHS,
+    checkpoint_root: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Per-epoch entity-relatedness validation — the reference validates
+    every epoch's entity vectors on the relatedness validation split
+    (`learn_a.py:128-139`: compute_relatedness each epoch, logged beside
+    the train loss). One row per epoch 0..n_epochs where epoch 0 is the
+    K9 init and epoch k the vectors after k chained epochs; columns
+    (epoch, map, ndcg1, ndcg5, ndcg10, mrr).
+
+    ``rel_pairs``: (query_id int, e1 string, e2 string, label int) with
+    e1/e2 = ent_name keys into the trained vector table — the candidate
+    ranking is by round-6 cosine of the epoch's vectors, metrics are the
+    reference-exact MAP/NDCG (sources.relatedness.relatedness_metrics)
+    plus MRR of the first relevant candidate.
+
+    Training runs (or resumes) once; each epoch's vectors are then read
+    back from the S10 checkpoint stages, so the validation adds only
+    |pairs|-sized scoring jobs on top of the chain. IMPORTANT honesty
+    note (BASELINE.md r4): on the driver's synthetic corpus the token
+    stream is iid-uniform — there is NO co-occurrence structure for
+    training to learn, so this validation is flat there by construction.
+    The gated test (tests/test_training.py) therefore runs it on a
+    deterministic topic-structured fixture corpus where windowed
+    co-occurrence is the ONLY signal (the title-word init cannot encode
+    it), and asserts epoch-N MRR strictly beats the init."""
+    from ed_twitter_spark import io as kgio
+    from ed_twitter_spark.sources.relatedness import relatedness_metrics
+
+    root = checkpoint_root or _default_epoch_root(sf_dir)
+    run_train_epochs(
+        spark, sf_dir, n_epochs=n_epochs, checkpoint_root=root, resume=resume
+    )
+    n_vec = _n_vec(spark, sf_dir)
+    ents = (
+        hyperlink_contexts(spark, sf_dir)
+        .select(F.col("gold_ent").alias("ent_name"))
+        .distinct()
+    )
+    out = None
+    for epoch in range(0, n_epochs + 1):
+        if epoch == 0:
+            vecs = _ent_init_vecs(spark, sf_dir, n_vec, ents)
+        else:
+            vecs = _vecs_of(kgio.read_stage(spark, root, f"ent_vecs_ep_{epoch}"))
+        vecs = vecs.select("ent_name", "evec")
+        scored = (
+            rel_pairs.join(
+                vecs.select(F.col("ent_name").alias("e1"), F.col("evec").alias("v1")),
+                "e1",
+            )
+            .join(
+                vecs.select(F.col("ent_name").alias("e2"), F.col("evec").alias("v2")),
+                "e2",
+            )
+            .select(
+                "query_id",
+                "e2",
+                "label",
+                F.round(
+                    _dot(F.col("v1"), F.col("v2"))
+                    / (
+                        F.sqrt(_dot(F.col("v1"), F.col("v1")))
+                        * F.sqrt(_dot(F.col("v2"), F.col("v2")))
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("e2"))
+        first_rel = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("label") == 1)
+            .groupBy("query_id")
+            .agg(F.min("rn").alias("first_rel"))
+        )
+        mrr = first_rel.agg(F.round(F.avg(1.0 / F.col("first_rel")), 6).alias("mrr"))
+        row = (
+            relatedness_metrics(scored)
+            .crossJoin(mrr)
+            .select(F.lit(epoch).alias("epoch"), "map", "ndcg1", "ndcg5", "ndcg10", "mrr")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins — the same epoch as one SQL pipeline
 # ---------------------------------------------------------------------------

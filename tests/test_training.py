@@ -412,3 +412,106 @@ def test_trained_embeddings_roundtrip_linker(spark, numpy_epoch):
     }
     assert len(got) == len(base) > 0
     assert any(got[k] != base[k] for k in base), "training had no effect"
+
+
+# ---------------------------------------------------------------------------
+# per-epoch relatedness validation gate (learn_a.py:128-139)
+# ---------------------------------------------------------------------------
+
+N_TOPICS, WORDS_PER_TOPIC = 6, 5
+
+
+def _topic_corpus(out_dir: str) -> dict[str, int]:
+    """Deterministic topic-structured fixture corpus: 30 five-char tokens
+    in 6 topics; each doc samples 90% of its 30 tokens from ONE topic.
+    Windowed co-occurrence (what the W5 training contexts see) is the ONLY
+    relatedness signal — word vectors are seeded isotropic Gaussian, so
+    the K9 title-word init is topic-blind by construction (the r4
+    BASELINE.md honesty note: the driver corpus is iid-uniform, where this
+    validation is flat; here training has something real to learn).
+    Returns {token: topic}."""
+    import pyarrow as pa
+
+    vocab = [f"tok{t}{j}q" for t in range(N_TOPICS) for j in range(WORDS_PER_TOPIC)]
+    topic_of = {w: t // WORDS_PER_TOPIC for t, w in enumerate(vocab)}
+    rng = np.random.default_rng(7)
+    n_docs, doc_len, in_topic = 300, 30, 0.9
+    texts = []
+    for d in range(n_docs):
+        t = d % N_TOPICS
+        tw = vocab[t * WORDS_PER_TOPIC : (t + 1) * WORDS_PER_TOPIC]
+        toks = [
+            (rng.choice(tw) if rng.random() < in_topic else rng.choice(vocab))
+            for _ in range(doc_len)
+        ]
+        texts.append(" ".join(toks))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n_docs),
+                "source": pa.array(["fix"] * n_docs),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        f"{out_dir}/documents.parquet",
+    )
+    m = 500
+    vecs = rng.standard_normal((m, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(m, dtype=np.int64)),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                "label": pa.array((np.arange(m) % 10).astype(np.int32)),
+            }
+        ),
+        f"{out_dir}/embeddings.parquet",
+    )
+    return topic_of
+
+
+def test_epoch_relatedness_gate(spark, tmp_path):
+    """VERDICT r4 item 3: per-epoch relatedness validation as a GATE.
+    On the topic corpus the ground truth (same-topic entity pairs) depends
+    only on co-occurrence structure; asserting epoch-N MRR strictly beats
+    the K9 init means the epochs demonstrably learn the corpus structure
+    (reference behavior: learn_a.py:128-139 validates every epoch's
+    vectors on entity relatedness)."""
+    from pyspark.sql import functions as F
+
+    corpus = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(corpus)
+    topic_of = _topic_corpus(corpus)
+
+    # ground-truth pairs over the entity universe E{0,1}_{tok}: every
+    # entity queries all others, relevant = same topic
+    ents = [f"E{s}_{w}" for w in topic_of for s in (0, 1)]
+    rows = []
+    for qi, q in enumerate(sorted(ents)):
+        qt = topic_of[q.split("_", 1)[1]]
+        for c in sorted(ents):
+            if c == q:
+                continue
+            rows.append((qi, q, c, int(topic_of[c.split("_", 1)[1]] == qt)))
+    rel_pairs = spark.createDataFrame(rows, "query_id int, e1 string, e2 string, label int")
+
+    got = (
+        T.epoch_relatedness_validation(
+            spark, corpus, rel_pairs, checkpoint_root=str(tmp_path / "ck")
+        )
+        .orderBy("epoch")
+        .collect()
+    )
+    assert [r["epoch"] for r in got] == [0, 1, 2, 3]
+    mrrs = [r["mrr"] for r in got]
+    maps = [r["map"] for r in got]
+    # the gate: strict improvement of the trained vectors over the init
+    assert mrrs[-1] > mrrs[0], f"epoch-{len(mrrs)-1} MRR {mrrs[-1]} !> init {mrrs[0]}"
+    assert maps[-1] > maps[0], f"epoch-{len(maps)-1} MAP {maps[-1]} !> init {maps[0]}"
+    # and each epoch moved the needle monotonically on this fixture
+    assert all(b >= a for a, b in zip(mrrs, mrrs[1:]))
