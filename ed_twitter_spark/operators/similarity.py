@@ -606,6 +606,15 @@ def embed_cosine_pairs(
         "g",
         F.pmod(F.crc32(F.col("vec_id").cast("string")), F.col("g")).cast("int").alias("grp"),
     )
+    # Pre-spread the narrow side across the cluster before the block
+    # replication: the explode below inflates a hot cell ~g/2× (a 64%-hot
+    # label at CELL_CAP=32 → ~200 replicas/vector), so the handful of
+    # parquet input splits must not bound the explode's parallelism —
+    # found by the sf1 skew stress, where the whole fan-out ran on the
+    # file's 2 row-group splits.
+    grouped = grouped.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
     # block (i, j), i ≤ j: a vector of group p participates as the i-side of
     # blocks (p, j≥p) and as the j-side of blocks (i≤p, p); each unordered
     # pair lands in exactly one block (diagonal ties broken by vec_id)
@@ -623,7 +632,13 @@ def embed_cosine_pairs(
         F.explode(F.sequence(F.lit(0), F.col("grp"))).alias("bi2"),
         F.col("grp").alias("bj2"),
     )
-    joined = a.join(
+    # SHUFFLE_HASH: Catalyst's size estimate predates the ~g/2× block
+    # replication (it sees the parquet file size), so left alone it
+    # broadcast-builds the exploded side — GBs through the driver on a
+    # hot corpus. Forcing the shuffle hash join partitions both sides by
+    # the (label, block) key, which is exactly the CELL_CAP design: every
+    # ≤~CAP² block is an independent task-sized unit of work.
+    joined = a.hint("shuffle_hash").join(
         b,
         (F.col("label") == F.col("l2"))
         & (F.col("bi") == F.col("bi2"))
