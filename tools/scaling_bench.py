@@ -111,8 +111,20 @@ def main():
     replicate = int(os.environ.get("SCALING_REPLICATE", "4"))
     if replicate > 1:
         sf_dir = replicate_input(sf_dir, replicate)
+    # per-leg contention probes (the r4 lesson, codified for scaling too):
+    # the 4-core leg has idle headroom and barely feels co-tenants, the
+    # 16-core leg owns the host and absorbs ALL ambient load — recording
+    # load-average + a spin calibration beside each leg makes a noisy
+    # window visible in the artifact instead of reading as a regression
+    sys.path.insert(0, REPO)
+    from bench import host_probe
+
+    probe_small = host_probe()
     small = run_level(n_small, sf_dir)
+    probe_large = host_probe()
     large = run_level(n_large, sf_dir)
+    small["probe"] = probe_small
+    large["probe"] = probe_large
     ratio = n_large / n_small
     eff = (large["triples_per_sec"] / small["triples_per_sec"]) / ratio
     result = {
