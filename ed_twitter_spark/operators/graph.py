@@ -557,6 +557,67 @@ def q_kg_edges(spark, sf_dir: str) -> DataFrame:
     return kg_edges(triples, components_for(spark, sf_dir))
 
 
+def kg_star_query(edges: DataFrame) -> DataFrame:
+    """Star expansion around the KG's hub vertex: every edge incident to
+    the canonical vertex with the most incoming triples — the basic
+    consumer query over a constructed KG ("show me everything we know
+    about entity X", instantiated deterministically at X = the busiest
+    vertex so the query is parameterless for the gate).
+
+    Plan shape at scale: hub selection is a map-side-combined count per
+    obj_vertex followed by ``orderBy(...).limit(1)`` — Spark plans that
+    as TakeOrderedAndProject (per-partition top-1, then a K-row driver
+    merge), so no global sort materializes; the expansion is a broadcast
+    semi-join of the 1-row hub against the edge table, which Catalyst
+    pushes into the scan as a filter. Tie-break on the smaller vertex id
+    so both engines pick the same hub."""
+    hub = (
+        edges.groupBy("obj_vertex")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("obj_vertex"))
+        .limit(1)
+        .select("obj_vertex")
+    )
+    return edges.join(F.broadcast(hub), on="obj_vertex", how="inner").select(
+        "subj",
+        "pred",
+        "obj",
+        "obj_vertex",
+        "score",
+        "conv_id",
+        "turn_idx",
+        "mention_idx",
+    )
+
+
+def kg_star_query_oracle_sql() -> str:
+    return (
+        _graph_base_sql()
+        + """,
+edg AS (
+  SELECT t.subj, t.pred, t.obj, c.component AS obj_vertex, t.score,
+         t.conv_id, t.turn_idx, t.mention_idx
+  FROM triple t LEFT JOIN comp c ON c.node = 'e:' || t.obj
+  WHERE t.obj <> 'NIL'
+),
+hub AS (
+  SELECT obj_vertex FROM (
+    SELECT obj_vertex, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, obj_vertex) AS rn
+    FROM edg GROUP BY obj_vertex
+  ) WHERE rn = 1
+)
+SELECT e.subj, e.pred, e.obj, e.obj_vertex, e.score,
+       e.conv_id, e.turn_idx, e.mention_idx
+FROM edg e JOIN hub h ON e.obj_vertex = h.obj_vertex
+"""
+    )
+
+
+def q_kg_star_query(spark, sf_dir: str) -> DataFrame:
+    return kg_star_query(q_kg_edges(spark, sf_dir))
+
+
 def kg_component_sizes(components: DataFrame) -> DataFrame:
     """Histogram of connected-component sizes — the canonicalization
     quality gauge (a giant component means over-merging; all-singletons

@@ -299,6 +299,42 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select("cid", F.posexplode("cvec").alias("dim", "val"))
 
 
+def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list balance summary of the IVF quantizer — ONE row:
+    (cells_used, cells_empty, n_vecs, min_cell, p50_cell, p90_cell,
+    max_cell, max_over_avg).
+
+    This is the index-health gauge every IVF deployment monitors: the
+    K = √n sizing assumes roughly balanced cells, and a skewed quantizer
+    (one giant posting list) turns a probe of that cell into a scan of
+    most of the corpus — the query-side analogue of join-key skew. At
+    100 TB this summary is what triggers re-deriving K or re-seeding the
+    quantizer; ``max_over_avg`` (max cell ÷ perfectly-balanced size) is
+    the single number to alert on.
+
+    Plan shape: the assignment reuses the broadcast-centroids cross join
+    the index build already does (one corpus scan), the cell histogram is
+    a map-side-combined count per cid (≤ K rows), and the summary is a
+    scalar aggregate over those K rows — nothing corpus-sized shuffles.
+    Exact interpolated percentiles: Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` (both type-7, same pattern as corpus_quantiles)."""
+    emb = _emb_double(spark, sf_dir)
+    cents = _centroids_for(spark, sf_dir)
+    cells = _assign(emb, cents).groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    return cells.agg(
+        F.count(F.lit(1)).cast("int").alias("cells_used"),
+        (F.lit(K_CENTROIDS) - F.count(F.lit(1))).cast("int").alias("cells_empty"),
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_cell"),
+        F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.round(
+            F.max("n") * F.lit(K_CENTROIDS) / F.sum("n"), 4
+        ).alias("max_over_avg"),
+    )
+
+
 def _query_filter(emb: DataFrame, n_queries: int, hashed: bool, n_vec: int | None):
     """The query subset. Pinned fixture mode: the first ``n_queries``
     vec_ids (stable oracle strings). Hashed mode (the derived/production
@@ -444,6 +480,30 @@ ANN_IVF_CENTROIDS_SQL = f"""
 WITH {_KMEANS_BODY}
 SELECT cid, CAST(unnest(range(len(cvec))) AS INTEGER) AS dim, unnest(cvec) AS val
 FROM {_KMEANS_FINAL}
+"""
+
+# DuckDB twin of ann_ivf_cell_stats: same kmeans chain, nearest-cell
+# assignment, COUNT-per-cid histogram, one summary row (quantile_cont ≡
+# Spark percentile, type-7).
+ANN_IVF_CELL_STATS_SQL = f"""
+WITH {_KMEANS_BODY},
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQD_SQL}, c.cid) AS nn
+    FROM emb e CROSS JOIN {_KMEANS_FINAL} c
+  ) WHERE nn = 1
+),
+cells AS (SELECT cid, COUNT(*) AS n FROM assigned GROUP BY cid)
+SELECT CAST(COUNT(*) AS INTEGER)                   AS cells_used,
+       CAST({K_CENTROIDS} - COUNT(*) AS INTEGER)   AS cells_empty,
+       CAST(SUM(n) AS BIGINT)                      AS n_vecs,
+       CAST(MIN(n) AS BIGINT)                      AS min_cell,
+       ROUND(quantile_cont(n, 0.5), 4)             AS p50_cell,
+       ROUND(quantile_cont(n, 0.9), 4)             AS p90_cell,
+       CAST(MAX(n) AS BIGINT)                      AS max_cell,
+       ROUND(MAX(n) * {K_CENTROIDS} / SUM(n), 4)   AS max_over_avg
+FROM cells
 """
 
 

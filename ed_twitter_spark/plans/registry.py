@@ -413,6 +413,9 @@ def _register_graph():
     register("kg_typed_edges", graph_ops.kg_typed_edges_oracle_sql())(
         graph_ops.q_kg_typed_edges
     )
+    register("kg_star_query", graph_ops.kg_star_query_oracle_sql())(
+        graph_ops.q_kg_star_query
+    )
 
 
 _register_graph()
@@ -463,6 +466,7 @@ def _register_corpus_ops():
     register("ann_ivf_topk", sim.ANN_IVF_SQL)(sim.ann_ivf_topk)
     register("ann_recall", sim.ANN_RECALL_SQL)(sim.ann_recall)
     register("ann_recall_derived", sim.ANN_RECALL_DERIVED_SQL)(sim.ann_recall_derived)
+    register("ann_ivf_cell_stats", sim.ANN_IVF_CELL_STATS_SQL)(sim.ann_ivf_cell_stats)
     register("embed_cosine_pairs", sim.EMBED_PAIRS_SQL)(sim.embed_cosine_pairs)
     register("mm_assets", mm.MM_ASSETS_SQL)(mm.mm_assets)
     register("mm_decode_features", mm.MM_DECODE_SQL)(mm.mm_decode_features)

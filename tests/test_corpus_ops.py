@@ -681,3 +681,20 @@ def test_ivf_derived_configuration(spark):
         )
     ).fetchone()
     assert (got["n_queries"], got["k"], got["n_hits"], got["recall"]) == want
+
+
+def test_ivf_cell_stats_invariants(spark):
+    """Posting-list balance summary: internally consistent and exactly
+    accounting for the corpus (every vector in exactly one cell)."""
+    from ed_twitter_spark.operators import similarity as sim
+
+    row = sim.ann_ivf_cell_stats(spark, SF_SMOKE).collect()[0]
+    n_vec = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert row["n_vecs"] == n_vec  # partition of the corpus, nothing dropped
+    assert 1 <= row["cells_used"] <= sim.K_CENTROIDS
+    assert row["cells_used"] + row["cells_empty"] == sim.K_CENTROIDS
+    assert row["min_cell"] <= row["p50_cell"] <= row["p90_cell"] <= row["max_cell"]
+    # max_over_avg is vs the perfectly-balanced size n/K
+    assert row["max_over_avg"] == round(
+        row["max_cell"] * sim.K_CENTROIDS / row["n_vecs"], 4
+    )

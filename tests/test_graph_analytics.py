@@ -287,3 +287,27 @@ def test_typed_edges_by_hand(spark):
     )
     got = {r["subj"]: r["pred"] for r in kg_typed_edges(edges, transcripts).collect()}
     assert got == {"c1#0#0": "mentioned_by_user", "c1#1#0": "mentioned_in_search"}
+
+
+def test_star_query_by_hand(spark):
+    from ed_twitter_spark.operators.graph import kg_star_query
+
+    # vertex 7 has 3 incident edges, vertex 8 has 2 → hub is 7; a 2-2 tie
+    # would break toward the smaller vertex id (covered below)
+    edges = spark.createDataFrame(
+        [("c1#0#0", "links_to", "E1", 7, 0.5, "c1", 0, 0),
+         ("c1#1#0", "links_to", "E1", 7, 0.5, "c1", 1, 0),
+         ("c2#0#0", "links_to", "E3", 7, 0.5, "c2", 0, 0),
+         ("c2#1#0", "links_to", "E2", 8, 0.5, "c2", 1, 0),
+         ("c3#0#0", "links_to", "E2", 8, 0.5, "c3", 0, 0)],
+        "subj string, pred string, obj string, obj_vertex long, score double,"
+        " conv_id string, turn_idx int, mention_idx int",
+    )
+    got = kg_star_query(edges).collect()
+    assert {r["obj_vertex"] for r in got} == {7}
+    assert sorted(r["subj"] for r in got) == ["c1#0#0", "c1#1#0", "c2#0#0"]
+
+    # deterministic tie-break: equal counts → smaller vertex id
+    tied = edges.where("subj <> 'c1#0#0'")
+    got_tied = kg_star_query(tied).collect()
+    assert {r["obj_vertex"] for r in got_tied} == {7}
