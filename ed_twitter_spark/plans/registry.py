@@ -416,6 +416,9 @@ def _register_graph():
     register("kg_star_query", graph_ops.kg_star_query_oracle_sql())(
         graph_ops.q_kg_star_query
     )
+    from ed_twitter_spark.operators import bgp as bgp_ops
+
+    register("kg_bgp_query", bgp_ops.kg_bgp_query_oracle_sql())(bgp_ops.kg_bgp_query)
 
 
 _register_graph()

@@ -311,3 +311,105 @@ def test_star_query_by_hand(spark):
     tied = edges.where("subj <> 'c1#0#0'")
     got_tied = kg_star_query(tied).collect()
     assert {r["obj_vertex"] for r in got_tied} == {7}
+
+
+# ---------------------------------------------------------------------------
+# BGP compiler
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_triples(spark):
+    # Two conversations; E1 is user+search-mentioned in c1 (the demo BGP
+    # match), E2 is user-mentioned in c1 but search-mentioned only in c2.
+    rows = [
+        ("c1#0#0", "mentioned_by_user", "e:E1"),
+        ("c1#2#0", "mentioned_in_search", "e:E1"),
+        ("c1#0#1", "mentioned_by_user", "e:E2"),
+        ("c2#2#0", "mentioned_in_search", "e:E2"),
+        ("c1#0#0", "in_conv", "c1"),
+        ("c1#2#0", "in_conv", "c1"),
+        ("c1#0#1", "in_conv", "c1"),
+        ("c2#2#0", "in_conv", "c2"),
+        ("c1", "mentions", "e:E1"),
+        ("c1", "mentions", "e:E2"),
+        ("c2", "mentions", "e:E2"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_bgp_single_pattern_constant_filter(tiny_triples):
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    got = bgp_query(tiny_triples, [("?m", "mentioned_by_user", "?e")]).collect()
+    assert {(r["m"], r["e"]) for r in got} == {
+        ("c1#0#0", "e:E1"), ("c1#0#1", "e:E2")
+    }
+
+
+def test_bgp_demo_pattern_by_hand(tiny_triples):
+    from ed_twitter_spark.operators.bgp import BGP_DEMO_PATTERNS, bgp_query
+
+    got = bgp_query(tiny_triples, BGP_DEMO_PATTERNS, select=["c", "e"]).collect()
+    # E1: user+search both in c1 → match. E2: user in c1, search in c2 → no.
+    assert {(r["c"], r["e"]) for r in got} == {("c1", "e:E1")}
+
+
+def test_bgp_distinct_projection(tiny_triples):
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    # project away ?m: two user mentions in c1 collapse to one (?c) row
+    got = bgp_query(
+        tiny_triples,
+        [("?m", "mentioned_by_user", "?e"), ("?m", "in_conv", "?c")],
+        select=["c"],
+    ).collect()
+    assert [r["c"] for r in got] == ["c1"]
+
+
+def test_bgp_repeated_var_in_one_pattern(spark):
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    triples = spark.createDataFrame(
+        [("a", "same_as", "a"), ("a", "same_as", "b")],
+        "s string, p string, o string",
+    )
+    got = bgp_query(triples, [("?x", "same_as", "?x")]).collect()
+    assert [r["x"] for r in got] == ["a"]
+
+
+def test_bgp_rejects_disconnected_and_unbound(tiny_triples):
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp_query(
+            tiny_triples,
+            [("?a", "mentioned_by_user", "?b"), ("?x", "in_conv", "?y")],
+        )
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(tiny_triples, [("?m", "in_conv", "?c")], select=["zz"])
+    with pytest.raises(ValueError, match="empty"):
+        bgp_query(tiny_triples, [])
+
+
+def test_triple_store_by_hand(spark):
+    from ed_twitter_spark.operators.bgp import kg_triple_store
+
+    typed = spark.createDataFrame(
+        [
+            ("c1#0#0", "mentioned_by_user", "E1", "e:E1", "c1", 0, 0),
+            ("c1#1#0", "mentioned_by_assistant", "E1", "e:E1", "c1", 1, 0),
+            ("c1#2#0", "mentioned_in_search", "E2", None, "c1", 2, 0),
+        ],
+        "subj string, pred string, obj string, obj_vertex string,"
+        " conv_id string, turn_idx int, mention_idx int",
+    )
+    got = {(r["s"], r["p"], r["o"]) for r in kg_triple_store(typed).collect()}
+    # the NULL-vertex edge is dropped; conv-level 'mentions' is distinct
+    assert got == {
+        ("c1#0#0", "mentioned_by_user", "e:E1"),
+        ("c1#1#0", "mentioned_by_assistant", "e:E1"),
+        ("c1#0#0", "in_conv", "c1"),
+        ("c1#1#0", "in_conv", "c1"),
+        ("c1", "mentions", "e:E1"),
+    }
