@@ -413,3 +413,75 @@ def test_triple_store_by_hand(spark):
         ("c1#1#0", "in_conv", "c1"),
         ("c1", "mentions", "e:E1"),
     }
+
+
+def test_bgp_randomized_vs_bruteforce(spark):
+    """Seeded randomized parity: the compiled join plan must equal a
+    brute-force backtracking matcher on every random (store, pattern)
+    case — the compiler's join-order heuristic can never change the
+    answer, only the plan."""
+    import random
+
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    def brute(triples, patterns):
+        def extend(binding, pats):
+            if not pats:
+                yield binding
+                return
+            s, p, o = pats[0]
+            for ts, tp, to in triples:
+                b = dict(binding)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if b.get(v, val) != val:
+                            ok = False
+                            break
+                        b[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    yield from extend(b, pats[1:])
+
+        return extend({}, patterns)
+
+    rng = random.Random(42)
+    ents = ["a", "b", "c", "d"]
+    preds = ["p", "q"]
+    n_checked = 0
+    for case in range(30):
+        triples = sorted(
+            {
+                (rng.choice(ents), rng.choice(preds), rng.choice(ents))
+                for _ in range(rng.randint(3, 10))
+            }
+        )
+        pats = []
+        for _ in range(rng.randint(1, 3)):
+            pats.append(
+                tuple(
+                    rng.choice(["?x", "?y", "?z"] + pool)
+                    for pool in (ents, preds, ents)
+                )
+            )
+        allvars = sorted({t[1:] for pat in pats for t in pat if t.startswith("?")})
+        df = spark.createDataFrame(triples, "s string, p string, o string")
+        try:
+            got = {
+                tuple(r[v] for v in allvars)
+                for r in bgp_query(df, pats, select=allvars).collect()
+            }
+        except ValueError as exc:
+            assert "disconnected" in str(exc) or (
+                "empty" in str(exc) and not pats
+            ), exc
+            # brute force ignores connectivity; the compiler's rejection is
+            # a policy choice (no cartesian products), not a wrong answer
+            continue
+        want = {tuple(b[v] for v in allvars) for b in brute(triples, pats)}
+        assert got == want, (case, triples, pats)
+        n_checked += 1
+    assert n_checked >= 15  # the generator must mostly produce connected BGPs
