@@ -361,3 +361,22 @@ def test_loss_variants_reuse_one_slot_frame(spark):
         assert plan.count("InMemoryTableScan") >= 4
     finally:
         release_caches()
+
+
+def test_bgp_compiler_no_cartesian_and_pushed_constants(spark):
+    """The BGP join plan: every pattern's constant terms become filters
+    evaluated before any join (so a constant-pred pattern never scans the
+    whole store into a join), all joins are hash equi-joins on variables,
+    and no cartesian product appears for connected patterns."""
+    from ed_twitter_spark.operators.bgp import BGP_DEMO_PATTERNS, bgp_query
+
+    triples = spark.createDataFrame(
+        [("m1", "mentioned_by_user", "e:E1"), ("m1", "in_conv", "c1"),
+         ("m2", "mentioned_in_search", "e:E1"), ("m2", "in_conv", "c1")],
+        "s string, p string, o string",
+    )
+    plan = plan_of(bgp_query(triples, BGP_DEMO_PATTERNS, select=["c", "e"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # each constant predicate appears as a filter condition in the plan
+    for pred in ("mentioned_by_user", "mentioned_in_search", "in_conv"):
+        assert pred in plan
