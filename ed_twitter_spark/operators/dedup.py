@@ -558,3 +558,118 @@ SELECT l.doc_id,
        l.doc_id = CAST(l.component AS BIGINT) AS keep
 FROM lab l JOIN sizes s ON s.component = l.component
 """
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr variant, re-expressed
+# relationally: instead of a monolithic suffix array, duplicated
+# fixed-length token windows are found by one hash aggregation and then
+# merged into maximal duplicated spans per document)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8  # window length in tokens; spans below this are never flagged
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_windows) — maximal
+    per-document token spans every SUBSTR_K-window of which also occurs
+    in at least one OTHER document (1-based token positions, inclusive).
+
+    Pipeline is linear in the corpus — the crucial difference from the
+    pairwise dedup operators: duplication here is a per-window boolean
+    (``appears in ≥2 distinct docs``), so there is NO pair fan-out and no
+    df-cap is needed; a window shared by a million documents costs one
+    aggregation row, not C(10^6, 2) pairs. Stages: (1) rolling
+    SUBSTR_K-token windows per doc via sequence+slice inside one
+    projection (no explode until the windows exist — each token appears
+    in ≤ SUBSTR_K windows, so the exploded stream is K× the token
+    stream); windows are carried as 64-bit md5 hashes, never as strings;
+    (2) groupBy(hash) → distinct-doc count ≥ 2 (map-side combined);
+    (3) semi-join the window stream against the duplicated hashes;
+    (4) merge hit windows into maximal spans with the classic
+    gaps-and-islands trick (lag + running sum per doc) — windows at
+    positions p1 < p2 merge when p2 − p1 ≤ K, i.e. they overlap or touch.
+
+    At 10^12 turns every stage is a hash shuffle on window-hash or
+    doc_id; nothing is quadratic and no driver state exists. The known
+    cost vs a suffix array is K× window expansion and the fixed minimum
+    match length K.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", toks_col().alias("t")).where(
+        F.size("t") >= SUBSTR_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (SUBSTR_K - 1)),
+                lambda i: h64_col(F.array_join(F.slice(F.col("t"), i, SUBSTR_K), " ")),
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "flag",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= SUBSTR_K, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("grp", F.sum("flag").over(w))
+    return (
+        flagged.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (SUBSTR_K - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         {h64_sql("array_to_string(t[i:i+" + str(SUBSTR_K - 1) + "], ' ')")} AS gh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SUBSTR_K - 1} + 1)) AS i
+        FROM toks WHERE len(t) >= {SUBSTR_K})
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SUBSTR_K} THEN 0 ELSE 1 END AS flag
+  FROM hits
+),
+grouped AS (
+  SELECT doc_id, pos,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {SUBSTR_K - 1} AS span_end,
+       MAX(pos) + {SUBSTR_K - 1} - MIN(pos) + 1 AS span_tokens,
+       COUNT(*) AS n_windows
+FROM grouped
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""

@@ -452,6 +452,12 @@ def _register_corpus_ops():
     register("dedup_simhash", dd.DEDUP_SIMHASH_SQL)(dd.dedup_simhash)
     register("dedup_simhash_pairs", dd.DEDUP_SIMHASH_PAIRS_SQL)(dd.dedup_simhash_pairs)
     register("dedup_clusters", dd.DEDUP_CLUSTERS_SQL)(dd.dedup_clusters)
+    register("dedup_substring", dd.DEDUP_SUBSTRING_SQL)(dd.dedup_substring)
+
+    from ed_twitter_spark.operators import sketches as skt
+
+    register("heavy_hitters_cms", skt.heavy_hitters_sql())(skt.heavy_hitters_cms)
+    register("distinct_sketch", skt.distinct_sketch_sql())(skt.distinct_sketch)
 
     from ed_twitter_spark.operators import doc_embed as de
 
