@@ -95,39 +95,29 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> tuple[Da
     return scan, set(var_cols)
 
 
-def bgp_query(
+def _compile_group(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
-    select: list[str] | None = None,
-) -> DataFrame:
-    """Match a conjunction of triple patterns; return DISTINCT bindings.
+    filters: list[str] | None = None,
+) -> tuple[DataFrame, set[str]]:
+    """Compile one connected pattern group to (joined DataFrame, bound vars).
 
-    ``patterns``: (s, p, o) terms; a term starting with ``?`` is a
-    variable, anything else is a constant. ``select``: variable names
-    (without ``?``) to project; default = every variable in first-
-    appearance order. Disconnected pattern sets (a join with no shared
-    variable — a cartesian product) are rejected with ``ValueError``.
+    Greedy join order: anchor on the most-constant (most selective)
+    pattern; then always extend with a pattern sharing a bound variable,
+    preferring more constants then more shared variables. FILTER
+    expressions (Spark SQL booleans over variable names) apply after the
+    group's joins — Catalyst pushes each down to the earliest scan whose
+    columns it references, the same compilation S2RDF-style engines use.
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
     scans = [_pattern_scan(triples, pat) for pat in patterns]
-
-    all_vars: list[str] = []
-    seen: set[str] = set()
-    for pat in patterns:
-        for term in pat:
-            if _is_var(term) and term[1:] not in seen:
-                seen.add(term[1:])
-                all_vars.append(term[1:])
-
-    # Greedy join order: anchor on the most-constant (most selective)
-    # pattern; then always extend with a pattern sharing a bound variable,
-    # preferring more constants then more shared variables.
     n_const = [3 - len(vs) for _, vs in scans]
     remaining = list(range(len(scans)))
     remaining.sort(key=lambda i: (-n_const[i], i))
     first = remaining.pop(0)
     acc, bound = scans[first]
+    bound = set(bound)
     while remaining:
         best = None
         for i in remaining:
@@ -145,6 +135,59 @@ def bgp_query(
         remaining.remove(i)
         acc = acc.join(scans[i][0], on=sorted(shared), how="inner")
         bound |= scans[i][1]
+    for expr in filters or []:
+        acc = acc.where(F.expr(expr))
+    return acc, bound
+
+
+def bgp_query(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: list[str] | None = None,
+    filters: list[str] | None = None,
+    optional: list[tuple[str, str, str]] | None = None,
+    optional_filters: list[str] | None = None,
+) -> DataFrame:
+    """Match a conjunction of triple patterns; return DISTINCT bindings.
+
+    ``patterns``: (s, p, o) terms; a term starting with ``?`` is a
+    variable, anything else is a constant. ``select``: variable names
+    (without ``?``) to project; default = every variable in first-
+    appearance order. Disconnected pattern sets (a join with no shared
+    variable — a cartesian product) are rejected with ``ValueError``.
+
+    SPARQL extensions:
+
+    * ``filters`` — FILTER clauses over the required group: Spark SQL
+      boolean expression strings over variable names (e.g.
+      ``"pt LIKE 'mentioned_in_%'"``).
+    * ``optional`` / ``optional_filters`` — one OPTIONAL group: compiled
+      independently (its own greedy join order, its own filters — SPARQL
+      scopes a FILTER inside the OPTIONAL braces to that group), then
+      LEFT-joined to the required group on their shared variables; its
+      exclusive variables come back NULL where the group found no match.
+      The optional group must share ≥1 variable with the required group
+      (checked), so the left join is an equi-join, never a cross.
+    """
+    acc, bound = _compile_group(triples, patterns, filters)
+
+    all_vars: list[str] = []
+    seen: set[str] = set()
+    for pat in patterns + (optional or []):
+        for term in pat:
+            if _is_var(term) and term[1:] not in seen:
+                seen.add(term[1:])
+                all_vars.append(term[1:])
+
+    if optional:
+        opt, opt_bound = _compile_group(triples, optional, optional_filters)
+        shared = sorted(opt_bound & bound)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required group"
+            )
+        acc = acc.join(opt, on=shared, how="left")
+        bound |= opt_bound
 
     out = select if select is not None else all_vars
     missing = [v for v in out if v not in bound]
@@ -217,5 +260,85 @@ JOIN trip p2 ON p2.p = 'mentioned_in_search' AND p2.o = p1.o
 JOIN trip p3 ON p3.p = 'in_conv' AND p3.s = p1.s
 JOIN trip p4 ON p4.p = 'in_conv' AND p4.s = p2.s AND p4.o = p3.o
 WHERE p1.p = 'mentioned_by_user'
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gate query: OPTIONAL + FILTER + a predicate variable
+# ---------------------------------------------------------------------------
+
+# "Every (conversation, entity) the user mentioned — and, IF the same
+# entity also surfaced inside a tool call in that conversation, which
+# tool predicate it was": the canonical OPTIONAL use (keep the required
+# bindings even when the enrichment is absent). The optional group binds
+# the PREDICATE position to a variable and restricts it with a FILTER,
+# scoped inside the group as SPARQL scopes braces.
+BGP_OPT_REQUIRED = [
+    ("?m1", "mentioned_by_user", "?e"),
+    ("?m1", "in_conv", "?c"),
+]
+BGP_OPT_GROUP = [
+    ("?m2", "?pt", "?e"),
+    ("?m2", "in_conv", "?c"),
+]
+BGP_OPT_FILTERS = ["pt LIKE 'mentioned_in_%'"]
+
+
+def kg_bgp_optional(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    out = bgp_query(
+        kg_triple_store(typed).localCheckpoint(),
+        BGP_OPT_REQUIRED,
+        select=["c", "e", "pt"],
+        optional=BGP_OPT_GROUP,
+        optional_filters=BGP_OPT_FILTERS,
+    )
+    # NULL-free gate projection: absent OPTIONAL binding -> 'none'
+    # (no predicate value collides with it)
+    return out.select("c", "e", F.coalesce("pt", F.lit("none")).alias("pt"))
+
+
+def kg_bgp_optional_oracle_sql() -> str:
+    """DuckDB twin: required self-join LEFT JOIN the hand-compiled
+    optional group (filter applied inside the subquery, as SPARQL scopes
+    a FILTER inside OPTIONAL braces)."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.graph import _kg_edges_named_sql
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL}),
+typed AS (
+  SELECT k.subj,
+         CASE WHEN t.tool IS NOT NULL THEN 'mentioned_in_' || t.tool
+              ELSE 'mentioned_by_' || t.role END AS pred,
+         k.obj_vertex, k.conv_id
+  FROM kge k JOIN tr t ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+  WHERE k.obj_vertex IS NOT NULL
+),
+trip AS (
+  SELECT subj AS s, pred AS p, obj_vertex AS o FROM typed
+  UNION ALL
+  SELECT subj AS s, 'in_conv' AS p, conv_id AS o FROM typed
+  UNION ALL
+  SELECT DISTINCT conv_id AS s, 'mentions' AS p, obj_vertex AS o FROM typed
+)
+SELECT DISTINCT r2.o AS c, r1.o AS e, COALESCE(op.pt, 'none') AS pt
+FROM trip r1
+JOIN trip r2 ON r2.p = 'in_conv' AND r2.s = r1.s
+LEFT JOIN (
+  SELECT o1.o AS e, o2.o AS c, o1.p AS pt
+  FROM trip o1
+  JOIN trip o2 ON o2.p = 'in_conv' AND o2.s = o1.s
+  WHERE o1.p LIKE 'mentioned_in_%'
+) op ON op.e = r1.o AND op.c = r2.o
+WHERE r1.p = 'mentioned_by_user'
 """
     )

@@ -378,6 +378,69 @@ def test_bgp_repeated_var_in_one_pattern(spark):
     assert [r["x"] for r in got] == ["a"]
 
 
+def test_bgp_filter_on_required_group(tiny_triples):
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    got = bgp_query(
+        tiny_triples,
+        [("?m", "mentioned_by_user", "?e")],
+        filters=["e = 'e:E2'"],
+    ).collect()
+    assert {(r["m"], r["e"]) for r in got} == {("c1#0#1", "e:E2")}
+
+
+def test_bgp_optional_left_join_semantics(tiny_triples):
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    got = bgp_query(
+        tiny_triples,
+        [("?m1", "mentioned_by_user", "?e"), ("?m1", "in_conv", "?c")],
+        select=["c", "e", "m2"],
+        optional=[("?m2", "mentioned_in_search", "?e"), ("?m2", "in_conv", "?c")],
+    ).collect()
+    # E1 has a same-conv search mention; E2's search mention is in the
+    # OTHER conversation, so its required binding survives with m2 NULL
+    assert {(r["c"], r["e"], r["m2"]) for r in got} == {
+        ("c1", "e:E1", "c1#2#0"),
+        ("c1", "e:E2", None),
+    }
+
+
+def test_bgp_optional_filter_scoped_to_group(tiny_triples):
+    from ed_twitter_spark.operators.bgp import (
+        BGP_OPT_FILTERS,
+        BGP_OPT_GROUP,
+        BGP_OPT_REQUIRED,
+        bgp_query,
+    )
+
+    got = bgp_query(
+        tiny_triples,
+        BGP_OPT_REQUIRED,
+        select=["c", "e", "pt"],
+        optional=BGP_OPT_GROUP,
+        optional_filters=BGP_OPT_FILTERS,
+    ).collect()
+    # the predicate VARIABLE binds only tool-mention predicates (the
+    # FILTER scopes inside the optional group); a filter that emptied the
+    # group must not delete the required row — it NULLs the binding
+    assert {(r["c"], r["e"], r["pt"]) for r in got} == {
+        ("c1", "e:E1", "mentioned_in_search"),
+        ("c1", "e:E2", None),
+    }
+
+
+def test_bgp_optional_rejects_disconnected_group(tiny_triples):
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    with pytest.raises(ValueError, match="OPTIONAL group shares no variable"):
+        bgp_query(
+            tiny_triples,
+            [("?m", "mentioned_by_user", "?e")],
+            optional=[("?x", "in_conv", "?y")],
+        )
+
+
 def test_bgp_rejects_disconnected_and_unbound(tiny_triples):
     from ed_twitter_spark.operators.bgp import bgp_query
 
