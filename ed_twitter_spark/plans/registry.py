@@ -462,6 +462,11 @@ def _register_corpus_ops():
     register("heavy_hitters_cms", skt.heavy_hitters_sql())(skt.heavy_hitters_cms)
     register("distinct_sketch", skt.distinct_sketch_sql())(skt.distinct_sketch)
 
+    from ed_twitter_spark.operators import packing as pk
+
+    register("chunk_documents", pk.CHUNK_DOCUMENTS_SQL)(pk.chunk_documents)
+    register("dataset_pack", pk.DATASET_PACK_SQL)(pk.dataset_pack)
+
     from ed_twitter_spark.operators import doc_embed as de
 
     register("dedup_embed_neardup", de.DEDUP_EMBED_SQL)(de.dedup_embed_neardup)
