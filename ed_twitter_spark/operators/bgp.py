@@ -342,3 +342,100 @@ LEFT JOIN (
 WHERE r1.p = 'mentioned_by_user'
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# UNION: alternative pattern groups
+# ---------------------------------------------------------------------------
+
+
+def bgp_union(
+    triples: DataFrame,
+    branches: list[dict],
+    select: list[str],
+) -> DataFrame:
+    """SPARQL UNION: evaluate alternative groups, set-union the bindings.
+
+    ``branches``: keyword dicts for :func:`bgp_query` (``patterns``
+    required; ``filters`` / ``optional`` / ``optional_filters`` allowed
+    per branch). ``select`` is mandatory and every branch must bind all
+    of it — SPARQL lets branches return disjoint variables with NULL
+    padding, but an explicit shared projection keeps results rectangular
+    and is what consumers actually union. Compilation is the obvious
+    one: each branch is its own join tree, then ``unionByName`` +
+    ``distinct`` — at scale the union is free (no shuffle; the final
+    distinct is the same exchange ``bgp_query`` already paid per branch,
+    now shared across branches).
+    """
+    if not branches:
+        raise ValueError("empty UNION: no branches")
+    if not select:
+        raise ValueError("UNION requires an explicit select list")
+    parts = [bgp_query(triples, select=select, **b) for b in branches]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+# Gate query: "every (conversation, entity) pair where the entity was
+# mentioned by the user OR surfaced inside any tool call" — the two
+# acquisition channels as UNION branches (the second one predicate-
+# variable + FILTER, so this exercises filters inside a branch).
+BGP_UNION_BRANCHES = [
+    {"patterns": [("?m", "mentioned_by_user", "?e"), ("?m", "in_conv", "?c")]},
+    {
+        "patterns": [("?m", "?pt", "?e"), ("?m", "in_conv", "?c")],
+        "filters": ["pt LIKE 'mentioned_in_%'"],
+    },
+]
+
+
+def kg_bgp_union(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    return bgp_union(
+        kg_triple_store(typed).localCheckpoint(),
+        BGP_UNION_BRANCHES,
+        select=["c", "e"],
+    )
+
+
+def kg_bgp_union_oracle_sql() -> str:
+    """DuckDB twin: the two branches hand-compiled and UNIONed (SQL UNION
+    is already set semantics, matching the final distinct)."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.graph import _kg_edges_named_sql
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL}),
+typed AS (
+  SELECT k.subj,
+         CASE WHEN t.tool IS NOT NULL THEN 'mentioned_in_' || t.tool
+              ELSE 'mentioned_by_' || t.role END AS pred,
+         k.obj_vertex, k.conv_id
+  FROM kge k JOIN tr t ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+  WHERE k.obj_vertex IS NOT NULL
+),
+trip AS (
+  SELECT subj AS s, pred AS p, obj_vertex AS o FROM typed
+  UNION ALL
+  SELECT subj AS s, 'in_conv' AS p, conv_id AS o FROM typed
+  UNION ALL
+  SELECT DISTINCT conv_id AS s, 'mentions' AS p, obj_vertex AS o FROM typed
+)
+SELECT c2.o AS c, b1.o AS e
+FROM trip b1 JOIN trip c2 ON c2.p = 'in_conv' AND c2.s = b1.s
+WHERE b1.p = 'mentioned_by_user'
+UNION
+SELECT c2.o AS c, b2.o AS e
+FROM trip b2 JOIN trip c2 ON c2.p = 'in_conv' AND c2.s = b2.s
+WHERE b2.p LIKE 'mentioned_in_%'
+"""
+    )

@@ -422,6 +422,7 @@ def _register_graph():
     register("kg_bgp_optional", bgp_ops.kg_bgp_optional_oracle_sql())(
         bgp_ops.kg_bgp_optional
     )
+    register("kg_bgp_union", bgp_ops.kg_bgp_union_oracle_sql())(bgp_ops.kg_bgp_union)
 
 
 _register_graph()

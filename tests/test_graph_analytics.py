@@ -430,6 +430,39 @@ def test_bgp_optional_filter_scoped_to_group(tiny_triples):
     }
 
 
+def test_bgp_union_set_semantics(tiny_triples):
+    from ed_twitter_spark.operators.bgp import BGP_UNION_BRANCHES, bgp_union
+
+    got = bgp_union(tiny_triples, BGP_UNION_BRANCHES, select=["c", "e"]).collect()
+    # user channel: (c1,E1),(c1,E2); tool channel: (c1,E1),(c2,E2) —
+    # the shared (c1,E1) binding appears ONCE (set union)
+    assert {(r["c"], r["e"]) for r in got} == {
+        ("c1", "e:E1"),
+        ("c1", "e:E2"),
+        ("c2", "e:E2"),
+    }
+    assert len(got) == 3
+
+
+def test_bgp_union_rejects_bad_args(tiny_triples):
+    from ed_twitter_spark.operators.bgp import bgp_union
+
+    with pytest.raises(ValueError, match="no branches"):
+        bgp_union(tiny_triples, [], select=["e"])
+    with pytest.raises(ValueError, match="explicit select"):
+        bgp_union(
+            tiny_triples,
+            [{"patterns": [("?m", "in_conv", "?c")]}],
+            select=[],
+        )
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_union(
+            tiny_triples,
+            [{"patterns": [("?m", "in_conv", "?c")]}],
+            select=["e"],
+        )
+
+
 def test_bgp_optional_rejects_disconnected_group(tiny_triples):
     from ed_twitter_spark.operators.bgp import bgp_query
 
