@@ -97,14 +97,10 @@ FROM documents GROUP BY md5(lower(text))
 # ---------------------------------------------------------------------------
 
 
-def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — word 3-grams WITH duplicates (no shuffle).
-
-    The minhash sketch consumes this directly: min() is idempotent over
-    duplicates and the sketch aggregation's map-side combine collapses
-    them for free, so a distinct here would add a full extra exchange of
-    the shingle stream for nothing."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) word 3-grams from any documents-schema frame —
+    a stateless projection+explode, so it applies unchanged to a
+    STREAMING documents frame (used by ``streaming/sketch.py``)."""
     sh = F.expr(
         "transform(sequence(0, size(toks) - 3), "
         "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
@@ -114,6 +110,16 @@ def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(sh).alias("shingle"))
     )
+
+
+def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — word 3-grams WITH duplicates (no shuffle).
+
+    The minhash sketch consumes this directly: min() is idempotent over
+    duplicates and the sketch aggregation's map-side combine collapses
+    them for free, so a distinct here would add a full extra exchange of
+    the shingle stream for nothing."""
+    return shingle_rows(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

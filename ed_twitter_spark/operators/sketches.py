@@ -155,6 +155,37 @@ def _shingle_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_register_cols(item: F.Column) -> tuple[F.Column, F.Column]:
+    """(register, rank) for one item — the per-row sketch contribution.
+
+    Shared by the batch query and the streaming register maintenance
+    (``streaming/sketch.py``): register = first 8 md5 bits, rank =
+    leading-zero count of the next 32 bits + 1, computed exactly in both
+    engines as 33 − length(bin(v))."""
+    h = F.md5(item)
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    register = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rank = F.when(v == 0, F.lit(33)).otherwise(33 - F.length(F.bin(v)))
+    return register, rank
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Register table (register, m) → one row
+    (hll_raw_estimate, zero_registers). Exact double algebra — see module
+    docstring."""
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+    )
+    return agg.select(
+        (
+            F.lit(float(_HLL_ALPHA_M2))
+            / (F.col("s_present") + (F.lit(HLL_M) - F.col("present")))
+        ).alias("hll_raw_estimate"),
+        (F.lit(HLL_M) - F.col("present")).alias("zero_registers"),
+    )
+
+
 def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (exact_distinct, hll_raw_estimate, zero_registers).
 
@@ -169,28 +200,15 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar aggregates, not a data-sized cross product.
     """
     items = _shingle_items(spark, sf_dir)
-    h = F.md5(F.col("item"))
-    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    register, rank = hll_register_cols(F.col("item"))
     regs = (
-        items.select(
-            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("register"),
-            F.when(v == 0, F.lit(33)).otherwise(33 - F.length(F.bin(v))).alias("rank"),
-        )
+        items.select(register.alias("register"), rank.alias("rank"))
         .groupBy("register")
         .agg(F.max("rank").alias("m"))
     )
-    agg = regs.agg(
-        F.count(F.lit(1)).alias("present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
-    )
     exact = items.agg(F.count(F.lit(1)).alias("exact_distinct"))
-    return exact.crossJoin(agg).select(
-        "exact_distinct",
-        (
-            F.lit(float(_HLL_ALPHA_M2))
-            / (F.col("s_present") + (F.lit(HLL_M) - F.col("present")))
-        ).alias("hll_raw_estimate"),
-        (F.lit(HLL_M) - F.col("present")).alias("zero_registers"),
+    return exact.crossJoin(hll_estimate(regs)).select(
+        "exact_distinct", "hll_raw_estimate", "zero_registers"
     )
 
 

@@ -707,6 +707,15 @@ def _register_sessions():
 
     register("stream_link", _LINK_PRIOR_ORACLE)(slink.stream_link_query)
 
+    # stateful streaming twin of distinct_sketch: the 256-register HLL
+    # table maintained as streaming-aggregation state; oracle = the batch
+    # estimate algebra (batch ≡ stream across micro-batch splits)
+    from ed_twitter_spark.streaming import sketch as ssketch
+
+    register("stream_distinct", ssketch.STREAM_DISTINCT_SQL)(
+        ssketch.stream_distinct_query
+    )
+
 
 _register_sessions()
 

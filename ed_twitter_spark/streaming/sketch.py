@@ -1,0 +1,126 @@
+"""Streaming distinct-cardinality: HLL registers as live aggregation state.
+
+The point of a register sketch at 10^12 turns is that it never needs the
+corpus twice — and that makes it the natural STREAMING cardinality
+monitor: the 256-register table IS the streaming state (bounded, tiny,
+mergeable by element-wise max), maintained by an ordinary streaming
+aggregation ``groupBy(register).max(rank)``. Spark's state store applies
+exactly the merge the sketch algebra defines, so the cumulative register
+table after any micro-batch split equals the batch table on the same
+input — the batch≡stream property the registry oracle checks value-exact
+(same estimate algebra as ``operators/sketches.py``, which argues why
+the float sum is order-independent EXACT).
+
+Plan shape per micro-batch: stateless shingle explode + hash projection
+(no shuffle), then the aggregation exchange over ≤256 keys. Output mode
+is ``complete`` — legal and cheap precisely because the aggregate is 256
+rows; the memory sink holds the current register table, and the final
+estimate is one batch aggregation over it. Unlike the stateless
+streaming linker (`streaming/link.py`), this demonstrates the STATEFUL
+side of the streaming surface with bounded state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ed_twitter_spark.operators.dedup import shingle_rows
+from ed_twitter_spark.operators.sketches import (
+    _SHINGLES_DISTINCT_SQL,
+    _HLL_ALPHA_M2,
+    HLL_M,
+    hll_estimate,
+    hll_register_cols,
+)
+
+
+def hll_register_stream(docs_stream: DataFrame) -> DataFrame:
+    """documents stream → live (register, m) aggregation (the sketch state)."""
+    items = shingle_rows(docs_stream).select("shingle")
+    register, rank = hll_register_cols(F.col("shingle"))
+    return (
+        items.select(register.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("m"))
+    )
+
+
+def stage_documents(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4) -> str:
+    """Stage the documents table as a multi-file stream source so
+    ``maxFilesPerTrigger`` yields real micro-batch boundaries."""
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def run_distinct_once(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 2,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Bounded replay (availableNow) of the staged document stream through
+    the register aggregation; returns the final register table."""
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="stream_hll_ckpt_")
+    query_name = query_name or f"stream_hll_{uuid.uuid4().hex[:8]}"
+    static = spark.read.parquet(src_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    regs = hll_register_stream(reader.parquet(src_dir))
+    q = (
+        regs.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(query_name)
+
+
+def stream_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: stage → micro-batched replay → estimate row.
+
+    Oracle = the batch HLL estimate SQL (no exact arm — the stream never
+    holds the items to count); value equality proves the state-store
+    merge reproduced the batch register table bit-for-bit.
+    """
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_hll_src_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    stage_documents(spark, sf_dir, src)
+    regs = run_distinct_once(spark, src)
+    return hll_estimate(regs)
+
+
+STREAM_DISTINCT_SQL = f"""
+WITH items AS ({_SHINGLES_DISTINCT_SQL}),
+regs AS (
+  SELECT CAST(('0x' || substr(md5(item), 1, 2)) AS INT) AS register,
+         MAX(CASE WHEN CAST(('0x' || substr(md5(item), 3, 8)) AS BIGINT) = 0
+                  THEN 33
+                  ELSE 33 - length(bin(CAST(('0x' || substr(md5(item), 3, 8)) AS BIGINT)))
+             END) AS m
+  FROM items GROUP BY register
+),
+agg AS (
+  SELECT COUNT(*) AS present, SUM(power(2.0, -m)) AS s_present FROM regs
+)
+SELECT {_HLL_ALPHA_M2} / (s_present + ({HLL_M} - present)) AS hll_raw_estimate,
+       ({HLL_M} - present) AS zero_registers
+FROM agg
+"""

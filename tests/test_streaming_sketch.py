@@ -1,0 +1,65 @@
+"""Streaming HLL: the register table as streaming-aggregation state.
+
+Pins the batch≡stream contract: a micro-batched replay of the document
+stream produces EXACTLY the batch register table and estimate (the state
+store's max-merge is the sketch's merge), and an incremental restart
+from the checkpoint folds newly-landed files into the same registers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_SMOKE
+
+from ed_twitter_spark.operators import sketches as sk
+from ed_twitter_spark.operators.dedup import shingle_rows
+from ed_twitter_spark.streaming import sketch as ssk
+
+
+def _batch_registers(spark, src_dir):
+    from pyspark.sql import functions as F
+
+    items = shingle_rows(spark.read.parquet(src_dir)).select("shingle")
+    register, rank = sk.hll_register_cols(F.col("shingle"))
+    return (
+        items.select(register.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("m"))
+    )
+
+
+def test_stream_registers_equal_batch(spark, tmp_path):
+    src = ssk.stage_documents(spark, SF_SMOKE, str(tmp_path / "src"), n_files=4)
+    # maxFilesPerTrigger=1 -> 4 micro-batches: a real incremental merge
+    got = ssk.run_distinct_once(
+        spark, src, checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    want = _batch_registers(spark, src)
+    as_set = lambda df: {(r["register"], r["m"]) for r in df.collect()}
+    assert as_set(got) == as_set(want)
+
+
+def test_stream_estimate_equals_batch_query(spark, tmp_path):
+    batch = sk.distinct_sketch(spark, SF_SMOKE).collect()[0]
+    stream = ssk.stream_distinct_query(spark, SF_SMOKE).collect()[0]
+    # EXACT equality: the estimate algebra is order-independent dyadic
+    assert stream.hll_raw_estimate == batch.hll_raw_estimate
+    assert stream.zero_registers == batch.zero_registers
+
+
+def test_stream_incremental_restart(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    first, second = (
+        docs.where("doc_id % 2 = 0"),
+        docs.where("doc_id % 2 = 1"),
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    ssk.run_distinct_once(spark, src, checkpoint_dir=ckpt, query_name="hll_a")
+    # new files land; restart from the same checkpoint processes only them,
+    # and the merged state must equal one pass over everything
+    second.coalesce(1).write.mode("append").parquet(src)
+    got = ssk.run_distinct_once(spark, src, checkpoint_dir=ckpt, query_name="hll_b")
+    want = _batch_registers(spark, src)
+    as_set = lambda df: {(r["register"], r["m"]) for r in df.collect()}
+    assert as_set(got) == as_set(want)
