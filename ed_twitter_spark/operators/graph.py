@@ -1459,3 +1459,105 @@ def q_kg_typed_edges(spark, sf_dir: str) -> DataFrame:
     from ed_twitter_spark import synth
 
     return kg_typed_edges(q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (node2vec-style corpus generation)
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 3
+
+
+def kg_random_walks(edges: DataFrame) -> DataFrame:
+    """(vertex_id, v1, v2, v3) — one WALK_LEN-step walk from every vertex
+    over the co-occurrence graph, with hash-greedy transitions: from the
+    current vertex, the next is the neighbor minimizing
+    h32(start '|' step '|' neighbor) (ties by neighbor id).
+
+    This is the walk-corpus generator DeepWalk/node2vec feed to their
+    skip-gram trainer, made DETERMINISTIC: the md5-derived key is a
+    per-(start, step) pseudo-random draw both engines compute
+    identically, so the walks are reproducible, oracle-checkable, and
+    stable under partitioning — the property sampled walks lack. The
+    step index re-keys each draw, so walks explore rather than lock onto
+    one neighbor.
+
+    Scale shape: the frontier is exactly one row per start vertex at
+    every step, so a step is ONE join against the adjacency (fan-out
+    bounded by the current vertex's degree) and ONE map-side-combinable
+    min-struct aggregation back to vertex-sized; WALK_LEN steps = a
+    fixed pipeline of bounded jobs, no driver state, no recursion. Walks
+    never strand: every co-occurrence vertex has ≥1 neighbor and the
+    graph is symmetric.
+    """
+    from ed_twitter_spark.functions.hashing import h32_col
+
+    e = cooccurrence_edges(edges)
+    acc = e.select(F.col("src").alias("start")).distinct().withColumn(
+        "cur", F.col("start")
+    )
+    prev_cols: list[str] = []
+    for step in range(1, WALK_LEN + 1):
+        hv = h32_col(
+            F.concat_ws(
+                "|",
+                F.col("start").cast("string"),
+                F.lit(str(step)),
+                F.col("dst").cast("string"),
+            )
+        )
+        cand = acc.join(e, acc["cur"] == e["src"]).select(
+            "start", *prev_cols, F.col("dst"), hv.alias("hv")
+        )
+        # one row per start going in -> the grouped min IS the walk step
+        pick = cand.groupBy("start", *prev_cols).agg(
+            F.min(F.struct("hv", "dst")).alias("m")
+        )
+        acc = pick.select(
+            "start", *prev_cols, F.col("m.dst").alias(f"v{step}")
+        ).withColumn("cur", F.col(f"v{step}"))
+        prev_cols.append(f"v{step}")
+    return acc.select(F.col("start").alias("vertex_id"), *prev_cols).orderBy(
+        "vertex_id"
+    )
+
+
+def kg_random_walks_oracle_sql() -> str:
+    from ed_twitter_spark.functions.hashing import h32_sql
+
+    def hv(step: int, dst: str) -> str:
+        return h32_sql(
+            f"CAST(start AS VARCHAR) || '|{step}|' || CAST({dst} AS VARCHAR)"
+        )
+
+    steps = []
+    prev_v, prev_tbl = "start", "s0"
+    carried = ""
+    for step in range(1, WALK_LEN + 1):
+        steps.append(
+            f"""n{step} AS (
+  SELECT {prev_tbl}.start{carried}, e.dst, {hv(step, 'e.dst')} AS hv
+  FROM {prev_tbl} JOIN coedges e ON e.src = {prev_tbl}.{prev_v}
+),
+p{step} AS (
+  SELECT start{carried}, dst AS v{step}
+  FROM (SELECT *, row_number() OVER (PARTITION BY start ORDER BY hv, dst) AS rn
+        FROM n{step})
+  WHERE rn = 1
+)"""
+        )
+        carried += f", v{step}"
+        prev_v, prev_tbl = f"v{step}", f"p{step}"
+    walk_cols = ", ".join(f"v{k}" for k in range(1, WALK_LEN + 1))
+    return (
+        _kg_edges_named_sql()
+        + ",\n"
+        + _COEDGES_SQL.lstrip()
+        + ",\ns0 AS (SELECT DISTINCT src AS start FROM coedges),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT start AS vertex_id, {walk_cols} FROM p{WALK_LEN} ORDER BY vertex_id"
+    )
+
+
+def q_kg_random_walks(spark, sf_dir: str) -> DataFrame:
+    return kg_random_walks(q_kg_edges(spark, sf_dir))

@@ -413,6 +413,9 @@ def _register_graph():
     register("kg_typed_edges", graph_ops.kg_typed_edges_oracle_sql())(
         graph_ops.q_kg_typed_edges
     )
+    register("kg_random_walks", graph_ops.kg_random_walks_oracle_sql())(
+        graph_ops.q_kg_random_walks
+    )
     register("kg_star_query", graph_ops.kg_star_query_oracle_sql())(
         graph_ops.q_kg_star_query
     )

@@ -313,6 +313,34 @@ def test_star_query_by_hand(spark):
     assert {r["obj_vertex"] for r in got_tied} == {7}
 
 
+def test_random_walks_by_hand(fake_edges):
+    import hashlib
+
+    from ed_twitter_spark.operators.graph import WALK_LEN, kg_random_walks
+
+    # transcribe the hash-greedy rule on the paper graph
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2, 4], 4: [3, 5], 5: [4]}
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    expected = {}
+    for start in adj:
+        cur, walk = start, []
+        for step in range(1, WALK_LEN + 1):
+            cur = min(adj[cur], key=lambda d: (h32(f"{start}|{step}|{d}"), d))
+            walk.append(cur)
+        expected[start] = tuple(walk)
+
+    got = kg_random_walks(fake_edges).collect()
+    assert {r["vertex_id"]: (r["v1"], r["v2"], r["v3"]) for r in got} == expected
+    # structural: every consecutive pair is a real edge
+    for r in got:
+        path = [r["vertex_id"], r["v1"], r["v2"], r["v3"]]
+        for a, b in zip(path, path[1:]):
+            assert b in adj[a]
+
+
 # ---------------------------------------------------------------------------
 # BGP compiler
 # ---------------------------------------------------------------------------
