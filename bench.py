@@ -39,6 +39,11 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_stats",
     "event_sessions",
+    # round-5 additions (cheap linear rows; subtract these three to
+    # reproduce the pre-r5 14-row headline total when comparing rounds)
+    "dedup_substring",
+    "heavy_hitters_cms",
+    "chunk_documents",
 ]
 
 

@@ -95,6 +95,14 @@ def render() -> None:
         "quiet-host windows; compare rounds, not absolute seconds, and see"
     )
     lines.append("BENCH/BASELINE.md for the multi-run variance analysis.")
+    # preserve hand-written per-round note bullets across re-renders
+    # (everything from the first "- **r" line of the existing file on)
+    if os.path.exists(OUT):
+        old = open(OUT).read().splitlines()
+        for i, line in enumerate(old):
+            if line.startswith("- **r"):
+                lines.extend(old[i:])
+                break
     lines.append("")
     with open(OUT, "w") as f:
         f.write("\n".join(lines))
