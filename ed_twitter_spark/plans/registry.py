@@ -471,6 +471,10 @@ def _register_corpus_ops():
     register("chunk_documents", pk.CHUNK_DOCUMENTS_SQL)(pk.chunk_documents)
     register("dataset_pack", pk.DATASET_PACK_SQL)(pk.dataset_pack)
 
+    from ed_twitter_spark.operators import corpus_pipeline as cpl
+
+    register("corpus_pipeline", cpl.CORPUS_PIPELINE_SQL)(cpl.corpus_pipeline)
+
     from ed_twitter_spark.operators import doc_embed as de
 
     register("dedup_embed_neardup", de.DEDUP_EMBED_SQL)(de.dedup_embed_neardup)

@@ -1,0 +1,92 @@
+"""The composed corpus pipeline: stage consistency + status precedence.
+
+The driver gate proves Spark ≡ the end-to-end DuckDB twin; these tests
+pin (a) that every stage of the composition agrees with its STANDALONE
+gated operator on the fixture corpus, and (b) the status precedence on a
+hand corpus that hits every branch (including the ones the synthetic
+corpus happens not to exercise, like quality-passing duplicates).
+"""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_CORRECT
+
+from ed_twitter_spark.operators import corpus_pipeline as cp
+from ed_twitter_spark.operators.corpus_filters import EVAL_MOD
+from ed_twitter_spark.operators.packing import PACK_BUDGET
+from ed_twitter_spark.operators.textstats import quality_gopher
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return cp.corpus_pipeline(spark, SF_CORRECT).toPandas().set_index("doc_id")
+
+
+def test_stage_consistency_with_standalone_operators(spark, result):
+    # eval holdout is exactly the doc_id % EVAL_MOD == 0 set
+    holdout = set(result[result.status == "eval_holdout"].index)
+    assert holdout == {d for d in result.index if d % EVAL_MOD == 0}
+    # low_quality is exactly the gopher keep=False set (minus holdout)
+    keep = (
+        quality_gopher(spark, SF_CORRECT)
+        .toPandas()
+        .set_index("doc_id")["keep"]
+        .to_dict()
+    )
+    lowq = set(result[result.status == "low_quality"].index)
+    assert lowq == {d for d, k in keep.items() if not k and d % EVAL_MOD != 0}
+    # train/val/test statuses agree with the dataset_split bucket rule
+    import hashlib
+
+    for d, row in result.iterrows():
+        if row.status in {"train", "val", "test"}:
+            b = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+            want = "train" if b < 80 else ("val" if b < 90 else "test")
+            assert row.status == want, d
+    # bin ids: only train docs are packed; -1 everywhere else
+    assert (result[result.status != "train"].bin_idx == -1).all()
+    assert (result[result.status == "train"].bin_idx >= 0).all()
+
+
+def test_train_bins_respect_budget(spark, result):
+    import re
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    train = result[result.status == "train"]
+    ntok = {d: len(re.split(r"\s+", docs.loc[d, "text"])) for d in train.index}
+    for (src, b), g in train.groupby([docs.source.reindex(train.index), "bin_idx"]):
+        total = sum(ntok[d] for d in g.index)
+        assert total <= PACK_BUDGET or len(g) == 1, (src, b)
+
+
+def test_status_precedence_on_hand_corpus(spark, tmp_path):
+    # quality-passing text: 50 4-letter alpha words incl. a stopword
+    good = ("the " + "word " * 49).strip()
+    # a second, distinct good text for the contamination pair
+    good2 = ("the " + "tion " * 49).strip()
+    rows = [
+        (0, "s", good2),          # eval_holdout (doc 0) — defines the eval grams
+        (1, "s", "short text"),   # low_quality (< 50 words)
+        (2, "s", good),           # train/val/test (canonical of the dup pair)
+        (3, "s", good),           # duplicate of 2
+        (4, "s", good2),          # contaminated: shares all grams with doc 0
+        (5, "s", good + " zzzz"), # distinct survivor
+    ]
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, s, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{p}/documents.parquet")
+    got = cp.corpus_pipeline(spark, p).toPandas().set_index("doc_id")
+    assert got.loc[0, "status"] == "eval_holdout"
+    assert got.loc[1, "status"] == "low_quality"
+    assert got.loc[2, "status"] in {"train", "val", "test"}
+    assert got.loc[3, "status"] == "duplicate"
+    assert got.loc[4, "status"] == "contaminated"
+    assert got.loc[5, "status"] in {"train", "val", "test"}
