@@ -90,20 +90,21 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     error) — a property test asserts it.
     """
     toks = _tokens(spark, sf_dir)
-    cells = toks.select(
-        F.posexplode(F.array(*[_cms_bucket_col(d) for d in range(CMS_DEPTH)])).alias(
-            "depth", "bucket"
-        )
-    )
-    sketch = cells.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    # Build the sketch from the vocabulary counts the exact arm already
+    # produced: counter(d, b) = Σ counts of tokens hashing to (d, b) —
+    # identical to sketching the raw stream, at 4×|vocab| md5s instead of
+    # 4×|tokens|. (A production run with no exact arm sketches the raw
+    # stream directly: count instead of sum, same map-side combine.)
     lookup = vocab.select(
         "token",
         "exact_count",
         F.posexplode(F.array(*[_cms_bucket_col(d) for d in range(CMS_DEPTH)])).alias(
             "depth", "bucket"
         ),
+    )
+    sketch = lookup.groupBy("depth", "bucket").agg(
+        F.sum("exact_count").alias("cnt")
     )
     return (
         lookup.join(F.broadcast(sketch), ["depth", "bucket"])
@@ -120,12 +121,14 @@ def heavy_hitters_sql() -> str:
     return f"""
 WITH toks AS ({_TOKENS_SQL}),
 depths AS (SELECT * FROM (VALUES {depths}) AS dep(d)),
-cells AS (SELECT d AS depth, {bucket} AS bucket FROM toks CROSS JOIN depths),
-sketch AS (SELECT depth, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
 vocab AS (SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY 1),
 lookup AS (
   SELECT token, exact_count, d AS depth, {bucket} AS bucket
   FROM vocab CROSS JOIN depths
+),
+sketch AS (
+  SELECT depth, bucket, CAST(SUM(exact_count) AS BIGINT) AS cnt
+  FROM lookup GROUP BY 1, 2
 )
 SELECT token, MIN(cnt) AS est_count, exact_count
 FROM lookup JOIN sketch USING (depth, bucket)
