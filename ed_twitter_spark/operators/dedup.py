@@ -603,18 +603,32 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     match length K.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select("doc_id", toks_col().alias("t")).where(
-        F.size("t") >= SUBSTR_K
+    # the K-slice + md5 explode is the expensive projection, and without a
+    # repartition it runs at the parquet's row-group split count (2 tasks
+    # on the sf1 fixture, whatever the file layout gives in production) —
+    # the input-split-parallelism trap the skew stress caught for the
+    # cosine join; one narrow shuffle of the token arrays fixes it
+    toks = (
+        docs.select("doc_id", toks_col().alias("t"))
+        .where(F.size("t") >= SUBSTR_K)
+        .repartition("doc_id")
     )
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (SUBSTR_K - 1)),
-                lambda i: h64_col(F.array_join(F.slice(F.col("t"), i, SUBSTR_K), " ")),
-            )
-        ).alias("pos0", "gh"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    # persisted: the gram stream feeds BOTH the duplicated-hash aggregation
+    # and the position semi-join — without it the K-slice + md5 explode
+    # runs twice (released via release_caches)
+    grams = persist_tracked(
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SUBSTR_K - 1)),
+                    lambda i: h64_col(
+                        F.array_join(F.slice(F.col("t"), i, SUBSTR_K), " ")
+                    ),
+                )
+            ).alias("pos0", "gh"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    )
 
     dup = (
         grams.groupBy("gh")
