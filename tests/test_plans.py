@@ -380,3 +380,57 @@ def test_bgp_compiler_no_cartesian_and_pushed_constants(spark):
     # each constant predicate appears as a filter condition in the plan
     for pred in ("mentioned_by_user", "mentioned_in_search", "in_conv"):
         assert pred in plan
+
+
+def test_second_wave_plans_no_cartesian(spark):
+    """The round-5 second-wave operators' physical plans: no cartesian
+    product, no nested-loop join anywhere (the distinct_sketch scalar
+    1×1 combine is the documented exception, asserted separately), and
+    the BGP OPTIONAL compiles to an equi left join on the shared vars."""
+    from conftest import SF_SMOKE
+
+    from ed_twitter_spark.operators import corpus_pipeline as cpl
+    from ed_twitter_spark.operators import packing as pk
+    from ed_twitter_spark.operators import sketches as sk
+    from ed_twitter_spark.operators.bgp import (
+        BGP_OPT_FILTERS,
+        BGP_OPT_GROUP,
+        BGP_OPT_REQUIRED,
+        bgp_query,
+    )
+    from ed_twitter_spark.operators.dedup import dedup_substring
+
+    for df in (
+        cpl.corpus_pipeline(spark, SF_SMOKE),
+        pk.dataset_pack(spark, SF_SMOKE),
+        pk.chunk_documents(spark, SF_SMOKE),
+        dedup_substring(spark, SF_SMOKE),
+        sk.heavy_hitters_cms(spark, SF_SMOKE),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    # distinct_sketch: exactly ONE nested-loop join — the 1-row × 1-row
+    # scalar combine — and no cartesian over data-sized inputs
+    plan = plan_of(sk.distinct_sketch(spark, SF_SMOKE))
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # header + node line
+    assert "CartesianProduct" not in plan
+
+    triples = spark.createDataFrame(
+        [("m1", "mentioned_by_user", "e:E1"), ("m1", "in_conv", "c1"),
+         ("m2", "mentioned_in_search", "e:E1"), ("m2", "in_conv", "c1")],
+        "s string, p string, o string",
+    )
+    plan = plan_of(
+        bgp_query(
+            triples,
+            BGP_OPT_REQUIRED,
+            select=["c", "e", "pt"],
+            optional=BGP_OPT_GROUP,
+            optional_filters=BGP_OPT_FILTERS,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftOuter" in plan
