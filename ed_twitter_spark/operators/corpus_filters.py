@@ -225,3 +225,126 @@ b AS (
 )
 SELECT doc_id, lang_pred, bucket FROM b WHERE bucket < rate
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the O(1)-broadcast-state scale path
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 65536  # bits (~10 bits per eval gram at fixture scale, FP ~1%)
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(gram_col: F.Column, k: int) -> F.Column:
+    from ed_twitter_spark.functions.hashing import h32_col
+
+    return h32_col(F.concat(F.lit(f"{k}:"), gram_col)) % BLOOM_M
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_flagged_grams, n_exact_collisions) — Bloom-filter
+    decontamination beside the exact answer it approximates.
+
+    The exact operator (:func:`decontaminate`) broadcasts the eval set's
+    DISTINCT GRAM STRINGS — fine at fixture scale, but a real eval suite
+    against 10^12 turns can make that broadcast arbitrarily large. This
+    variant broadcasts a FIXED-SIZE object instead: the eval grams'
+    Bloom bit set (≤ BLOOM_M set-bit rows ≈ 0.5 MB worst-case at any eval-set size; a production build ships it as an actual m-bit bitmap). A train
+    gram is flagged when all BLOOM_K of its md5-derived bit positions
+    are set — a superset of true contamination (one-sided: no false
+    negatives, FP rate ≈ (1−e^{−kn/m})^k), which is the correct failure
+    direction for decontamination (over-drop, never leak). The gate
+    output carries the exact collision count per doc so the FP overshoot
+    is directly visible: n_flagged_grams ≥ n_exact_collisions always,
+    with equality wherever the filter had no false positive.
+
+    Everything is md5-derived, so both engines build the identical bit
+    set and flag the identical grams — the sketch is value-exact
+    cross-engine, not merely statistically equivalent.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = _ngrams(docs, DECON_N)
+    ev = grams.where(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    bits = (
+        ev.select(
+            F.explode(
+                F.array(*[_bloom_positions(F.col("gram"), k) for k in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    train = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    probe = train.select(
+        "doc_id",
+        "gram",
+        F.posexplode(
+            F.array(*[_bloom_positions(F.col("gram"), k) for k in range(BLOOM_K)])
+        ).alias("k", "bit"),
+    )
+    flagged = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )
+    exact = (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_collisions"))
+    )
+    return (
+        flagged.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_flagged_grams",
+            F.coalesce("n_exact_collisions", F.lit(0)).alias("n_exact_collisions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_pos_sql(k: int) -> str:
+    from ed_twitter_spark.functions.hashing import h32_sql
+
+    return f"({h32_sql(repr(f'{k}:') + ' || gram')} % {BLOOM_M})"
+
+
+DECONTAMINATE_BLOOM_SQL = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i+1 : i+{DECON_N}], ' ') AS gram
+  FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+       UNNEST(range(0, len(toks) - {DECON_N} + 1)) AS t(i)
+  WHERE len(toks) >= {DECON_N}
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+bits AS (
+  SELECT DISTINCT bit FROM ev,
+         UNNEST([{", ".join(_bloom_pos_sql(k) for k in range(3))}]) AS u(bit)
+),
+train AS (SELECT doc_id, gram FROM g WHERE doc_id % {EVAL_MOD} <> 0),
+probe AS (
+  SELECT doc_id, gram, bit FROM train,
+         UNNEST([{", ".join(_bloom_pos_sql(k) for k in range(3))}]) AS u(bit)
+),
+flagged AS (
+  SELECT doc_id, COUNT(*) AS n_flagged_grams
+  FROM (
+    SELECT doc_id, gram
+    FROM probe JOIN bits USING (bit)
+    GROUP BY doc_id, gram
+    HAVING COUNT(*) = {BLOOM_K}
+  ) GROUP BY doc_id
+),
+exact AS (
+  SELECT doc_id, COUNT(*) AS n_exact_collisions
+  FROM train JOIN ev USING (gram)
+  GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_flagged_grams,
+       COALESCE(e.n_exact_collisions, 0) AS n_exact_collisions
+FROM flagged f LEFT JOIN exact e USING (doc_id)
+ORDER BY f.doc_id
+"""

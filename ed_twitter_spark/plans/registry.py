@@ -502,6 +502,9 @@ def _register_corpus_ops():
     register("dataset_split", cf.DATASET_SPLIT_SQL)(cf.dataset_split)
     register("dataset_sample", cf.dataset_sample_oracle_sql())(cf.dataset_sample)
     register("decontaminate", cf.DECONTAMINATE_SQL)(cf.decontaminate)
+    register("decontaminate_bloom", cf.DECONTAMINATE_BLOOM_SQL)(
+        cf.decontaminate_bloom
+    )
 
 
 _register_corpus_ops()

@@ -90,3 +90,86 @@ def test_status_precedence_on_hand_corpus(spark, tmp_path):
     assert got.loc[3, "status"] == "duplicate"
     assert got.loc[4, "status"] == "contaminated"
     assert got.loc[5, "status"] in {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (corpus_filters.decontaminate_bloom)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontamination_one_sided(spark):
+    """The Bloom variant is a strict superset of the exact answer —
+    every truly contaminated doc is flagged with n_flagged >= n_exact
+    (no false negatives, the safe failure direction)."""
+    from ed_twitter_spark.operators.corpus_filters import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    exact = (
+        decontaminate(spark, SF_CORRECT)
+        .toPandas()
+        .set_index("doc_id")["n_collisions"]
+        .to_dict()
+    )
+    bloom = decontaminate_bloom(spark, SF_CORRECT).toPandas().set_index("doc_id")
+    assert set(exact) <= set(bloom.index)
+    for d, n in exact.items():
+        assert bloom.loc[d, "n_exact_collisions"] == n
+        assert bloom.loc[d, "n_flagged_grams"] >= n
+    assert (bloom.n_flagged_grams >= bloom.n_exact_collisions).all()
+
+
+def test_bloom_matches_python_transcription(spark):
+    import hashlib
+    import re
+
+    from ed_twitter_spark.operators.corpus_filters import (
+        BLOOM_K,
+        BLOOM_M,
+        DECON_N,
+        EVAL_MOD,
+        decontaminate_bloom,
+    )
+    from conftest import SF_SMOKE
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def grams(t):
+        toks = re.split(r"\s+", t)
+        return {
+            " ".join(toks[i : i + DECON_N]) for i in range(len(toks) - DECON_N + 1)
+        }
+
+    bits = set()
+    for d, t in docs.items():
+        if d % EVAL_MOD == 0:
+            for g in grams(t):
+                bits.update(h32(f"{k}:{g}") % BLOOM_M for k in range(BLOOM_K))
+    expected = {}
+    for d, t in docs.items():
+        if d % EVAL_MOD == 0:
+            continue
+        n = sum(
+            1
+            for g in grams(t)
+            if all(h32(f"{k}:{g}") % BLOOM_M in bits for k in range(BLOOM_K))
+        )
+        if n:
+            expected[d] = n
+    got = (
+        decontaminate_bloom(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")["n_flagged_grams"]
+        .to_dict()
+    )
+    assert got == expected
