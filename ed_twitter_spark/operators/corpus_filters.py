@@ -301,7 +301,6 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_flagged_grams",
             F.coalesce("n_exact_collisions", F.lit(0)).alias("n_exact_collisions"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -322,12 +321,12 @@ WITH g AS (
 ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
 bits AS (
   SELECT DISTINCT bit FROM ev,
-         UNNEST([{", ".join(_bloom_pos_sql(k) for k in range(3))}]) AS u(bit)
+         UNNEST([{", ".join(_bloom_pos_sql(k) for k in range(BLOOM_K))}]) AS u(bit)
 ),
 train AS (SELECT doc_id, gram FROM g WHERE doc_id % {EVAL_MOD} <> 0),
 probe AS (
   SELECT doc_id, gram, bit FROM train,
-         UNNEST([{", ".join(_bloom_pos_sql(k) for k in range(3))}]) AS u(bit)
+         UNNEST([{", ".join(_bloom_pos_sql(k) for k in range(BLOOM_K))}]) AS u(bit)
 ),
 flagged AS (
   SELECT doc_id, COUNT(*) AS n_flagged_grams

@@ -26,9 +26,12 @@ training-sequence id for train docs, −1 otherwise.
 Scale shape: stages 1–4 are the same plans their standalone operators
 audit (one tokenization-wide scan, hash aggregations, a broadcast
 semi-join against the holdout gram set, zero-shuffle split); stage 5 is
-the shard-parallel pack. Nothing here re-reads the corpus per stage —
-the lineage is one DAG, and at 10^12 turns each arrow is one bounded
-exchange. The composition is where stage-order bugs live (dedup before
+the shard-parallel pack. The multiply-consumed intermediates (base,
+dedup survivors, the split table) carry tracked persists so the
+document scan and the Gopher pass execute once, not once per consumer —
+at 10^12 turns each arrow past them is one bounded exchange (in the
+production DAG these are the checkpointed stage tables of
+`plans/pipeline.py`). The composition is where stage-order bugs live (dedup before
 vs after filtering changes survivors; contamination must not see
 already-dropped docs), which is exactly what the end-to-end oracle pins.
 """
@@ -38,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ed_twitter_spark.caching import persist_tracked
 from ed_twitter_spark.functions.hashing import TOKS_SQL, toks_col
 from ed_twitter_spark.operators.corpus_filters import DECON_N, EVAL_MOD, _ngrams
 from ed_twitter_spark.operators.packing import PACK_BUDGET, _pack_group
@@ -49,8 +53,13 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     keep = quality_gopher(spark, sf_dir).select("doc_id", "keep")
-    base = docs.join(keep, "doc_id").withColumn(
-        "holdout", (F.col("doc_id") % EVAL_MOD) == 0
+    # base / surv_d / splitc each feed multiple downstream consumers;
+    # without tracked persists Spark would re-execute the document scan
+    # and Gopher pass once per reference (released via release_caches)
+    base = persist_tracked(
+        docs.join(keep, "doc_id").withColumn(
+            "holdout", (F.col("doc_id") % EVAL_MOD) == 0
+        )
     )
 
     # 2. exact dedup over quality survivors (non-holdout)
@@ -59,7 +68,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv_q.groupBy(F.md5(F.lower("text")).alias("h"))
         .agg(F.min("doc_id").alias("cid"))
     )
-    surv_d = (
+    surv_d = persist_tracked(
         surv_q.withColumn("h", F.md5(F.lower("text")))
         .join(canon, "h")
         .where(F.col("doc_id") == F.col("cid"))
@@ -87,8 +96,13 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    splitc = surv_c.select(
-        "doc_id", "source", split.alias("split"), F.size(toks_col()).alias("n_tokens")
+    splitc = persist_tracked(
+        surv_c.select(
+            "doc_id",
+            "source",
+            split.alias("split"),
+            F.size(toks_col()).alias("n_tokens"),
+        )
     )
 
     # 5. pack the train survivors per source
@@ -122,7 +136,6 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             status.alias("status"),
             F.coalesce("bin_idx", F.lit(-1)).alias("bin_idx"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -579,8 +579,13 @@ SUBSTR_K = 8  # window length in tokens; spans below this are never flagged
 
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens, n_windows) — maximal
-    per-document token spans every SUBSTR_K-window of which also occurs
-    in at least one OTHER document (1-based token positions, inclusive).
+    per-document token spans formed by merging overlapping-or-touching
+    SUBSTR_K-windows that each occur in at least one OTHER document
+    (1-based token positions, inclusive). Note the invariant is per
+    MERGED WINDOW, not per span position: inside a span, windows at
+    intermediate offsets between two merged duplicated windows need not
+    themselves be duplicated — every TOKEN of the span is covered by ≥1
+    cross-document window, which is the ExactSubstr removal contract.
 
     Pipeline is linear in the corpus — the crucial difference from the
     pairwise dedup operators: duplication here is a per-window boolean
@@ -659,7 +664,6 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
             "n_windows",
         )
-        .orderBy("doc_id", "span_start")
     )
 
 

@@ -1517,9 +1517,7 @@ def kg_random_walks(edges: DataFrame) -> DataFrame:
             "start", *prev_cols, F.col("m.dst").alias(f"v{step}")
         ).withColumn("cur", F.col(f"v{step}"))
         prev_cols.append(f"v{step}")
-    return acc.select(F.col("start").alias("vertex_id"), *prev_cols).orderBy(
-        "vertex_id"
-    )
+    return acc.select(F.col("start").alias("vertex_id"), *prev_cols)
 
 
 def kg_random_walks_oracle_sql() -> str:

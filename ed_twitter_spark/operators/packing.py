@@ -8,9 +8,9 @@ stops at linked triples) and the rest of this repo's corpus ladder:
   context-window shaping step for embedding / RAG ingestion). Pure JVM
   column algebra: the chunk starts are a ``sequence`` with stride
   CHUNK_N − CHUNK_OVERLAP, each chunk an ``array_join(slice(...))`` —
-  one projection then one posexplode, no Python, no shuffle at all
-  (the output inherits the scan's partitioning; every row's chunks are
-  derived from that row alone). Scales embarrassingly.
+  one projection then one posexplode, no Python, and no shuffle in the
+  operator itself (every row's chunks derive from that row alone, so
+  the output inherits the scan's partitioning). Scales embarrassingly.
 
 * ``dataset_pack`` — greedy sequential packing of documents into
   fixed-token-budget bins (the GPT-style "pack short docs into one
@@ -23,8 +23,12 @@ stops at linked triples) and the rest of this repo's corpus ladder:
   per-shard packing; cross-shard bins would serialize the whole corpus
   through one ordering anyway). Each group's loop is a numpy pass over
   its token counts — Arrow in, Arrow out, no per-row Python boxing.
-  The DuckDB twin drives the same recurrence through a WITH RECURSIVE
-  CTE that advances every source by one document per iteration.
+  Caveat the shard key carries: grouped-map semantics materialize each
+  group's (doc_id, n_tokens) rows as ONE pandas frame per task, so the
+  shard key must bound group size (a date/shard key in production; the
+  recurrence state itself is two scalars). The DuckDB twin drives the
+  same recurrence through a WITH RECURSIVE CTE that advances every
+  source by one document per iteration.
 
 Oversized documents (n > budget) get a bin of their own (the recurrence
 opens a fresh bin and the NEXT doc opens another); real packers then
@@ -73,7 +77,6 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("c.toks").alias("n_tokens"),
             F.array_join("c.toks", " ").alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -117,9 +120,10 @@ def dataset_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     PACK_BUDGET-token bins, plus the per-bin totals every assignment row
     carries (so fill ratio is read off any row of the bin).
 
-    See module docstring for the shard-parallel design; the per-group
-    state is two scalars, so group size is memory-bounded by the Arrow
-    batch, not the recurrence.
+    See module docstring for the shard-parallel design and the group-
+    materialization caveat: the recurrence state is two scalars, but
+    grouped-map loads each shard's count rows as one pandas frame, so
+    the shard key is what bounds per-task memory.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counts = docs.select(

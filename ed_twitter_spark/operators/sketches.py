@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ed_twitter_spark.caching import persist_tracked
 from ed_twitter_spark.functions.hashing import TOKS_SQL, h32_col, h32_sql, toks_col
 from ed_twitter_spark.operators.dedup import _shingles_raw
 
@@ -96,12 +97,17 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical to sketching the raw stream, at 4×|vocab| md5s instead of
     # 4×|tokens|. (A production run with no exact arm sketches the raw
     # stream directly: count instead of sum, same map-side combine.)
-    lookup = vocab.select(
-        "token",
-        "exact_count",
-        F.posexplode(F.array(*[_cms_bucket_col(d) for d in range(CMS_DEPTH)])).alias(
-            "depth", "bucket"
-        ),
+    # Persisted: lookup feeds BOTH the sketch aggregation and the join's
+    # probe side — without it the corpus-wide token scan + vocabulary
+    # aggregation would execute twice (released via release_caches).
+    lookup = persist_tracked(
+        vocab.select(
+            "token",
+            "exact_count",
+            F.posexplode(
+                F.array(*[_cms_bucket_col(d) for d in range(CMS_DEPTH)])
+            ).alias("depth", "bucket"),
+        )
     )
     sketch = lookup.groupBy("depth", "bucket").agg(
         F.sum("exact_count").alias("cnt")
@@ -111,7 +117,6 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_count")
         .agg(F.min("cnt").alias("est_count"))
         .select("token", "est_count", "exact_count")
-        .orderBy("token")
     )
 
 
@@ -202,7 +207,9 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     one BroadcastNestedLoopJoin is the 1-row × 1-row combine of the two
     scalar aggregates, not a data-sized cross product.
     """
-    items = _shingle_items(spark, sf_dir)
+    # persisted: items feeds the register table AND the exact arm —
+    # without it the shingle explode + corpus-wide distinct runs twice
+    items = persist_tracked(_shingle_items(spark, sf_dir))
     register, rank = hll_register_cols(F.col("item"))
     regs = (
         items.select(register.alias("register"), rank.alias("rank"))

@@ -87,7 +87,14 @@ def run_distinct_once(
         .queryName(query_name)
         .start()
     )
-    q.awaitTermination(300)
+    # a False return means the bounded replay did NOT finish: the memory
+    # sink would hold a partial register table, which must be an error,
+    # never a silently under-merged estimate
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming HLL replay '{query_name}' did not complete within 300s"
+        )
     return spark.table(query_name)
 
 
@@ -98,9 +105,11 @@ def stream_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds the items to count); value equality proves the state-store
     merge reproduced the batch register table bit-for-bit.
     """
+    # per-run unique staging dir: a shared fixed path races concurrent
+    # runs (overwrite-while-streaming) and aliases distinct corpora that
+    # share a basename
     src = os.path.join(
-        tempfile.gettempdir(),
-        f"stream_hll_src_{os.path.basename(os.path.normpath(sf_dir))}",
+        tempfile.gettempdir(), f"stream_hll_src_{uuid.uuid4().hex[:12]}"
     )
     stage_documents(spark, sf_dir, src)
     regs = run_distinct_once(spark, src)
