@@ -1559,3 +1559,92 @@ p{step} AS (
 
 def q_kg_random_walks(spark, sf_dir: str) -> DataFrame:
     return kg_random_walks(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (random walk with restart from the hub)
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 3
+PPR_DAMPING = 0.85
+
+
+def kg_ppr(edges: DataFrame) -> DataFrame:
+    """(vertex_id, ppr) — personalized PageRank seeded at the KG's hub
+    vertex (highest co-occurrence degree, ties to the smaller id): the
+    "entities related to X" ranking, i.e. random walk with restart where
+    ALL teleport mass returns to the seed instead of spreading uniformly.
+
+    Same fixed-PPR_ITERS dataflow shape as :func:`kg_pagerank` (one
+    rank⋈edges join + one sum per iteration, vertex-sized rank table,
+    unrolled-CTE oracle); the only differences are the point-mass init
+    and the seed-only restart term. The seed pick is one driver-side
+    scalar from a vertex-sized aggregate — the same budget class as
+    PageRank's ``n = nodes.count()``.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(cooccurrence_edges(edges))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = persist_tracked(out_deg.select(F.col("src").alias("v"), "deg"))
+    seed = nodes.orderBy(F.desc("deg"), F.asc("v")).first()["v"]
+    d = PPR_DAMPING
+    rank = nodes.select(
+        "v", "deg", F.when(F.col("v") == seed, 1.0).otherwise(0.0).alias("pr")
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            rank.select(F.col("v").alias("src"), (F.col("pr") / F.col("deg")).alias("w"))
+            .join(e, on="src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("w").alias("mass"))
+        )
+        rank = nodes.join(contrib, on="v", how="left").select(
+            "v",
+            "deg",
+            (
+                F.when(F.col("v") == seed, F.lit(1.0 - d)).otherwise(F.lit(0.0))
+                + F.lit(d) * F.coalesce("mass", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return rank.select(F.col("v").alias("vertex_id"), F.round("pr", 8).alias("ppr"))
+
+
+def kg_ppr_oracle_sql() -> str:
+    d = PPR_DAMPING
+    iters = []
+    prev = "ppr0"
+    for i in range(1, PPR_ITERS + 1):
+        iters.append(
+            f"""ppr{i} AS (
+  SELECT n.v, n.deg,
+         CASE WHEN n.v = (SELECT v FROM seed) THEN {1.0 - d} ELSE 0.0 END
+         + {d} * COALESCE((SELECT SUM(p.pr / p.deg)
+                           FROM coedges e JOIN {prev} p ON p.v = e.src
+                           WHERE e.dst = n.v), 0.0) AS pr
+  FROM nodes2 n
+)"""
+        )
+        prev = f"ppr{i}"
+    return (
+        _kg_edges_named_sql()
+        + f""",
+cv AS (SELECT DISTINCT conv_id, obj_vertex AS v FROM kge WHERE obj_vertex IS NOT NULL),
+coedges AS (
+  SELECT DISTINCT a.v AS src, b.v AS dst
+  FROM cv a JOIN cv b ON a.conv_id = b.conv_id AND a.v <> b.v
+),
+nodes2 AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM coedges GROUP BY src),
+seed AS (SELECT v FROM nodes2 ORDER BY deg DESC, v LIMIT 1),
+ppr0 AS (
+  SELECT v, deg, CASE WHEN v = (SELECT v FROM seed) THEN 1.0 ELSE 0.0 END AS pr
+  FROM nodes2
+),
+{",".join(iters)}
+SELECT v AS vertex_id, ROUND(pr, 8) AS ppr FROM {prev}
+"""
+    )
+
+
+def q_kg_ppr(spark, sf_dir: str) -> DataFrame:
+    return kg_ppr(q_kg_edges(spark, sf_dir))

@@ -416,6 +416,7 @@ def _register_graph():
     register("kg_random_walks", graph_ops.kg_random_walks_oracle_sql())(
         graph_ops.q_kg_random_walks
     )
+    register("kg_ppr", graph_ops.kg_ppr_oracle_sql())(graph_ops.q_kg_ppr)
     register("kg_star_query", graph_ops.kg_star_query_oracle_sql())(
         graph_ops.q_kg_star_query
     )

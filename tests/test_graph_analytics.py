@@ -313,6 +313,28 @@ def test_star_query_by_hand(spark):
     assert {r["obj_vertex"] for r in got_tied} == {7}
 
 
+def test_ppr_matches_numpy_power_iteration(fake_edges):
+    from ed_twitter_spark.operators.graph import PPR_DAMPING, PPR_ITERS, kg_ppr
+
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2, 4], 4: [3, 5], 5: [4]}
+    seed = 3  # highest degree
+    pr = {v: (1.0 if v == seed else 0.0) for v in adj}
+    for _ in range(PPR_ITERS):
+        mass = {v: 0.0 for v in adj}
+        for u, nbrs in adj.items():
+            for w in nbrs:
+                mass[w] += pr[u] / len(nbrs)
+        pr = {
+            v: (1.0 - PPR_DAMPING if v == seed else 0.0) + PPR_DAMPING * mass[v]
+            for v in adj
+        }
+    got = {r["vertex_id"]: r["ppr"] for r in kg_ppr(fake_edges).collect()}
+    assert got == {v: round(p, 8) for v, p in pr.items()}
+    # restart returns all teleport mass to the seed: total mass stays 1
+    assert sum(got.values()) == pytest.approx(1.0)
+    assert max(got, key=got.get) == seed
+
+
 def test_random_walks_by_hand(fake_edges):
     import hashlib
 
