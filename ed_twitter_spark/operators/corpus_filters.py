@@ -347,3 +347,83 @@ SELECT f.doc_id, f.n_flagged_grams,
 FROM flagged f LEFT JOIN exact e USING (doc_id)
 ORDER BY f.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source sampling (the multilingual mixing rule)
+# ---------------------------------------------------------------------------
+
+TEMP_BUDGET = 15  # per-source quota ceiling (docs) at temperature T
+# T = 2: quota ∝ sqrt(source token mass). sqrt and one multiply/divide are
+# correctly-rounded IEEE ops, so the quota arithmetic is deterministic
+# cross-engine WITHOUT float-sum order concerns (no normalizing Σ — quotas
+# are anchored to the LARGEST source instead, the usual implementation).
+
+
+def dataset_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, rk, quota) — the docs selected by temperature-2
+    source sampling: quota_s = max(1, ⌊BUDGET·√tok_s/√tok_max⌋) documents
+    per source, picked in md5(doc_id) order.
+
+    This is the source-mixing rule multilingual/multi-domain pipelines
+    apply so small sources are upsampled relative to their share
+    (p_s ∝ n_s^(1/T)); hash-order selection makes the draw deterministic,
+    engine-independent and stable (a new document displaces an existing
+    pick only if it hashes earlier — no RNG state to ship). Plan: one
+    token-count aggregation (source-sized), a global-window max over the
+    ~|sources| rows, and one row_number per source — the corpus is
+    scanned once and only the per-source ordering shuffles.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.size(toks_col()).alias("n_tok")
+    )
+    tot = docs.groupBy("source").agg(F.sum("n_tok").alias("tok_s"))
+    # anchor scalar as a broadcast 1-row cross join (source-sized × 1 —
+    # not a data-sized nested loop), avoiding a global window
+    tot = tot.crossJoin(F.broadcast(tot.agg(F.max("tok_s").alias("tok_max"))))
+    quota = tot.select(
+        "source",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(float(TEMP_BUDGET)) * F.sqrt("tok_s") / F.sqrt("tok_max")
+            ),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", "rk", "quota")
+    )
+
+
+DATASET_SAMPLE_TEMP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len({TOKS_SQL}) AS n_tok FROM documents
+),
+tot AS (
+  SELECT source, SUM(n_tok) AS tok_s, MAX(SUM(n_tok)) OVER () AS tok_max
+  FROM d GROUP BY source
+),
+quota AS (
+  SELECT source,
+         GREATEST(1, CAST(FLOOR({float(TEMP_BUDGET)} * sqrt(tok_s) / sqrt(tok_max))
+                          AS BIGINT)) AS quota
+  FROM tot
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM d
+)
+SELECT doc_id, source, rk, quota
+FROM ranked JOIN quota USING (source)
+WHERE rk <= quota
+"""

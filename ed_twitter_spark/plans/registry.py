@@ -506,6 +506,9 @@ def _register_corpus_ops():
     register("decontaminate_bloom", cf.DECONTAMINATE_BLOOM_SQL)(
         cf.decontaminate_bloom
     )
+    register("dataset_sample_temperature", cf.DATASET_SAMPLE_TEMP_SQL)(
+        cf.dataset_sample_temperature
+    )
 
 
 _register_corpus_ops()

@@ -173,3 +173,47 @@ def test_bloom_matches_python_transcription(spark):
         .to_dict()
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling (corpus_filters.dataset_sample_temperature)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_sampling_matches_transcription(spark):
+    import hashlib
+    import math
+    import re
+
+    from conftest import SF_SMOKE
+
+    from ed_twitter_spark.operators.corpus_filters import (
+        TEMP_BUDGET,
+        dataset_sample_temperature,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    docs["n_tok"] = docs.text.map(lambda t: len(re.split(r"\s+", t)))
+    tok = docs.groupby("source").n_tok.sum().to_dict()
+    tok_max = max(tok.values())
+    quota = {
+        s: max(1, math.floor(float(TEMP_BUDGET) * math.sqrt(n) / math.sqrt(tok_max)))
+        for s, n in tok.items()
+    }
+    expected = set()
+    for s, g in docs.groupby("source"):
+        order = sorted(
+            g.doc_id, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        expected.update((d, s) for d in order[: quota[s]])
+    got = dataset_sample_temperature(spark, SF_SMOKE).toPandas()
+    assert {(r.doc_id, r.source) for r in got.itertuples()} == expected
+    assert (got.rk <= got.quota).all()
+    # temperature flattening: pre-floor, sqrt(x)/sqrt(max) >= x/max for
+    # every x <= max; the floor can shave < 1 off the quota, hence +1
+    for s, q in got.groupby("source").quota.first().items():
+        assert q + 1 > TEMP_BUDGET * tok[s] / tok_max
