@@ -697,3 +697,69 @@ FROM grouped
 GROUP BY doc_id, grp
 ORDER BY doc_id, span_start
 """
+
+
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_before, n_after, clean_text) — the corpus with every
+    duplicated span removed: the actionable ExactSubstr output (flag →
+    REMOVE). Policy: all occurrences of a duplicated span are dropped,
+    the released ExactSubstr tool's default (keeping one canonical copy
+    would need a per-window global owner — ill-defined once windows
+    merge into spans whose parts are shared with different documents).
+
+    Plan: the span table (already linear to produce) aggregates to ≤1
+    row per affected doc, joins the corpus once, and the removal is a
+    higher-order ``filter`` over the token array against the doc's own
+    span list — per-row JVM work, no Python, no extra shuffle beyond
+    the span join.
+    """
+    spans = (
+        dedup_substring(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("spans")
+        )
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", toks_col().alias("toks")
+    )
+    j = docs.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    clean = F.expr(
+        "filter(toks, (x, i) -> "
+        "NOT exists(spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").alias("n_before"),
+        F.size(clean).alias("n_after"),
+        F.array_join(clean, " ").alias("clean_text"),
+    )
+
+
+DEDUP_SUBSTRING_CLEAN_SQL = f"""
+WITH spans AS (
+  SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS sp
+  FROM ({DEDUP_SUBSTRING_SQL}) GROUP BY doc_id
+),
+t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+cleaned AS (
+  SELECT t.doc_id, t.toks,
+         list_filter(t.toks, (x, i) ->
+           len(list_filter(COALESCE(s.sp, []),
+                           q -> i >= q.s AND i <= q.e)) = 0) AS clean
+  FROM t LEFT JOIN spans s ON s.doc_id = t.doc_id
+)
+SELECT doc_id,
+       len(toks) AS n_before,
+       len(clean) AS n_after,
+       -- Spark array_join of an empty array is ''; DuckDB returns NULL
+       COALESCE(array_to_string(clean, ' '), '') AS clean_text
+FROM cleaned
+"""

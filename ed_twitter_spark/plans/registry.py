@@ -461,6 +461,9 @@ def _register_corpus_ops():
     register("dedup_simhash_pairs", dd.DEDUP_SIMHASH_PAIRS_SQL)(dd.dedup_simhash_pairs)
     register("dedup_clusters", dd.DEDUP_CLUSTERS_SQL)(dd.dedup_clusters)
     register("dedup_substring", dd.DEDUP_SUBSTRING_SQL)(dd.dedup_substring)
+    register("dedup_substring_clean", dd.DEDUP_SUBSTRING_CLEAN_SQL)(
+        dd.dedup_substring_clean
+    )
 
     from ed_twitter_spark.operators import sketches as skt
 

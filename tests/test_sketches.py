@@ -142,3 +142,29 @@ def test_substring_spans_structural(spark):
         # span's first window must sit more than K past it, else merged
         assert (starts[1:] - (ends[:-1] - SUBSTR_K + 1) > SUBSTR_K).all()
         assert (starts[1:] > ends[:-1]).all()
+
+
+def test_substring_clean_matches_spans(spark, docs):
+    from ed_twitter_spark.operators.dedup import dedup_substring_clean
+
+    spans = dedup_substring(spark, SF_SMOKE).toPandas()
+    got = dedup_substring_clean(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    by_doc = {
+        d: [(r.span_start, r.span_end) for r in g.itertuples()]
+        for d, g in spans.groupby("doc_id")
+    }
+    for d, text in docs.items():
+        toks = re.split(r"\s+", text)
+        cover = by_doc.get(d, [])
+        keep = [
+            t
+            for i, t in enumerate(toks, 1)
+            if not any(s <= i <= e for s, e in cover)
+        ]
+        row = got.loc[d]
+        assert row.n_before == len(toks)
+        assert row.n_after == len(keep)
+        assert row.clean_text == " ".join(keep)
+    # removal is real on this corpus: some doc lost tokens, none gained
+    assert (got.n_after <= got.n_before).all()
+    assert (got.n_after < got.n_before).any()
