@@ -732,6 +732,14 @@ def _register_sessions():
     register("stream_distinct", ssketch.STREAM_DISTINCT_SQL)(
         ssketch.stream_distinct_query
     )
+    # additive counterpart: CMS counters as streaming state; the oracle is
+    # the BATCH heavy-hitters SQL verbatim — streamed counters summed
+    # across micro-batches must equal the batch sketch
+    from ed_twitter_spark.operators.sketches import heavy_hitters_sql
+
+    register("stream_heavy_hitters", heavy_hitters_sql())(
+        ssketch.stream_heavy_hitters_query
+    )
 
 
 _register_sessions()

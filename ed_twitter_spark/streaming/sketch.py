@@ -133,3 +133,105 @@ SELECT {_HLL_ALPHA_M2} / (s_present + ({HLL_M} - present)) AS hll_raw_estimate,
        ({HLL_M} - present) AS zero_registers
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming Count-Min: additive counters as streaming state
+# ---------------------------------------------------------------------------
+
+
+def cms_cell_stream(docs_stream: DataFrame) -> DataFrame:
+    """documents stream → live (depth, bucket, cnt) Count-Min counters.
+
+    The HLL above demonstrates max-merge state; this is the ADDITIVE
+    sketch family — streaming aggregation state of DEPTH×WIDTH int64
+    counters, merged by plain summation across micro-batches (the same
+    property that makes CMS map-side combinable in batch). The stream
+    sketches the RAW token stream (count per cell), which is the
+    production shape — no vocabulary arm exists on a stream.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from ed_twitter_spark.functions.hashing import toks_col
+    from ed_twitter_spark.operators.sketches import CMS_DEPTH, _cms_bucket_col
+
+    toks = docs_stream.select(F.explode(toks_col()).alias("token"))
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[_cms_bucket_col(d) for d in range(CMS_DEPTH)])
+        ).alias("depth", "bucket")
+    )
+    return cells.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def run_cms_once(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 2,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Bounded replay of the staged document stream through the counter
+    aggregation; returns the final (depth, bucket, cnt) table."""
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="stream_cms_ckpt_")
+    query_name = query_name or f"stream_cms_{uuid.uuid4().hex[:8]}"
+    static = spark.read.parquet(src_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    cells = cms_cell_stream(reader.parquet(src_dir))
+    q = (
+        cells.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming CMS replay '{query_name}' did not complete within 300s"
+        )
+    return spark.table(query_name)
+
+
+def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the streamed counter table joined with the batch
+    vocabulary lookup — output identical to ``heavy_hitters_cms`` (the
+    estimate arm comes from streaming state; the exact arm stays the
+    batch verification side), proving counter state merged across
+    micro-batches equals the batch sketch.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ed_twitter_spark.operators.sketches import (
+        CMS_DEPTH,
+        _cms_bucket_col,
+        _tokens,
+    )
+
+    src = os.path.join(
+        tempfile.gettempdir(), f"stream_cms_src_{uuid.uuid4().hex[:12]}"
+    )
+    stage_documents(spark, sf_dir, src)
+    sketch = run_cms_once(spark, src)
+    vocab = (
+        _tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    lookup = vocab.select(
+        "token",
+        "exact_count",
+        F.posexplode(
+            F.array(*[_cms_bucket_col(d) for d in range(CMS_DEPTH)])
+        ).alias("depth", "bucket"),
+    )
+    return (
+        lookup.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .select("token", "est_count", "exact_count")
+    )

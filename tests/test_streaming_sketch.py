@@ -63,3 +63,31 @@ def test_stream_incremental_restart(spark, tmp_path):
     want = _batch_registers(spark, src)
     as_set = lambda df: {(r["register"], r["m"]) for r in df.collect()}
     assert as_set(got) == as_set(want)
+
+
+def test_stream_cms_counters_equal_batch(spark, tmp_path):
+    """Counter (sum-merge) state across micro-batches equals one batch
+    aggregation of the same cells — the additive analogue of the HLL
+    max-merge test above."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.sketches import CMS_DEPTH, _cms_bucket_col
+
+    src = ssk.stage_documents(spark, SF_SMOKE, str(tmp_path / "src"), n_files=4)
+    got = ssk.run_cms_once(
+        spark, src, checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    toks = spark.read.parquet(src).select(
+        F.explode(F.split("text", r"\s+")).alias("token")
+    )
+    want = (
+        toks.select(
+            F.posexplode(
+                F.array(*[_cms_bucket_col(d) for d in range(CMS_DEPTH)])
+            ).alias("depth", "bucket")
+        )
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    as_set = lambda df: {(r["depth"], r["bucket"], r["cnt"]) for r in df.collect()}
+    assert as_set(got) == as_set(want)
