@@ -703,6 +703,11 @@ def _register_sessions():
 
     register("event_sessions", EVENT_SESSIONS_SQL)(event_sessions)
 
+    from ed_twitter_spark.operators import funnels as fnl
+
+    register("event_funnel", fnl.EVENT_FUNNEL_SQL)(fnl.event_funnel)
+    register("event_retention", fnl.EVENT_RETENTION_SQL)(fnl.event_retention)
+
     # streaming twin: applyInPandasWithState per-user session state machine,
     # bounded single-batch replay so the emitted (append-mode) set is
     # deterministic and oracle-checkable (sessionize.py module docstring)
