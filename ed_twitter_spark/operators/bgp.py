@@ -147,6 +147,8 @@ def bgp_query(
     filters: list[str] | None = None,
     optional: list[tuple[str, str, str]] | None = None,
     optional_filters: list[str] | None = None,
+    minus: list[tuple[str, str, str]] | None = None,
+    minus_filters: list[str] | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns; return DISTINCT bindings.
 
@@ -168,6 +170,12 @@ def bgp_query(
       exclusive variables come back NULL where the group found no match.
       The optional group must share ≥1 variable with the required group
       (checked), so the left join is an equi-join, never a cross.
+    * ``minus`` / ``minus_filters`` — SPARQL MINUS: solutions whose
+      bindings on the SHARED variables also satisfy the minus group are
+      removed — compiled to a left anti-join on those variables. The
+      spec's quirk is preserved: a minus group sharing NO variable with
+      the required group removes nothing (every solution is trivially
+      incompatible), rather than erroring like a disconnected join.
     """
     acc, bound = _compile_group(triples, patterns, filters)
 
@@ -188,6 +196,12 @@ def bgp_query(
             )
         acc = acc.join(opt, on=shared, how="left")
         bound |= opt_bound
+
+    if minus:
+        mg, mg_bound = _compile_group(triples, minus, minus_filters)
+        shared = sorted(mg_bound & bound)
+        if shared:  # disjoint MINUS removes nothing (SPARQL 1.1 §8.3.3)
+            acc = acc.join(mg.select(*shared).distinct(), on=shared, how="left_anti")
 
     out = select if select is not None else all_vars
     missing = [v for v in out if v not in bound]
@@ -437,5 +451,71 @@ UNION
 SELECT c2.o AS c, b2.o AS e
 FROM trip b2 JOIN trip c2 ON c2.p = 'in_conv' AND c2.s = b2.s
 WHERE b2.p LIKE 'mentioned_in_%'
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gate query: MINUS (the complement of the OPTIONAL demo)
+# ---------------------------------------------------------------------------
+
+# "(conversation, entity) pairs the user mentioned where the entity did
+# NOT also surface inside any tool call of that conversation" — the
+# negation consumers actually run (find the un-verified claims).
+BGP_MINUS_GROUP = [
+    ("?m2", "?pt", "?e"),
+    ("?m2", "in_conv", "?c"),
+]
+
+
+def kg_bgp_minus(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    return bgp_query(
+        kg_triple_store(typed).localCheckpoint(),
+        BGP_OPT_REQUIRED,
+        select=["c", "e"],
+        minus=BGP_MINUS_GROUP,
+        minus_filters=BGP_OPT_FILTERS,
+    )
+
+
+def kg_bgp_minus_oracle_sql() -> str:
+    """DuckDB twin: the required self-join with a NOT EXISTS over the
+    hand-compiled minus group (filter scoped inside, as in the braces)."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.graph import _kg_edges_named_sql
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL}),
+typed AS (
+  SELECT k.subj,
+         CASE WHEN t.tool IS NOT NULL THEN 'mentioned_in_' || t.tool
+              ELSE 'mentioned_by_' || t.role END AS pred,
+         k.obj_vertex, k.conv_id
+  FROM kge k JOIN tr t ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+  WHERE k.obj_vertex IS NOT NULL
+),
+trip AS (
+  SELECT subj AS s, pred AS p, obj_vertex AS o FROM typed
+  UNION ALL
+  SELECT subj AS s, 'in_conv' AS p, conv_id AS o FROM typed
+  UNION ALL
+  SELECT DISTINCT conv_id AS s, 'mentions' AS p, obj_vertex AS o FROM typed
+)
+SELECT DISTINCT r2.o AS c, r1.o AS e
+FROM trip r1
+JOIN trip r2 ON r2.p = 'in_conv' AND r2.s = r1.s
+WHERE r1.p = 'mentioned_by_user'
+  AND NOT EXISTS (
+    SELECT 1 FROM trip o1 JOIN trip o2 ON o2.p = 'in_conv' AND o2.s = o1.s
+    WHERE o1.p LIKE 'mentioned_in_%' AND o1.o = r1.o AND o2.o = r2.o
+  )
 """
     )

@@ -427,6 +427,7 @@ def _register_graph():
         bgp_ops.kg_bgp_optional
     )
     register("kg_bgp_union", bgp_ops.kg_bgp_union_oracle_sql())(bgp_ops.kg_bgp_union)
+    register("kg_bgp_minus", bgp_ops.kg_bgp_minus_oracle_sql())(bgp_ops.kg_bgp_minus)
 
 
 _register_graph()

@@ -513,6 +513,38 @@ def test_bgp_union_rejects_bad_args(tiny_triples):
         )
 
 
+def test_bgp_minus_semantics(tiny_triples):
+    from ed_twitter_spark.operators.bgp import (
+        BGP_MINUS_GROUP,
+        BGP_OPT_FILTERS,
+        BGP_OPT_REQUIRED,
+        bgp_query,
+    )
+
+    got = bgp_query(
+        tiny_triples,
+        BGP_OPT_REQUIRED,
+        select=["c", "e"],
+        minus=BGP_MINUS_GROUP,
+        minus_filters=BGP_OPT_FILTERS,
+    ).collect()
+    # E1 has a same-conv search mention -> removed; E2's is in c2 -> kept
+    assert {(r["c"], r["e"]) for r in got} == {("c1", "e:E2")}
+
+
+def test_bgp_minus_disjoint_removes_nothing(tiny_triples):
+    # SPARQL 1.1 §8.3.3: MINUS with no shared variable keeps every row
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    got = bgp_query(
+        tiny_triples,
+        [("?m", "mentioned_by_user", "?e")],
+        select=["e"],
+        minus=[("?x", "in_conv", "?y")],
+    ).collect()
+    assert {r["e"] for r in got} == {"e:E1", "e:E2"}
+
+
 def test_bgp_optional_rejects_disconnected_group(tiny_triples):
     from ed_twitter_spark.operators.bgp import bgp_query
 
