@@ -519,3 +519,86 @@ WHERE r1.p = 'mentioned_by_user'
   )
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates: SELECT ?g (COUNT(DISTINCT ?v) AS ...) ... GROUP BY ?g
+# ---------------------------------------------------------------------------
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    group_by: list[str],
+    count_distinct: str,
+    alias: str = "n",
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 aggregation in its safe DISTINCT form:
+    ``SELECT ?g (COUNT(DISTINCT ?v) AS n) { ... } GROUP BY ?g``.
+
+    Only COUNT(DISTINCT …) is offered: DISTINCT counting depends only on
+    the solution SET, which the equi-join compilation reproduces exactly.
+    Plain COUNT aggregates SPARQL's solution MULTISET, whose
+    multiplicities this compiler does not track (joins may duplicate a
+    solution wherever the spec would not) — offering it would be subtly
+    wrong, so it raises instead via this restricted signature. At scale
+    the aggregation is one map-side-combined exchange keyed by the
+    grouping variables, on top of the same join plan `bgp_query` audits.
+    """
+    acc, bound = _compile_group(triples, patterns, filters)
+    missing = [v for v in [*group_by, count_distinct] if v not in bound]
+    if missing:
+        raise ValueError(f"aggregate variables not bound by any pattern: {missing}")
+    return acc.groupBy(*group_by).agg(
+        F.countDistinct(count_distinct).alias(alias)
+    )
+
+
+def kg_bgp_aggregate(spark, sf_dir: str) -> DataFrame:
+    """Gate query: distinct user-mentioned entities per conversation."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    return bgp_aggregate(
+        kg_triple_store(typed).localCheckpoint(),
+        BGP_OPT_REQUIRED,
+        group_by=["c"],
+        count_distinct="e",
+        alias="n_entities",
+    )
+
+
+def kg_bgp_aggregate_oracle_sql() -> str:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.graph import _kg_edges_named_sql
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL}),
+typed AS (
+  SELECT k.subj,
+         CASE WHEN t.tool IS NOT NULL THEN 'mentioned_in_' || t.tool
+              ELSE 'mentioned_by_' || t.role END AS pred,
+         k.obj_vertex, k.conv_id
+  FROM kge k JOIN tr t ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+  WHERE k.obj_vertex IS NOT NULL
+),
+trip AS (
+  SELECT subj AS s, pred AS p, obj_vertex AS o FROM typed
+  UNION ALL
+  SELECT subj AS s, 'in_conv' AS p, conv_id AS o FROM typed
+  UNION ALL
+  SELECT DISTINCT conv_id AS s, 'mentions' AS p, obj_vertex AS o FROM typed
+)
+SELECT r2.o AS c, CAST(COUNT(DISTINCT r1.o) AS BIGINT) AS n_entities
+FROM trip r1
+JOIN trip r2 ON r2.p = 'in_conv' AND r2.s = r1.s
+WHERE r1.p = 'mentioned_by_user'
+GROUP BY r2.o
+"""
+    )

@@ -513,6 +513,28 @@ def test_bgp_union_rejects_bad_args(tiny_triples):
         )
 
 
+def test_bgp_aggregate_count_distinct(tiny_triples):
+    from ed_twitter_spark.operators.bgp import BGP_OPT_REQUIRED, bgp_aggregate
+
+    got = bgp_aggregate(
+        tiny_triples,
+        BGP_OPT_REQUIRED,
+        group_by=["c"],
+        count_distinct="e",
+        alias="n_entities",
+    ).collect()
+    # c1 has user mentions of E1 and E2; duplicates of the same binding
+    # must not inflate the DISTINCT count
+    assert {(r["c"], r["n_entities"]) for r in got} == {("c1", 2)}
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_aggregate(
+            tiny_triples,
+            [("?m", "in_conv", "?c")],
+            group_by=["c"],
+            count_distinct="zz",
+        )
+
+
 def test_bgp_minus_semantics(tiny_triples):
     from ed_twitter_spark.operators.bgp import (
         BGP_MINUS_GROUP,
