@@ -23,6 +23,7 @@ side of the streaming surface with bounded state.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -112,7 +113,11 @@ def stream_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"stream_hll_src_{uuid.uuid4().hex[:12]}"
     )
     stage_documents(spark, sf_dir, src)
-    regs = run_distinct_once(spark, src)
+    try:
+        regs = run_distinct_once(spark, src)
+    finally:
+        # the memory sink holds the result; the staged source is dead
+        shutil.rmtree(src, ignore_errors=True)
     return hll_estimate(regs)
 
 
@@ -216,7 +221,10 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"stream_cms_src_{uuid.uuid4().hex[:12]}"
     )
     stage_documents(spark, sf_dir, src)
-    sketch = run_cms_once(spark, src)
+    try:
+        sketch = run_cms_once(spark, src)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
     vocab = (
         _tokens(spark, sf_dir)
         .groupBy("token")

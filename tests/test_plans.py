@@ -434,3 +434,41 @@ def test_second_wave_plans_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftOuter" in plan
+
+
+def test_bgp_minus_and_aggregate_plans(spark):
+    """MINUS compiles to a left anti equi-join; the aggregate is a hash
+    aggregation over the audited join plan — no cartesian anywhere."""
+    from ed_twitter_spark.operators.bgp import (
+        BGP_MINUS_GROUP,
+        BGP_OPT_FILTERS,
+        BGP_OPT_REQUIRED,
+        bgp_aggregate,
+        bgp_query,
+    )
+
+    triples = spark.createDataFrame(
+        [("m1", "mentioned_by_user", "e:E1"), ("m1", "in_conv", "c1"),
+         ("m2", "mentioned_in_search", "e:E1"), ("m2", "in_conv", "c1")],
+        "s string, p string, o string",
+    )
+    plan = plan_of(
+        bgp_query(
+            triples,
+            BGP_OPT_REQUIRED,
+            select=["c", "e"],
+            minus=BGP_MINUS_GROUP,
+            minus_filters=BGP_OPT_FILTERS,
+        )
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = plan_of(
+        bgp_aggregate(
+            triples, BGP_OPT_REQUIRED, group_by=["c"], count_distinct="e"
+        )
+    )
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "CartesianProduct" not in plan
