@@ -141,7 +141,7 @@ def dataset_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DATASET_PACK_SQL = f"""
+_PACK_CTES = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, source, len({TOKS_SQL}) AS n_tokens FROM documents
 ),
@@ -168,7 +168,85 @@ totals AS (
          CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
   FROM packed GROUP BY source, bin_idx
 )
+"""
+
+DATASET_PACK_SQL = (
+    _PACK_CTES
+    + """
 SELECT p.source, p.doc_id, CAST(p.n_tokens AS INT) AS n_tokens,
        p.bin_idx, t.bin_docs, t.bin_tokens
 FROM packed p JOIN totals t ON t.source = p.source AND t.bin_idx = p.bin_idx
 """
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global interleave of packed bins
+# ---------------------------------------------------------------------------
+
+_ILV_BUCKETS = 16  # one per first md5 hex digit of the ordering key
+
+
+def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(global_idx, source, bin_idx, bin_tokens) — the packed training
+    sequences in their final GLOBAL order: md5(source ':' bin_idx), i.e.
+    a deterministic shuffle that interleaves sources (no RNG state, same
+    order on every engine and every rerun — the reproducibility property
+    training-data orders need for resumable jobs).
+
+    The instructive part is HOW the global index is assigned at scale: a
+    naive ``row_number() OVER (ORDER BY …)`` moves every row to ONE
+    partition. Instead the ordering key's first hex digit splits the
+    bins into 16 ordered buckets; each bucket numbers its rows locally
+    (a partitioned window), and the bucket row-counts — 16 numbers —
+    come to the driver once to compute cumulative offsets:
+    global_idx = offset[bucket] + local rank. Same two-phase scheme as
+    a range-partitioned sort; the only driver state is the 16-row count
+    vector (the ``n = nodes.count()`` budget class).
+    """
+    from pyspark.sql import Window
+
+    bins = (
+        dataset_pack(spark, sf_dir)
+        .select("source", "bin_idx", "bin_tokens")
+        .distinct()
+    )
+    key = F.md5(F.concat_ws(":", "source", F.col("bin_idx").cast("string")))
+    b = bins.withColumn("okey", key).withColumn(
+        "bucket", F.conv(F.substring("okey", 1, 1), 16, 10).cast("int")
+    )
+    w = Window.partitionBy("bucket").orderBy("okey", "source", "bin_idx")
+    ranked = b.withColumn("rn", F.row_number().over(w))
+    counts = {
+        r["bucket"]: r["n"]
+        for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for bucket in range(_ILV_BUCKETS):
+        offsets[bucket] = acc
+        acc += counts.get(bucket, 0)
+    off = F.create_map(
+        *[x for bucket, o in sorted(offsets.items()) for x in (F.lit(bucket), F.lit(o))]
+    )
+    return ranked.select(
+        (off[F.col("bucket")] + F.col("rn")).cast("long").alias("global_idx"),
+        "source",
+        "bin_idx",
+        "bin_tokens",
+    )
+
+
+DATASET_INTERLEAVE_SQL = (
+    _PACK_CTES.rstrip()
+    + """,
+bins AS (
+  SELECT DISTINCT p.source, p.bin_idx, t.bin_tokens
+  FROM packed p JOIN totals t ON t.source = p.source AND t.bin_idx = p.bin_idx
+)
+SELECT row_number() OVER (
+         ORDER BY md5(source || ':' || CAST(bin_idx AS VARCHAR)), source, bin_idx
+       ) AS global_idx,
+       source, bin_idx, bin_tokens
+FROM bins
+"""
+)

@@ -478,6 +478,7 @@ def _register_corpus_ops():
 
     register("chunk_documents", pk.CHUNK_DOCUMENTS_SQL)(pk.chunk_documents)
     register("dataset_pack", pk.DATASET_PACK_SQL)(pk.dataset_pack)
+    register("dataset_interleave", pk.DATASET_INTERLEAVE_SQL)(pk.dataset_interleave)
 
     from ed_twitter_spark.operators import corpus_pipeline as cpl
 

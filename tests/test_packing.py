@@ -92,3 +92,28 @@ def test_pack_bin_invariants(spark):
             bin_total = g[g.bin_idx == k].bin_tokens.iloc[0]
             first_next = g[g.bin_idx == k + 1].n_tokens.iloc[0]
             assert bin_total + first_next > pk.PACK_BUDGET
+
+
+def test_interleave_is_a_deterministic_permutation(spark):
+    import hashlib
+
+    got = pk.dataset_interleave(spark, SF_CORRECT).toPandas()
+    n = len(got)
+    # a permutation of 1..n
+    assert sorted(got.global_idx) == list(range(1, n + 1))
+    # the order IS the md5 order (two-phase bucket/offset scheme == naive
+    # global sort)
+    got = got.sort_values("global_idx")
+    keys = [
+        hashlib.md5(f"{r.source}:{r.bin_idx}".encode()).hexdigest()
+        for r in got.itertuples()
+    ]
+    assert keys == sorted(keys)
+    # and it actually interleaves: the first 20 rows span many sources
+    assert got.head(20).source.nunique() > 5
+
+
+def test_interleave_rerun_identical(spark):
+    a = pk.dataset_interleave(spark, SF_CORRECT).toPandas().sort_values("global_idx")
+    b = pk.dataset_interleave(spark, SF_CORRECT).toPandas().sort_values("global_idx")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
