@@ -602,3 +602,353 @@ WHERE r1.p = 'mentioned_by_user'
 GROUP BY r2.o
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# shared oracle scaffold for the extensions below
+# ---------------------------------------------------------------------------
+
+
+def _trip_sql() -> str:
+    """The typed-edge → (s,p,o) triple-store CTE block every BGP oracle
+    shares (``kge`` + transcripts join + the three-projection union),
+    mirroring :func:`kg_triple_store` over :func:`kg_typed_edges`."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.graph import _kg_edges_named_sql
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL}),
+typed AS (
+  SELECT k.subj,
+         CASE WHEN t.tool IS NOT NULL THEN 'mentioned_in_' || t.tool
+              ELSE 'mentioned_by_' || t.role END AS pred,
+         k.obj_vertex, k.conv_id
+  FROM kge k JOIN tr t ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+  WHERE k.obj_vertex IS NOT NULL
+),
+trip AS MATERIALIZED (
+  SELECT subj AS s, pred AS p, obj_vertex AS o FROM typed
+  UNION ALL
+  SELECT subj AS s, 'in_conv' AS p, conv_id AS o FROM typed
+  UNION ALL
+  SELECT DISTINCT conv_id AS s, 'mentions' AS p, obj_vertex AS o FROM typed
+)"""
+    )
+
+
+def _gate_triples(spark, sf_dir: str) -> DataFrame:
+    """The checkpointed triple store every BGP gate query scans."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    return kg_triple_store(typed).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT: BGP match → new triples (the KG *rewriting* surface)
+# ---------------------------------------------------------------------------
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT { template } WHERE { patterns FILTER ... }``.
+
+    Matches the BGP exactly like :func:`bgp_query`, then instantiates
+    every template triple per solution and returns the DISTINCT (s, p, o)
+    set — CONSTRUCT output is an RDF *graph*, i.e. a triple set, so the
+    final distinct is the spec, not a convenience. Template terms are
+    variables (must be bound by the patterns) or constants (typically the
+    new predicate being minted). Multiple template triples compile to
+    column re-selections of ONE matched solution frame — the join plan is
+    paid once, the per-triple projections are free, and the single final
+    distinct is one exchange keyed by (s, p, o).
+
+    This is how derived edges enter the KG at scale: match a pattern,
+    mint a predicate, append the constructed graph to the triple store
+    (cf. SPARQL 1.1 §10.2; the reference has no query layer at all —
+    SURVEY §2.11's consumer-surface family).
+    """
+    acc, bound = _compile_group(triples, patterns, filters)
+    parts: list[DataFrame] = []
+    for pat in template:
+        cols = []
+        for pos, term in zip(_POS, pat):
+            if _is_var(term):
+                v = term[1:]
+                if v not in bound:
+                    raise ValueError(f"template variable ?{v} not bound")
+                cols.append(F.col(v).alias(pos))
+            else:
+                cols.append(F.lit(term).alias(pos))
+        parts.append(acc.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+# Gate query: mint the symmetric entity co-mention relation — the classic
+# CONSTRUCT (derive an entity-entity edge from two conv-entity hops).
+BGP_CONSTRUCT_PATTERNS = [
+    ("?c", "mentions", "?e1"),
+    ("?c", "mentions", "?e2"),
+]
+BGP_CONSTRUCT_FILTERS = ["e1 < e2"]
+BGP_CONSTRUCT_TEMPLATE = [
+    ("?e1", "co_mentioned_with", "?e2"),
+    ("?e2", "co_mentioned_with", "?e1"),
+]
+
+
+def kg_bgp_construct(spark, sf_dir: str) -> DataFrame:
+    return bgp_construct(
+        _gate_triples(spark, sf_dir),
+        BGP_CONSTRUCT_PATTERNS,
+        BGP_CONSTRUCT_TEMPLATE,
+        filters=BGP_CONSTRUCT_FILTERS,
+    )
+
+
+def kg_bgp_construct_oracle_sql() -> str:
+    """DuckDB twin: the pattern self-join instantiated for both template
+    directions, UNION (set) for the CONSTRUCT graph semantics."""
+    return (
+        _trip_sql()
+        + """
+SELECT t1.o AS s, 'co_mentioned_with' AS p, t2.o AS o
+FROM trip t1 JOIN trip t2 ON t2.p = 'mentions' AND t2.s = t1.s
+WHERE t1.p = 'mentions' AND t1.o < t2.o
+UNION
+SELECT t2.o AS s, 'co_mentioned_with' AS p, t1.o AS o
+FROM trip t1 JOIN trip t2 ON t2.p = 'mentions' AND t2.s = t1.s
+WHERE t1.p = 'mentions' AND t1.o < t2.o
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Property paths: sequence / inverse / reflexive-transitive closure
+# ---------------------------------------------------------------------------
+
+PATH_MAX_HOPS = 3  # closure iteration bound for the gate query
+
+
+def _path_atom(triples: DataFrame, atom: str) -> DataFrame:
+    """One path atom → its (src, dst) pair set. ``p`` walks a predicate
+    forward, ``^p`` walks it inverted (SPARQL 1.1 §9.1 ``iri`` / ``^elt``).
+    Each atom is a pushed-filter scan of the triple store — constant
+    predicate, two-column projection."""
+    if atom.startswith("^"):
+        return triples.where(F.col("p") == atom[1:]).select(
+            F.col("o").alias("src"), F.col("s").alias("dst")
+        )
+    return triples.where(F.col("p") == atom).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+
+
+def path_edges(triples: DataFrame, seq: list[str]) -> DataFrame:
+    """A sequence path ``elt1/elt2/...`` as one DISTINCT (src, dst) edge
+    set: fold the atoms with equi-joins on the shared node. The distinct
+    matters twice — SPARQL path semantics are reachability (set, not
+    bag), and it collapses the fan-out BEFORE the closure loop squares
+    it. At scale each fold is one shuffle on the chaining node; AQE
+    broadcasts whichever atom scan is small."""
+    if not seq:
+        raise ValueError("empty path sequence")
+    acc = _path_atom(triples, seq[0])
+    for atom in seq[1:]:
+        nxt = _path_atom(triples, atom)
+        acc = (
+            acc.alias("a")
+            .join(nxt.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+    return acc.distinct()
+
+
+def bgp_path_closure(
+    triples: DataFrame,
+    seq: list[str],
+    start: DataFrame,
+    max_hops: int = PATH_MAX_HOPS,
+) -> DataFrame:
+    """``start (elt1/elt2/...)* ?x`` — reflexive-transitive closure of a
+    sequence path from a seed node set, level-synchronous BFS like
+    :func:`~ed_twitter_spark.operators.graph.kg_bfs_hops`.
+
+    Returns (x, hops): every node reachable within ``max_hops``
+    applications of the path, with the MINIMUM application count (0 for
+    the seeds themselves — SPARQL ``*``; filter ``hops >= 1`` for ``+``
+    over an irreflexive step relation). ``hops`` is an engine extension:
+    SPARQL exposes only reachability, but the level at which BFS first
+    reaches a node is free to emit and is what consumers ask ("how far
+    is this conversation from the hub?").
+
+    Scale shape: the step edge set is built ONCE and persisted; each
+    level is one join frontier ⋈ edges + one anti-join against the
+    visited set. A 100-TB triple store closure would persist `edges`
+    partitioned by src and reuse that partitioning every level — the
+    single persist here is the local-mode equivalent. The iteration
+    bound is explicit (bounded closures are the production-safe form;
+    unbounded fixpoints get the driver count-probe loop used by
+    connected components in `operators/canonicalize.py`).
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(path_edges(triples, seq))
+    visited = start.select(F.col("x"), F.lit(0).alias("hops"))
+    frontier = start.select("x")
+    for h in range(1, max_hops + 1):
+        nxt = persist_tracked(
+            frontier.withColumnRenamed("x", "src")
+            .join(e, on="src")
+            .select(F.col("dst").alias("x"))
+            .distinct()
+            .join(visited.select("x"), on="x", how="left_anti")
+        )
+        visited = visited.unionByName(nxt.select("x", F.lit(h).alias("hops")))
+        frontier = nxt
+    return visited.select("x", F.col("hops").cast("int").alias("hops"))
+
+
+# Gate query: "conversations within PATH_MAX_HOPS of the hub conversation
+# via shared entities" — the path (mentions/^mentions)* seeded at the
+# conversation with the most distinct mentioned entities (tie → smaller
+# id). Exercises sequence + inverse atoms + the closure loop end-to-end.
+BGP_PATH_SEQ = ["mentions", "^mentions"]
+
+
+def kg_bgp_path(spark, sf_dir: str) -> DataFrame:
+    trip = _gate_triples(spark, sf_dir)
+    hub = (
+        trip.where(F.col("p") == "mentions")
+        .groupBy("s")
+        .agg(F.countDistinct("o").alias("n"))
+        .orderBy(F.desc("n"), F.asc("s"))
+        .limit(1)
+        .select(F.col("s").alias("x"))
+    )
+    return bgp_path_closure(trip, BGP_PATH_SEQ, hub)
+
+
+def kg_bgp_path_oracle_sql() -> str:
+    """DuckDB twin: hub CTE + the sequence-path edge set + unrolled BFS
+    levels (same shape as the kg_bfs_hops oracle)."""
+    levels = ["d0 AS MATERIALIZED (SELECT x, 0 AS hops FROM hub)"]
+    union = ["SELECT x, hops FROM d0"]
+    seen = "SELECT x FROM d0"
+    for h in range(1, PATH_MAX_HOPS + 1):
+        levels.append(
+            f"""d{h} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS x, {h} AS hops
+  FROM pedges e JOIN d{h - 1} f ON f.x = e.src
+  WHERE e.dst NOT IN ({seen})
+)"""
+        )
+        union.append(f"SELECT x, hops FROM d{h}")
+        seen += f" UNION ALL SELECT x FROM d{h}"
+    return (
+        _trip_sql()
+        + f""",
+pedges AS MATERIALIZED (
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM trip a JOIN trip b ON b.p = 'mentions' AND b.o = a.o
+  WHERE a.p = 'mentions'
+),
+hub AS (
+  SELECT s AS x FROM trip WHERE p = 'mentions'
+  GROUP BY s ORDER BY COUNT(DISTINCT o) DESC, s LIMIT 1
+),
+{",".join(levels)}
+SELECT x, CAST(hops AS INTEGER) AS hops
+FROM ({" UNION ALL ".join(union)}) levels
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# RDFS forward chaining: subPropertyOf saturation (rdfs5 + rdfs7)
+# ---------------------------------------------------------------------------
+
+# The predicate ontology for this KG's typed link facts. Tiny by nature
+# (ontologies are schema, not data): the two acquisition channels roll up
+# through intermediate properties to one root `mentioned`.
+RDFS_SUBPROPERTY = [
+    ("mentioned_by_user", "mentioned_directly"),
+    ("mentioned_by_assistant", "mentioned_directly"),
+    ("mentioned_in_search", "mentioned_via_tool"),
+    ("mentioned_directly", "mentioned"),
+    ("mentioned_via_tool", "mentioned"),
+]
+RDFS_CLOSURE_ITERS = 2  # covers hierarchy depth ≤ 2^ITERS+... (doubling); 2 is ample for depth-2
+
+
+def rdfs_subproperty_closure(spark) -> DataFrame:
+    """Transitive closure of the subPropertyOf hierarchy (rdfs5), computed
+    in-engine by iterated self-join with path doubling: after k rounds
+    every path of length ≤ 2^k is present, so RDFS_CLOSURE_ITERS=2 covers
+    depth-4 hierarchies (ours is depth 2). Ontology tables are inherently
+    tiny — the self-joins broadcast — but the closure stays declarative so
+    the same code saturates a million-property ontology on a cluster."""
+    c = spark.createDataFrame(RDFS_SUBPROPERTY, "sub string, sup string")
+    for _ in range(RDFS_CLOSURE_ITERS):
+        step = (
+            c.alias("a")
+            .join(c.alias("b"), F.col("a.sup") == F.col("b.sub"))
+            .select(F.col("a.sub").alias("sub"), F.col("b.sup").alias("sup"))
+        )
+        c = c.unionByName(step).distinct()
+    return c
+
+
+def rdfs_infer(triples: DataFrame, closure: DataFrame) -> DataFrame:
+    """rdfs7: (p subPropertyOf q) ∧ (s p o) → (s q o). Returns the DISTINCT
+    *inferred* triples (the delta forward chaining adds to the store).
+    One broadcast hash join — the fact table streams, the closure ships
+    to every executor, no shuffle of the big side — then one distinct
+    keyed (s, p, o). This is the materialized-inference half of an RDFS
+    reasoner; saturating the store is `triples ∪ result`."""
+    return (
+        triples.join(
+            F.broadcast(closure), triples["p"] == closure["sub"], "inner"
+        )
+        .select("s", F.col("sup").alias("p"), "o")
+        .distinct()
+    )
+
+
+def kg_rdfs_inference(spark, sf_dir: str) -> DataFrame:
+    """Gate query: the full inferred-triple delta over the typed KG."""
+    return rdfs_infer(_gate_triples(spark, sf_dir), rdfs_subproperty_closure(spark))
+
+
+def kg_rdfs_inference_oracle_sql() -> str:
+    """DuckDB twin: WITH RECURSIVE closure over the VALUES ontology, then
+    the same join + DISTINCT."""
+    onto_rows = ", ".join(f"('{a}', '{b}')" for a, b in RDFS_SUBPROPERTY)
+    return (
+        _trip_sql()
+        + f""",
+onto(sub, sup) AS (VALUES {onto_rows}),
+closure AS (
+  WITH RECURSIVE r(sub, sup) AS (
+    SELECT sub, sup FROM onto
+    UNION
+    SELECT r.sub, o.sup FROM r JOIN onto o ON o.sub = r.sup
+  )
+  SELECT sub, sup FROM r
+)
+SELECT DISTINCT t.s AS s, c.sup AS p, t.o AS o
+FROM trip t JOIN closure c ON c.sub = t.p
+"""
+    )

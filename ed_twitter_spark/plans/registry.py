@@ -431,6 +431,13 @@ def _register_graph():
     register("kg_bgp_aggregate", bgp_ops.kg_bgp_aggregate_oracle_sql())(
         bgp_ops.kg_bgp_aggregate
     )
+    register("kg_bgp_construct", bgp_ops.kg_bgp_construct_oracle_sql())(
+        bgp_ops.kg_bgp_construct
+    )
+    register("kg_bgp_path", bgp_ops.kg_bgp_path_oracle_sql())(bgp_ops.kg_bgp_path)
+    register("kg_rdfs_inference", bgp_ops.kg_rdfs_inference_oracle_sql())(
+        bgp_ops.kg_rdfs_inference
+    )
 
 
 _register_graph()

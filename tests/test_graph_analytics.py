@@ -685,3 +685,92 @@ def test_bgp_randomized_vs_bruteforce(spark):
         assert got == want, (case, triples, pats)
         n_checked += 1
     assert n_checked >= 15  # the generator must mostly produce connected BGPs
+
+
+def test_bgp_construct_template_instantiation(tiny_triples):
+    from ed_twitter_spark.operators.bgp import (
+        BGP_CONSTRUCT_FILTERS,
+        BGP_CONSTRUCT_PATTERNS,
+        BGP_CONSTRUCT_TEMPLATE,
+        bgp_construct,
+    )
+
+    got = bgp_construct(
+        tiny_triples,
+        BGP_CONSTRUCT_PATTERNS,
+        BGP_CONSTRUCT_TEMPLATE,
+        filters=BGP_CONSTRUCT_FILTERS,
+    ).collect()
+    # only c1 mentions two entities; both template directions come back,
+    # and the constant predicate is minted
+    assert {(r["s"], r["p"], r["o"]) for r in got} == {
+        ("e:E1", "co_mentioned_with", "e:E2"),
+        ("e:E2", "co_mentioned_with", "e:E1"),
+    }
+
+
+def test_bgp_construct_rejects_unbound_template_var(tiny_triples):
+    import pytest as _pytest
+
+    from ed_twitter_spark.operators.bgp import bgp_construct
+
+    with _pytest.raises(ValueError, match="not bound"):
+        bgp_construct(
+            tiny_triples,
+            [("?c", "mentions", "?e")],
+            [("?zz", "p", "?e")],
+        )
+
+
+def test_path_edges_sequence_and_inverse(tiny_triples):
+    from ed_twitter_spark.operators.bgp import path_edges
+
+    # mentions/^mentions = conv -> conv via a shared entity (incl. self)
+    got = {
+        (r["src"], r["dst"])
+        for r in path_edges(tiny_triples, ["mentions", "^mentions"]).collect()
+    }
+    assert got == {("c1", "c1"), ("c1", "c2"), ("c2", "c1"), ("c2", "c2")}
+
+
+def test_bgp_path_closure_min_hops(spark):
+    from ed_twitter_spark.operators.bgp import bgp_path_closure
+
+    # chain a-p->b-p->c-p->d-p->e: hops bound at 3 stops before e
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("d", "p", "e")]
+    trip = spark.createDataFrame(rows, "s string, p string, o string")
+    start = spark.createDataFrame([("a",)], "x string")
+    got = {
+        (r["x"], r["hops"])
+        for r in bgp_path_closure(trip, ["p"], start, max_hops=3).collect()
+    }
+    assert got == {("a", 0), ("b", 1), ("c", 2), ("d", 3)}
+
+
+def test_rdfs_closure_and_inference(spark):
+    from ed_twitter_spark.operators.bgp import (
+        rdfs_infer,
+        rdfs_subproperty_closure,
+    )
+
+    closure = {
+        (r["sub"], r["sup"]) for r in rdfs_subproperty_closure(spark).collect()
+    }
+    # rdfs5: the transitive pairs through the intermediates must appear
+    assert ("mentioned_by_user", "mentioned") in closure
+    assert ("mentioned_in_search", "mentioned") in closure
+    assert len(closure) == 8
+
+    trip = spark.createDataFrame(
+        [("m1", "mentioned_by_user", "e:E1"), ("m1", "in_conv", "c1")],
+        "s string, p string, o string",
+    )
+    got = {
+        (r["s"], r["p"], r["o"])
+        for r in rdfs_infer(trip, rdfs_subproperty_closure(spark)).collect()
+    }
+    # rdfs7 fires only on ontology predicates; in_conv passes through untouched
+    assert got == {
+        ("m1", "mentioned_directly", "e:E1"),
+        ("m1", "mentioned", "e:E1"),
+    }
