@@ -438,6 +438,14 @@ def _register_graph():
     register("kg_rdfs_inference", bgp_ops.kg_rdfs_inference_oracle_sql())(
         bgp_ops.kg_rdfs_inference
     )
+    from ed_twitter_spark.operators import kg_embed as kg_embed_ops
+
+    register("kg_embed_transe", kg_embed_ops.kg_embed_transe_oracle_sql())(
+        kg_embed_ops.kg_embed_transe
+    )
+    register(
+        "kg_embed_transe_vectors", kg_embed_ops.kg_embed_transe_vectors_oracle_sql()
+    )(kg_embed_ops.kg_embed_transe_vectors)
 
 
 _register_graph()

@@ -515,3 +515,152 @@ def test_epoch_relatedness_gate(spark, tmp_path):
     assert maps[-1] > maps[0], f"epoch-{len(maps)-1} MAP {maps[-1]} !> init {maps[0]}"
     # and each epoch moved the needle monotonically on this fixture
     assert all(b >= a for a, b in zip(mrrs, mrrs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# TransE KG-embedding trainer (operators/kg_embed.py)
+# ---------------------------------------------------------------------------
+
+
+def test_transe_ent_index_matches_md5_order(spark):
+    from ed_twitter_spark.operators.kg_embed import _ent_index
+
+    import hashlib
+
+    names = [f"e:E{i}" for i in range(37)]
+    ents = spark.createDataFrame([(n,) for n in names], "ent string")
+    got = {r["ent"]: r["idx"] for r in _ent_index(ents).collect()}
+    want_order = sorted(names, key=lambda n: (hashlib.md5(n.encode()).hexdigest(), n))
+    assert got == {n: i for i, n in enumerate(want_order)}
+
+
+def test_transe_edges_channel_typing(spark):
+    from ed_twitter_spark.operators.kg_embed import transe_edges
+
+    typed = spark.createDataFrame(
+        [
+            ("m1", "mentioned_by_user", "e:A", "c1"),
+            ("m2", "mentioned_in_search", "e:B", "c1"),
+            ("m3", "mentioned_by_user", "e:B", "c2"),  # lone entity, no pair
+            ("m4", "mentioned_by_user", "e:A", "c1"),  # dup channel collapses
+        ],
+        "subj string, pred string, obj_vertex string, conv_id string",
+    )
+    got = {(r["h"], r["r"], r["t"]) for r in transe_edges(typed).collect()}
+    assert got == {("e:A", "user~search", "e:B")}
+
+
+def test_transe_step_math_matches_numpy(spark):
+    """One full-batch step on a hand graph vs a direct numpy transcription
+    of the same rounded-L1 TransE update."""
+    import hashlib
+
+    import numpy as np
+
+    from ed_twitter_spark.operators import kg_embed as ke
+
+    typed = spark.createDataFrame(
+        [
+            ("m1", "mentioned_by_user", "e:A", "c1"),
+            ("m2", "mentioned_in_search", "e:B", "c1"),
+            ("m3", "mentioned_by_user", "e:B", "c2"),
+            ("m4", "mentioned_in_search", "e:C", "c2"),
+        ],
+        "subj string, pred string, obj_vertex string, conv_id string",
+    )
+    edges = [("e:A", "user~search", "e:B"), ("e:B", "user~search", "e:C")]
+
+    def hex6(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    ents = sorted(
+        {e for h, _, t in edges for e in (h, t)},
+        key=lambda n: (hashlib.md5(n.encode()).hexdigest(), n),
+    )
+    eidx = {i: n for i, n in enumerate(ents)}
+
+    def init(key, salt):
+        v = np.array(
+            [hex6(f"{key}{salt}{d}") % 10000 / 10000.0 - 0.5 for d in range(ke.TRANSE_DIM)]
+        )
+        nn = np.sqrt(max(round(float((v * v).sum()), 12), 1e-12))
+        return np.round(v / nn, 4)
+
+    ev = {n: init(n, "#e") for n in ents}
+    rv = {"user~search": init("user~search", "#r")}
+
+    g_ent = {n: np.zeros(ke.TRANSE_DIM) for n in ents}
+    g_rel = {r: np.zeros(ke.TRANSE_DIM) for r in rv}
+    n_active, loss = 0, 0.0
+    for h, r, t in edges:
+        tneg = eidx[hex6(f"{h}|{r}|{t}#neg1") % len(ents)]
+        dvp = ev[h] + rv[r] - ev[t]
+        dvn = ev[h] + rv[r] - ev[tneg]
+        hinge = ke.TRANSE_MARGIN + round(float(np.abs(dvp).sum()), 6) - round(
+            float(np.abs(dvn).sum()), 6
+        )
+        if hinge > 0:
+            n_active += 1
+            loss += hinge
+            sp, sn = np.sign(dvp), np.sign(dvn)
+            g_ent[h] += sp - sn
+            g_ent[t] += -sp
+            g_ent[tneg] += sn
+            g_rel[r] += sp - sn
+    ev1 = {}
+    for n in ents:
+        v = ev[n] - ke.TRANSE_LR * g_ent[n]
+        nn = np.sqrt(max(round(float((v * v).sum()), 12), 1e-12))
+        ev1[n] = np.round(v / nn, 4)
+
+    from ed_twitter_spark.operators.graph import kg_typed_edges  # noqa: F401  (shape doc)
+
+    te = ke.transe_edges(typed)
+    assert {(r["h"], r["r"], r["t"]) for r in te.collect()} == set(edges)
+
+    # run one step through the real loop by monkey-free composition:
+    # reuse the module internals on the tiny typed frame
+    from ed_twitter_spark.caching import persist_tracked  # noqa: F401
+
+    curve, evf = _run_transe_on_typed(spark, typed, steps=1)
+    crow = curve.collect()[0]
+    assert crow["step"] == 1 and crow["n_active"] == n_active
+    assert abs(crow["loss"] - round(loss, 4)) < 1e-9
+    got = {}
+    for r in evf.collect():
+        got.setdefault(r["ent"], [0.0] * ke.TRANSE_DIM)[r["d"]] = r["val"]
+    for n in ents:
+        assert np.allclose(got[n], ev1[n], atol=1e-9), n
+
+
+def _run_transe_on_typed(spark, typed, steps):
+    """run_transe with the typed-edge build swapped for a fixture frame."""
+    from unittest import mock
+
+    from ed_twitter_spark.operators import graph as graph_ops
+    from ed_twitter_spark.operators import kg_embed as ke
+    from ed_twitter_spark import synth
+
+    with mock.patch.object(graph_ops, "kg_typed_edges", lambda *_: typed), \
+         mock.patch.object(graph_ops, "q_kg_edges", lambda *_: None), \
+         mock.patch.object(synth, "transcripts", lambda *_: None):
+        return ke.run_transe(spark, "/unused", steps=steps)
+
+
+def test_transe_entity_vectors_stay_unit_norm(spark):
+    import numpy as np
+
+    typed = spark.createDataFrame(
+        [
+            ("m1", "mentioned_by_user", "e:A", "c1"),
+            ("m2", "mentioned_in_search", "e:B", "c1"),
+        ],
+        "subj string, pred string, obj_vertex string, conv_id string",
+    )
+    _, evf = _run_transe_on_typed(spark, typed, steps=2)
+    norms = {}
+    for r in evf.collect():
+        norms.setdefault(r["ent"], 0.0)
+        norms[r["ent"]] += r["val"] ** 2
+    for n, sq in norms.items():
+        assert abs(np.sqrt(sq) - 1.0) < 1e-3, (n, sq)
