@@ -173,7 +173,8 @@ def _l2_normalize(vec: DataFrame, keycol: str) -> DataFrame:
 def run_transe(
     spark: SparkSession, sf_dir: str, steps: int = TRANSE_STEPS
 ) -> tuple[DataFrame, DataFrame]:
-    """Run ``steps`` full-batch TransE steps; return (curve, final_ev).
+    """Run ``steps`` full-batch TransE steps; return
+    (curve, final_ev, final_rv, edges).
 
     curve: (step, n_active, loss) per step — n_active = triples with a
     violated margin, loss = Σ active hinge values (4 dp).
@@ -317,18 +318,18 @@ def run_transe(
     curve = curve_rows[0]
     for c in curve_rows[1:]:
         curve = curve.unionByName(c)
-    return curve, ev
+    return curve, ev, rv, edges
 
 
 def kg_embed_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: the TransE training curve (step, n_active, loss)."""
-    curve, _ = run_transe(spark, sf_dir)
+    curve, _, _, _ = run_transe(spark, sf_dir)
     return curve
 
 
 def kg_embed_transe_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: the trained entity vectors (ent, d, val), 4 dp."""
-    _, ev = run_transe(spark, sf_dir)
+    _, ev, _, _ = run_transe(spark, sf_dir)
     return ev.select("ent", F.col("d").cast("int").alias("d"), "val")
 
 
@@ -475,3 +476,106 @@ def kg_embed_transe_vectors_oracle_sql(steps: int = TRANSE_STEPS) -> str:
         _transe_step_sql(k) for k in range(1, steps + 1)
     )
     return body + f"\nSELECT ent, CAST(d AS INTEGER) AS d, val FROM ev{steps}\n"
+
+
+# ---------------------------------------------------------------------------
+# link-prediction evaluation (mean rank / hits@k, raw setting)
+# ---------------------------------------------------------------------------
+
+
+def transe_rank_eval(edges: DataFrame, ev: DataFrame, rv: DataFrame) -> DataFrame:
+    """One row: (n_triples, mean_rank, hits_at_1, hits_at_3) — the TransE
+    paper's evaluation protocol in its *raw* setting: for every training
+    triple (h, r, t), score EVERY entity e as a candidate tail by
+    d(h, r, e) = Σ|h+r-e| (6 dp) and take the rank of the true tail,
+    ties broken by candidate name so both engines rank identically.
+
+    Scale note: scoring all entities per triple is the paper's protocol
+    and is O(|triples|·|entities|) — correct as the exactness baseline
+    (same role as `ann_cosine_topk`), while a 10⁹-entity deployment
+    prunes candidates with the IVF path (`operators/similarity.py`)
+    before ranking. Evaluated on the training triples (no held-out
+    split at fixture scale — stated, like `rank_train_steps`' train-as-
+    dev substitution).
+    """
+    ents = ev.select("ent").distinct()
+    scored = (
+        edges.crossJoin(F.broadcast(ents.select(F.col("ent").alias("cand"))))
+        .join(ev.select(F.col("ent").alias("h"), "d", F.col("val").alias("hv")), on="h")
+        .join(
+            ev.select(F.col("ent").alias("cand"), "d", F.col("val").alias("cv")),
+            on=["cand", "d"],
+        )
+        .join(rv.select("r", "d", F.col("val").alias("rvv")), on=["r", "d"])
+        .groupBy("h", "r", "t", "cand")
+        .agg(F.round(F.sum(F.abs(F.col("hv") + F.col("rvv") - F.col("cv"))), 6).alias("dc"))
+    )
+    dtrue = scored.where(F.col("cand") == F.col("t")).select(
+        "h", "r", "t", F.col("dc").alias("dt")
+    )
+    ranks = (
+        scored.join(dtrue, on=["h", "r", "t"])
+        .groupBy("h", "r", "t")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        (F.col("dc") < F.col("dt"))
+                        | ((F.col("dc") == F.col("dt")) & (F.col("cand") < F.col("t"))),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("rnk")
+        )
+    )
+    return ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.round(F.avg("rnk"), 4).alias("mean_rank"),
+        F.round(F.avg(F.when(F.col("rnk") <= 1, 1.0).otherwise(0.0)), 4).alias(
+            "hits_at_1"
+        ),
+        F.round(F.avg(F.when(F.col("rnk") <= 3, 1.0).otherwise(0.0)), 4).alias(
+            "hits_at_3"
+        ),
+    )
+
+
+def kg_embed_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: link-prediction quality of the trained vectors."""
+    _, ev, rv, edges = run_transe(spark, sf_dir)
+    return transe_rank_eval(edges, ev, rv)
+
+
+def kg_embed_transe_eval_oracle_sql(steps: int = TRANSE_STEPS) -> str:
+    body = _transe_prefix_sql() + "".join(
+        _transe_step_sql(k) for k in range(1, steps + 1)
+    )
+    return (
+        body
+        + f""",
+scored AS MATERIALIZED (
+  SELECT e.h, e.r, e.t, c.ent AS cand,
+         ROUND(SUM(abs(eh.val + rv.val - ec.val)), 6) AS dc
+  FROM tedges e
+  CROSS JOIN ents c
+  JOIN ev{steps} eh ON eh.ent = e.h
+  JOIN ev{steps} ec ON ec.ent = c.ent AND ec.d = eh.d
+  JOIN rv{steps} rv ON rv.r = e.r AND rv.d = eh.d
+  GROUP BY e.h, e.r, e.t, c.ent
+),
+dtrue AS (SELECT h, r, t, dc AS dt FROM scored WHERE cand = t),
+ranks AS (
+  SELECT s.h, s.r, s.t,
+         1 + SUM(CASE WHEN s.dc < d.dt OR (s.dc = d.dt AND s.cand < s.t)
+                      THEN 1 ELSE 0 END) AS rnk
+  FROM scored s JOIN dtrue d ON d.h = s.h AND d.r = s.r AND d.t = s.t
+  GROUP BY s.h, s.r, s.t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+       ROUND(AVG(rnk), 4) AS mean_rank,
+       ROUND(AVG(CASE WHEN rnk <= 1 THEN 1.0 ELSE 0.0 END), 4) AS hits_at_1,
+       ROUND(AVG(CASE WHEN rnk <= 3 THEN 1.0 ELSE 0.0 END), 4) AS hits_at_3
+FROM ranks
+"""
+    )

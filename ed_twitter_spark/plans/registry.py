@@ -446,6 +446,9 @@ def _register_graph():
     register(
         "kg_embed_transe_vectors", kg_embed_ops.kg_embed_transe_vectors_oracle_sql()
     )(kg_embed_ops.kg_embed_transe_vectors)
+    register(
+        "kg_embed_transe_eval", kg_embed_ops.kg_embed_transe_eval_oracle_sql()
+    )(kg_embed_ops.kg_embed_transe_eval)
 
 
 _register_graph()

@@ -622,7 +622,7 @@ def test_transe_step_math_matches_numpy(spark):
     # reuse the module internals on the tiny typed frame
     from ed_twitter_spark.caching import persist_tracked  # noqa: F401
 
-    curve, evf = _run_transe_on_typed(spark, typed, steps=1)
+    curve, evf, _, _ = _run_transe_on_typed(spark, typed, steps=1)
     crow = curve.collect()[0]
     assert crow["step"] == 1 and crow["n_active"] == n_active
     assert abs(crow["loss"] - round(loss, 4)) < 1e-9
@@ -657,10 +657,65 @@ def test_transe_entity_vectors_stay_unit_norm(spark):
         ],
         "subj string, pred string, obj_vertex string, conv_id string",
     )
-    _, evf = _run_transe_on_typed(spark, typed, steps=2)
+    _, evf, _, _ = _run_transe_on_typed(spark, typed, steps=2)
     norms = {}
     for r in evf.collect():
         norms.setdefault(r["ent"], 0.0)
         norms[r["ent"]] += r["val"] ** 2
     for n, sq in norms.items():
         assert abs(np.sqrt(sq) - 1.0) < 1e-3, (n, sq)
+
+
+def test_transe_rank_eval_hand_fixture(spark):
+    from ed_twitter_spark.operators.kg_embed import transe_rank_eval
+
+    edges = spark.createDataFrame(
+        [("A", "r", "B"), ("A", "r", "C")], "h string, r string, t string"
+    )
+    ev = spark.createDataFrame(
+        [("A", 0, 0.0), ("B", 0, 1.0), ("C", 0, 5.0)],
+        "ent string, d int, val double",
+    )
+    rv = spark.createDataFrame([("r", 0, 1.0)], "r string, d int, val double")
+    row = transe_rank_eval(edges, ev, rv).collect()[0]
+    # (A,r,B): d_B=0 -> rank 1.  (A,r,C): d_A=1, d_B=0 < d_C=4 -> rank 3.
+    assert row["n_triples"] == 2
+    assert row["mean_rank"] == 2.0
+    assert row["hits_at_1"] == 0.5
+    assert row["hits_at_3"] == 1.0
+
+
+def test_transe_training_improves_link_prediction(spark):
+    """The trained-vs-init gate (the TransE analog of the epoch
+    relatedness gate): 2 steps must strictly improve mean rank on the
+    co-mention graph (measured 13.04 -> 9.81 at the fixture SFs)."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+    from ed_twitter_spark.operators import kg_embed as ke
+
+    sf = "/root/testdata/sf0.001"
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf), synth.transcripts(spark, sf)
+    )
+    edges = ke.transe_edges(typed).localCheckpoint()
+    ents = (
+        edges.select(F.col("h").alias("ent"))
+        .unionByName(edges.select(F.col("t").alias("ent")))
+        .distinct()
+    )
+    eidx = ke._ent_index(ents).localCheckpoint()
+    ev0 = ke._l2_normalize(
+        ke._init_vecs(spark, eidx.select("ent"), "ent", "#e"), "ent"
+    ).localCheckpoint()
+    rv0 = ke._l2_normalize(
+        ke._init_vecs(spark, edges.select("r").distinct(), "r", "#r"), "r"
+    ).localCheckpoint()
+    init = ke.transe_rank_eval(edges, ev0, rv0).collect()[0]
+
+    _, ev, rv, tr_edges = ke.run_transe(spark, sf)
+    trained = ke.transe_rank_eval(tr_edges, ev, rv).collect()[0]
+
+    assert trained["mean_rank"] < init["mean_rank"]
+    assert trained["hits_at_3"] > init["hits_at_3"]
