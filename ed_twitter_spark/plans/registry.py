@@ -449,6 +449,11 @@ def _register_graph():
     register(
         "kg_embed_transe_eval", kg_embed_ops.kg_embed_transe_eval_oracle_sql()
     )(kg_embed_ops.kg_embed_transe_eval)
+    from ed_twitter_spark.operators import hyperball as hyperball_ops
+
+    register("kg_hyperball", hyperball_ops.kg_hyperball_oracle_sql())(
+        hyperball_ops.kg_hyperball
+    )
 
 
 _register_graph()

@@ -774,3 +774,39 @@ def test_rdfs_closure_and_inference(spark):
         ("m1", "mentioned_directly", "e:E1"),
         ("m1", "mentioned", "e:E1"),
     }
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function
+# ---------------------------------------------------------------------------
+
+
+def test_hyperball_converges_to_full_ball(spark):
+    """On a connected graph with iters >= diameter, every vertex's sketch
+    equals the sketch of the whole vertex set, so nf = n * est(V); and the
+    curve is monotone nondecreasing in t."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.hyperball import hyperball_nf
+    from ed_twitter_spark.operators.sketches import hll_estimate, hll_register_cols
+
+    # star: center X, leaves A B C (diameter 2), via shared-conv edges
+    kg = spark.createDataFrame(
+        [("c1", "e:X"), ("c1", "e:A"), ("c2", "e:X"), ("c2", "e:B"),
+         ("c3", "e:X"), ("c3", "e:C")],
+        "conv_id string, obj_vertex string",
+    )
+    curve = {r["t"]: r["nf"] for r in hyperball_nf(kg, iters=2).collect()}
+    assert curve[0] <= curve[1] <= curve[2]
+
+    nodes = spark.createDataFrame(
+        [("e:X",), ("e:A",), ("e:B",), ("e:C",)], "v string"
+    )
+    register, rank = hll_register_cols(F.col("v"))
+    regs = (
+        nodes.select(register.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("m"))
+    )
+    est_all = hll_estimate(regs).collect()[0]["hll_raw_estimate"]
+    assert abs(curve[2] - round(4 * est_all, 4)) < 1e-6
