@@ -454,6 +454,14 @@ def _register_graph():
     register("kg_hyperball", hyperball_ops.kg_hyperball_oracle_sql())(
         hyperball_ops.kg_hyperball
     )
+    from ed_twitter_spark.operators import kg_quality as kg_quality_ops
+
+    register("kg_shacl_validate", kg_quality_ops.kg_shacl_validate_oracle_sql())(
+        kg_quality_ops.kg_shacl_validate
+    )
+    register("kg_edge_churn", kg_quality_ops.kg_edge_churn_oracle_sql())(
+        kg_quality_ops.kg_edge_churn
+    )
 
 
 _register_graph()

@@ -810,3 +810,51 @@ def test_hyperball_converges_to_full_ball(spark):
     )
     est_all = hll_estimate(regs).collect()[0]["hll_raw_estimate"]
     assert abs(curve[2] - round(4 * est_all, 4)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# KG quality: SHACL validation + edge churn
+# ---------------------------------------------------------------------------
+
+
+def test_shacl_validate_counts_violations(spark):
+    from ed_twitter_spark.operators.kg_quality import shacl_validate
+
+    trip = spark.createDataFrame(
+        [
+            ("conv_1#0#0", "mentioned_by_user", "e:E1"),   # clean
+            ("BADSUBJ", "mentioned_by_user", "e:E2"),       # subj violation
+            ("conv_1#2#0", "mentioned_in_search", "nope"),  # obj violation
+            ("conv_1#0#0", "in_conv", "conv_1"),            # clean
+            ("conv_1#0#0", "in_conv", "conv_2"),            # cardinality >1
+            ("conv_1", "mentions", "e:E1"),                 # clean
+        ],
+        "s string, p string, o string",
+    )
+    got = {r["shape_id"]: r.asDict() for r in shacl_validate(spark, trip).collect()}
+    ml = got["mention-link"]
+    assert (ml["n_focus"], ml["n_subj_viol"], ml["n_obj_viol"]) == (3, 1, 1)
+    mp = got["mention-prov"]
+    assert (mp["n_focus"], mp["n_card_viol"]) == (2, 1)
+    cm = got["conv-mentions"]
+    assert (cm["n_focus"], cm["n_subj_viol"], cm["n_obj_viol"], cm["n_card_viol"]) == (
+        1, 0, 0, 0,
+    )
+
+
+def test_edge_churn_half_classification(spark):
+    from ed_twitter_spark.operators.kg_quality import edge_churn
+
+    # conv with max turn 4 -> mid 2: first = turns 0-2, second = 3-4
+    edges = spark.createDataFrame(
+        [
+            ("c1", 0, "e:A"),  # first only -> removed
+            ("c1", 1, "e:B"),  # both -> stable
+            ("c1", 4, "e:B"),
+            ("c1", 3, "e:C"),  # second only -> added
+            ("c1", 4, None),   # null vertex dropped
+        ],
+        "conv_id string, turn_idx int, obj_vertex string",
+    )
+    got = {r["status"]: r["n_edges"] for r in edge_churn(edges).collect()}
+    assert got == {"removed": 1, "stable": 1, "added": 1}
