@@ -37,14 +37,21 @@ def register(name: str, oracle: str | None = None):
 def _gate_order(names) -> list[str]:
     """Enumeration order for the driver's correctness gate, which samples a
     prefix-biased ~50 of these per round: queries never driver-checked come
-    first (anything registered after round 3 lands here automatically),
-    then those whose latest driver check is oldest, then the rest — so
-    every query earns a driver CORRECTNESS row within two rounds
-    (VERDICT r3 item 4). Insertion order is preserved within each tier."""
-    return sorted(
-        names,
-        key=lambda n: 2 if n in _DRIVER_CHECKED_R3 else (1 if n in _DRIVER_CHECKED_EVER else 0),
-    )
+    first (anything registered after round 4 lands here automatically),
+    then those whose latest driver check is oldest (r3-last before r4-last),
+    then the rest — so every query earns a driver CORRECTNESS row within two
+    rounds (VERDICT r3 item 4). Insertion order is preserved within each tier."""
+
+    def tier(n: str) -> int:
+        if n in _DRIVER_CHECKED_R4:
+            return 3
+        if n in _DRIVER_CHECKED_R3:
+            return 2
+        if n in _DRIVER_CHECKED_EVER:
+            return 1
+        return 0
+
+    return sorted(names, key=tier)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -81,6 +88,25 @@ _DRIVER_CHECKED_EVER = _DRIVER_CHECKED_R3 | {
     "role_transitions", "negative_sampling", "ent_vec_init", "anchor_parse",
     "anchor_parse_marked", "doc_titles", "events_props", "hyperlink_contexts",
     "eval_micro_f1",
+}
+# CORRECTNESS_r04.json keys (all 50 green): these have the FRESHEST driver
+# check, so they enumerate last — never-checked round-5 queries and the
+# r1/r2-stale tier fill the driver's ~50-query sample first.
+_DRIVER_CHECKED_R4 = {
+    "anchor_parse", "anchor_parse_marked", "ann_cosine_topk",
+    "ann_ivf_centroids", "ann_ivf_topk", "ann_recall", "asof_view_purchase",
+    "bio_span_merge", "candidates", "candidates_salted", "conversation_stats",
+    "coref_containment", "dataset_sample", "dataset_split", "decontaminate",
+    "doc_titles", "embed_cosine_pairs", "ent_name_normalize", "ent_vec_init",
+    "eval_micro_f1", "event_sessions", "events_props", "hyperlink_contexts",
+    "kb_alias", "kb_alias_merged", "mention_normalize", "mention_windows",
+    "mentions", "mm_assets", "mm_decode_features", "negative_sampling",
+    "pii_redact", "rank_train_steps", "relatedness_eval", "rltd_dataset",
+    "rltd_filter", "rltd_metrics_val", "rltd_union", "role_transitions",
+    "stream_link", "stream_sessions", "tool_usage", "train_entity_epoch",
+    "train_entity_epoch_nce", "train_epoch_loss", "train_epochs",
+    "train_epochs_adagrad", "train_epochs_vectors", "train_loss_variants",
+    "transcripts",
 }
 
 
