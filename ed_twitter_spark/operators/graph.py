@@ -1110,6 +1110,135 @@ def q_kg_k_core(spark, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-truss — triangle-support edge peeling (stricter than k-core: an edge
+# survives only while it closes ≥ k-2 triangles among surviving edges)
+# ---------------------------------------------------------------------------
+
+K_TRUSS_K = 3
+K_TRUSS_ROUNDS = 2
+
+
+def kg_ktruss(edges: DataFrame) -> DataFrame:
+    """(src, dst, support) — canonical (src < dst) co-occurrence edges
+    surviving K_TRUSS_ROUNDS rounds of support-< (K_TRUSS_K - 2) peeling,
+    with the final-round triangle support.
+
+    Each round recomputes edge support with two equi-joins over the
+    surviving adjacency (common-neighbor counting: (u,v) closes a
+    triangle through every w with (u,w) and (v,w) surviving), then drops
+    under-supported edges. Like ``kg_k_core`` the round count is fixed so
+    the plan is static and the oracle unrolls with it; the join fan-out
+    per edge is bounded by the endpoint degrees (the same Σ deg(u)·deg(v)
+    shape as the triangle census — at production scale the join would be
+    oriented low-degree-first exactly as ``kg_triangles`` does)."""
+    from ed_twitter_spark.caching import persist_tracked
+
+    ce = persist_tracked(
+        cooccurrence_edges(edges).where(F.col("src") < F.col("dst"))
+    )
+    support = None
+    for _ in range(K_TRUSS_ROUNDS):
+        adj = ce.select("src", "dst").union(
+            ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        support = (
+            ce.alias("e")
+            .join(adj.alias("x"), F.col("e.src") == F.col("x.src"))
+            .join(
+                adj.alias("y"),
+                (F.col("e.dst") == F.col("y.src"))
+                & (F.col("x.dst") == F.col("y.dst")),
+            )
+            .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .where(F.col("support") >= K_TRUSS_K - 2)
+        )
+        ce = support.select("src", "dst")
+    return support
+
+
+def kg_ktruss_oracle_sql() -> str:
+    iters = []
+    prev = "ce0"
+    for i in range(1, K_TRUSS_ROUNDS + 1):
+        iters.append(
+            f"""adj{i} AS (SELECT src, dst FROM {prev}
+           UNION ALL SELECT dst AS src, src AS dst FROM {prev}),
+s{i} AS (
+  SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS support
+  FROM {prev} e
+  JOIN adj{i} x ON x.src = e.src
+  JOIN adj{i} y ON y.src = e.dst AND y.dst = x.dst
+  GROUP BY e.src, e.dst
+),
+ce{i} AS (SELECT src, dst, support FROM s{i} WHERE support >= {K_TRUSS_K - 2})"""
+        )
+        prev = f"ce{i}"
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+ce0 AS (SELECT src, dst FROM coedges WHERE src < dst),
+{",".join(iters)}
+SELECT src, dst, support FROM {prev}
+"""
+    )
+
+
+def q_kg_ktruss(spark, sf_dir: str) -> DataFrame:
+    return kg_ktruss(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# degree distribution — the log2-bucket histogram that sizes everything else
+# ---------------------------------------------------------------------------
+
+
+def kg_degree_distribution(edges: DataFrame) -> DataFrame:
+    """(bucket, n_vertices, min_degree, max_degree) — co-occurrence degree
+    histogram in power-of-two buckets (bucket = ⌊log2 degree⌋).
+
+    The first diagnostic run on any new corpus: the tail buckets are what
+    choose broadcast-vs-salted joins, CELL_CAP splits and truss/core
+    depths. Bucketing uses the binary-representation length rather than
+    float log2 so the bucket edges are integer-exact on both engines
+    (log2(2^k) can land on either side of k in floating point)."""
+    deg = (
+        cooccurrence_edges(edges)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    bucket = (F.length(F.expr("bin(degree)")) - 1).cast("int")
+    return (
+        deg.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+    )
+
+
+def kg_degree_distribution_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+deg AS (SELECT src, COUNT(*) AS degree FROM coedges GROUP BY src)
+SELECT CAST(length(printf('%b', degree)) - 1 AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT)  AS n_vertices,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+"""
+    )
+
+
+def q_kg_degree_distribution(spark, sf_dir: str) -> DataFrame:
+    return kg_degree_distribution(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # N-Triples serialization — the standard KG interchange dump
 # ---------------------------------------------------------------------------
 

@@ -428,6 +428,10 @@ def _register_graph():
         graph_ops.q_kg_label_propagation
     )
     register("kg_k_core", graph_ops.kg_k_core_oracle_sql())(graph_ops.q_kg_k_core)
+    register("kg_ktruss", graph_ops.kg_ktruss_oracle_sql())(graph_ops.q_kg_ktruss)
+    register("kg_degree_distribution", graph_ops.kg_degree_distribution_oracle_sql())(
+        graph_ops.q_kg_degree_distribution
+    )
     register("kg_ntriples", graph_ops.kg_ntriples_oracle_sql())(graph_ops.q_kg_ntriples)
     register("kg_bfs_hops", graph_ops.kg_bfs_hops_oracle_sql())(graph_ops.q_kg_bfs_hops)
     register("kg_eigencentrality", graph_ops.kg_eigencentrality_oracle_sql())(
@@ -764,6 +768,12 @@ def _register_sessions():
     from ed_twitter_spark.operators.sessions import EVENT_SESSIONS_SQL, event_sessions
 
     register("event_sessions", EVENT_SESSIONS_SQL)(event_sessions)
+
+    # SFT-pair mining + chat-template rendering over the transcript table
+    from ed_twitter_spark.operators import sft as sft_ops
+
+    register("sft_pairs", sft_ops.SFT_PAIRS_SQL)(sft_ops.sft_pairs)
+    register("chat_render", sft_ops.CHAT_RENDER_SQL)(sft_ops.chat_render)
 
     from ed_twitter_spark.operators import funnels as fnl
 

@@ -858,3 +858,25 @@ def test_edge_churn_half_classification(spark):
     )
     got = {r["status"]: r["n_edges"] for r in edge_churn(edges).collect()}
     assert got == {"removed": 1, "stable": 1, "added": 1}
+
+
+def test_ktruss_peels_path_keeps_triangle(fake_edges):
+    """Triangle 1-2-3 + path 3-4-5: the path edges close no triangle, so
+    3-truss peeling (support ≥ 1) drops them round 1; the triangle's
+    edges each keep support 1 through every round."""
+    from ed_twitter_spark.operators.graph import kg_ktruss
+
+    got = {(r["src"], r["dst"]): r["support"] for r in kg_ktruss(fake_edges).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_degree_distribution_buckets_by_hand(fake_edges):
+    """Degrees 1:2, 2:2, 3:3, 4:2, 5:1 → bucket 1 holds the four vertices
+    with degree 2-3, bucket 0 the lone degree-1 vertex."""
+    from ed_twitter_spark.operators.graph import kg_degree_distribution
+
+    got = {
+        r["bucket"]: (r["n_vertices"], r["min_degree"], r["max_degree"])
+        for r in kg_degree_distribution(fake_edges).collect()
+    }
+    assert got == {0: (1, 1, 1), 1: (4, 2, 3)}

@@ -1,0 +1,63 @@
+"""Hand fixtures for the SFT-pair extraction and chat-template rendering.
+
+The DuckDB oracles prove Spark ≡ SQL on the synthetic corpus; these pin
+the semantics on transcripts small enough to verify by eye: tool turns
+between a user prompt and the assistant response are skipped, trailing
+prompts with no later assistant turn are dropped, and rendering keeps
+only the conversation tail in turn order.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_transcripts(spark):
+    rows = [
+        # conv A: user → tool → assistant → user (dangling)
+        ("A", 0, "user", "what is two plus two"),
+        ("A", 1, "tool", "calc(2+2)"),
+        ("A", 2, "assistant", "four"),
+        ("A", 3, "user", "thanks bye"),
+        # conv B: assistant first (no prompt), then user → assistant
+        ("B", 0, "assistant", "hello"),
+        ("B", 1, "user", "tell me a joke"),
+        ("B", 2, "assistant", "knock knock"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_sft_pairs_skip_tools_drop_dangling(tiny_transcripts):
+    from ed_twitter_spark.operators.sft import sft_pairs_df
+
+    got = {
+        (r["conv_id"], r["prompt_turn_idx"]): (
+            r["response_turn_idx"],
+            r["response"],
+            r["prompt_tokens"],
+            r["response_tokens"],
+        )
+        for r in sft_pairs_df(tiny_transcripts).collect()
+    }
+    assert got == {
+        ("A", 0): (2, "four", 5, 1),  # tool turn 1 skipped
+        ("B", 1): (2, "knock knock", 4, 2),
+    }  # A turn 3 dangles (no later assistant); B turn 0 is not a prompt
+
+
+def test_chat_render_truncates_to_tail_in_turn_order(spark):
+    from ed_twitter_spark.operators.sft import chat_render_df
+
+    rows = [("C", i, "user" if i % 2 == 0 else "assistant", f"t{i}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = chat_render_df(df, last_turns=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_turns_total"], r["n_turns_rendered"]) == (10, 3)
+    assert r["rendered"] == "assistant: t7\nuser: t8\nassistant: t9"
+    assert r["render_chars"] == len(r["rendered"])
