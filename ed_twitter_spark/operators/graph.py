@@ -1239,6 +1239,87 @@ def q_kg_degree_distribution(spark, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# edge evidence — per co-occurrence edge provenance (the lineage a KG
+# consumer uses to weigh or audit an edge)
+# ---------------------------------------------------------------------------
+
+
+def kg_edge_evidence(edges: DataFrame) -> DataFrame:
+    """(src, dst, n_convs, support, first_established, last_refreshed) —
+    canonical (src < dst) co-occurrence edges with their provenance:
+    how many conversations assert the edge, the bounded per-conversation
+    co-mention support (min of the two endpoints' mention counts, so a
+    vertex spammed 10^6 times in one conversation cannot inflate the
+    edge), the earliest turn_idx at which BOTH endpoints had appeared in
+    some conversation (when the edge was first established) and the
+    latest turn_idx that re-asserted it.
+
+    Same distinct-first shape as ``cooccurrence_edges`` — one aggregation
+    to (conv, vertex) granularity, one within-conversation self-join
+    bounded by (entities-per-conversation)², one final edge-keyed
+    aggregation."""
+    cv = (
+        edges.where(F.col("obj_vertex").isNotNull())
+        .groupBy("conv_id", F.col("obj_vertex").alias("v"))
+        .agg(
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+            F.count(F.lit(1)).alias("n_m"),
+        )
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    pairs = (
+        a.join(b, on="conv_id")
+        .where(F.col("a.v") < F.col("b.v"))
+        .select(
+            F.col("a.v").alias("src"),
+            F.col("b.v").alias("dst"),
+            F.greatest("a.first_turn", "b.first_turn").alias("est_turn"),
+            F.greatest("a.last_turn", "b.last_turn").alias("ref_turn"),
+            F.least("a.n_m", "b.n_m").alias("sup"),
+        )
+    )
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("sup").cast("long").alias("support"),
+        F.min("est_turn").cast("long").alias("first_established"),
+        F.max("ref_turn").cast("long").alias("last_refreshed"),
+    )
+
+
+def kg_edge_evidence_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + """,
+cv AS (
+  SELECT conv_id, obj_vertex AS v,
+         MIN(turn_idx) AS first_turn, MAX(turn_idx) AS last_turn,
+         COUNT(*) AS n_m
+  FROM kge WHERE obj_vertex IS NOT NULL
+  GROUP BY conv_id, obj_vertex
+),
+pairs AS (
+  SELECT a.v AS src, b.v AS dst,
+         GREATEST(a.first_turn, b.first_turn) AS est_turn,
+         GREATEST(a.last_turn, b.last_turn)   AS ref_turn,
+         LEAST(a.n_m, b.n_m)                  AS sup
+  FROM cv a JOIN cv b ON a.conv_id = b.conv_id AND a.v < b.v
+)
+SELECT src, dst,
+       CAST(COUNT(*) AS BIGINT)    AS n_convs,
+       CAST(SUM(sup) AS BIGINT)    AS support,
+       CAST(MIN(est_turn) AS BIGINT) AS first_established,
+       CAST(MAX(ref_turn) AS BIGINT) AS last_refreshed
+FROM pairs GROUP BY src, dst
+"""
+    )
+
+
+def q_kg_edge_evidence(spark, sf_dir: str) -> DataFrame:
+    return kg_edge_evidence(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # N-Triples serialization — the standard KG interchange dump
 # ---------------------------------------------------------------------------
 

@@ -164,3 +164,161 @@ FROM k
 WHERE rn_from_end <= {RENDER_LAST_TURNS}
 GROUP BY conv_id, n_turns_total
 """
+
+
+# ---------------------------------------------------------------------------
+# preference-pair mining and tool-grounding analysis
+# ---------------------------------------------------------------------------
+
+PREF_PREFIX_TOKENS = 2
+
+
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style candidate preference pairs: SFT pairs whose prompts share
+    a PREF_PREFIX_TOKENS-token prefix (the blocking key for "same
+    instruction, different completion" mining) paired chosen-vs-rejected
+    by a deterministic quality proxy (longer response wins; conv/turn id
+    break ties so both engines emit identical pairs).
+
+    One pair per block (rn 1 beside rn 2), so output is bounded by the
+    number of blocks regardless of block size — a head instruction
+    repeated 10^6 times across a crawl yields ONE row, not C(10^6, 2).
+    Emits (block_key, chosen_*, rejected_*) with the proxy scores kept so
+    a downstream reward model can re-rank."""
+    p = sft_pairs_df(synth.transcripts(spark, sf_dir))
+    key = F.array_join(
+        F.slice(F.split("prompt", r"\s+"), 1, PREF_PREFIX_TOKENS), " "
+    )
+    w = Window.partitionBy("block_key").orderBy(
+        F.col("response_tokens").desc(),
+        F.col("conv_id"),
+        F.col("prompt_turn_idx"),
+    )
+    ranked = p.withColumn("block_key", key).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    top = ranked.where(F.col("rn") == 1).select(
+        "block_key",
+        F.col("conv_id").alias("chosen_conv"),
+        F.col("prompt").alias("chosen_prompt"),
+        F.col("response").alias("chosen_response"),
+        F.col("response_tokens").alias("chosen_tokens"),
+    )
+    runner = ranked.where(F.col("rn") == 2).select(
+        "block_key",
+        F.col("conv_id").alias("rejected_conv"),
+        F.col("response").alias("rejected_response"),
+        F.col("response_tokens").alias("rejected_tokens"),
+    )
+    return top.join(runner, on="block_key")
+
+
+PREFERENCE_PAIRS_SQL = f"""
+WITH p AS ({SFT_PAIRS_SQL}),
+ranked AS (
+  SELECT p.*,
+         array_to_string(string_split_regex(prompt, '\\s+')[1:{PREF_PREFIX_TOKENS}], ' ')
+           AS block_key,
+         ROW_NUMBER() OVER (
+           PARTITION BY array_to_string(string_split_regex(prompt, '\\s+')[1:{PREF_PREFIX_TOKENS}], ' ')
+           ORDER BY response_tokens DESC, conv_id, prompt_turn_idx
+         ) AS rn
+  FROM p
+)
+SELECT a.block_key,
+       a.conv_id          AS chosen_conv,
+       a.prompt           AS chosen_prompt,
+       a.response         AS chosen_response,
+       a.response_tokens  AS chosen_tokens,
+       b.conv_id          AS rejected_conv,
+       b.response         AS rejected_response,
+       b.response_tokens  AS rejected_tokens
+FROM ranked a
+JOIN ranked b ON b.block_key = a.block_key AND b.rn = 2
+WHERE a.rn = 1
+"""
+
+
+def tool_grounding_df(t: DataFrame) -> DataFrame:
+    """(conv_id, tool_turn_idx, answer_turn_idx, n_tool_tokens,
+    n_answer_tokens, n_shared_tokens, grounding_ratio) — for each tool
+    turn, how much of the NEXT assistant turn's vocabulary appears in the
+    tool output: the per-call grounding signal agent-quality filters cut
+    on (an assistant turn that shares nothing with the tool result it
+    follows is either ignoring the tool or hallucinating past it).
+
+    Same single-window + conv-partitioned-join shape as ``sft_pairs``;
+    the token-set intersection is exact distinct-token counting via
+    higher-order array functions on both engines (no explode, no
+    shuffle beyond the one join)."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ans_idx = F.min(
+        F.when(F.col("role") == "assistant", F.col("turn_idx"))
+    ).over(w)
+    tools = (
+        t.withColumn("answer_turn_idx", ans_idx)
+        .where((F.col("role") == "tool") & F.col("answer_turn_idx").isNotNull())
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("tool_turn_idx"),
+            F.array_distinct(F.split("text", r"\s+")).alias("tool_toks"),
+            "answer_turn_idx",
+        )
+    )
+    answers = t.select(
+        "conv_id",
+        F.col("turn_idx").alias("answer_turn_idx"),
+        F.array_distinct(F.split("text", r"\s+")).alias("ans_toks"),
+    )
+    shared = F.size(
+        F.filter("ans_toks", lambda x: F.array_contains("tool_toks", x))
+    )
+    return (
+        tools.join(answers, on=["conv_id", "answer_turn_idx"])
+        .select(
+            "conv_id",
+            "tool_turn_idx",
+            "answer_turn_idx",
+            F.size("tool_toks").cast("long").alias("n_tool_tokens"),
+            F.size("ans_toks").cast("long").alias("n_answer_tokens"),
+            shared.cast("long").alias("n_shared_tokens"),
+            F.round(shared / F.size("ans_toks"), 6).alias("grounding_ratio"),
+        )
+    )
+
+
+def tool_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tool_grounding_df(synth.transcripts(spark, sf_dir))
+
+
+TOOL_GROUNDING_SQL = f"""
+WITH t AS ({synth.TRANSCRIPTS_SQL}),
+nxt AS (
+  SELECT conv_id, turn_idx, role, text,
+         MIN(CASE WHEN role = 'assistant' THEN turn_idx END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS answer_turn_idx
+  FROM t
+),
+j AS (
+  SELECT g.conv_id, g.turn_idx AS tool_turn_idx, g.answer_turn_idx,
+         list_distinct(string_split_regex(g.text, '\\s+')) AS tool_toks,
+         list_distinct(string_split_regex(a.text, '\\s+')) AS ans_toks
+  FROM nxt g
+  JOIN t a ON a.conv_id = g.conv_id AND a.turn_idx = g.answer_turn_idx
+  WHERE g.role = 'tool' AND g.answer_turn_idx IS NOT NULL
+)
+SELECT conv_id, tool_turn_idx, answer_turn_idx,
+       CAST(len(tool_toks) AS BIGINT) AS n_tool_tokens,
+       CAST(len(ans_toks) AS BIGINT)  AS n_answer_tokens,
+       CAST(len(list_filter(ans_toks, x -> list_contains(tool_toks, x))) AS BIGINT)
+         AS n_shared_tokens,
+       ROUND(len(list_filter(ans_toks, x -> list_contains(tool_toks, x)))
+             / CAST(len(ans_toks) AS DOUBLE), 6) AS grounding_ratio
+FROM j
+"""

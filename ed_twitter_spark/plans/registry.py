@@ -432,6 +432,9 @@ def _register_graph():
     register("kg_degree_distribution", graph_ops.kg_degree_distribution_oracle_sql())(
         graph_ops.q_kg_degree_distribution
     )
+    register("kg_edge_evidence", graph_ops.kg_edge_evidence_oracle_sql())(
+        graph_ops.q_kg_edge_evidence
+    )
     register("kg_ntriples", graph_ops.kg_ntriples_oracle_sql())(graph_ops.q_kg_ntriples)
     register("kg_bfs_hops", graph_ops.kg_bfs_hops_oracle_sql())(graph_ops.q_kg_bfs_hops)
     register("kg_eigencentrality", graph_ops.kg_eigencentrality_oracle_sql())(
@@ -774,6 +777,10 @@ def _register_sessions():
 
     register("sft_pairs", sft_ops.SFT_PAIRS_SQL)(sft_ops.sft_pairs)
     register("chat_render", sft_ops.CHAT_RENDER_SQL)(sft_ops.chat_render)
+    register("preference_pairs", sft_ops.PREFERENCE_PAIRS_SQL)(
+        sft_ops.preference_pairs
+    )
+    register("tool_grounding", sft_ops.TOOL_GROUNDING_SQL)(sft_ops.tool_grounding)
 
     from ed_twitter_spark.operators import funnels as fnl
 

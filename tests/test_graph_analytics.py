@@ -880,3 +880,27 @@ def test_degree_distribution_buckets_by_hand(fake_edges):
         for r in kg_degree_distribution(fake_edges).collect()
     }
     assert got == {0: (1, 1, 1), 1: (4, 2, 3)}
+
+
+def test_edge_evidence_provenance_by_hand(spark):
+    """conv cA asserts 1-2 at turns (0,1) with mention counts (1,2);
+    conv cB re-asserts it later — n_convs, bounded support and the
+    established/refreshed turn range all follow by hand."""
+    from ed_twitter_spark.operators.graph import kg_edge_evidence
+
+    rows = [
+        ("cA", 1, 0), ("cA", 2, 1), ("cA", 2, 3),
+        ("cB", 1, 5), ("cB", 2, 7),
+    ]
+    edges = spark.createDataFrame(
+        [(c, v, t, f"{c}#{t}", 0.5) for c, v, t in rows],
+        "conv_id string, obj_vertex bigint, turn_idx int, subj string, score double",
+    )
+    out = kg_edge_evidence(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src"], r["dst"]) == (1, 2)
+    assert r["n_convs"] == 2
+    assert r["support"] == 1 + 1  # min(1,2) in cA + min(1,1) in cB
+    assert r["first_established"] == 1  # max(0,1) in cA
+    assert r["last_refreshed"] == 7  # max(5,7) in cB

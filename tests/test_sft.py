@@ -61,3 +61,51 @@ def test_chat_render_truncates_to_tail_in_turn_order(spark):
     assert (r["n_turns_total"], r["n_turns_rendered"]) == (10, 3)
     assert r["rendered"] == "assistant: t7\nuser: t8\nassistant: t9"
     assert r["render_chars"] == len(r["rendered"])
+
+
+def test_tool_grounding_overlap_by_hand(spark):
+    from ed_twitter_spark.operators.sft import tool_grounding_df
+
+    rows = [
+        ("D", 0, "user", "look up spark docs"),
+        ("D", 1, "tool", "spark runs on jvm clusters"),
+        ("D", 2, "assistant", "spark runs distributed on clusters"),
+        ("D", 3, "tool", "dangling tool output"),  # no later assistant
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = tool_grounding_df(df).collect()
+    assert len(out) == 1  # turn 3 dangles
+    r = out[0]
+    assert (r["tool_turn_idx"], r["answer_turn_idx"]) == (1, 2)
+    # answer tokens {spark, runs, distributed, on, clusters}: 4 of 5 appear
+    # in the tool output (distributed does not)
+    assert (r["n_tool_tokens"], r["n_answer_tokens"], r["n_shared_tokens"]) == (5, 5, 4)
+    assert r["grounding_ratio"] == 0.8
+
+
+def test_preference_pairs_block_and_rank(spark, monkeypatch):
+    """Two prompts sharing a 2-token prefix pair up chosen-vs-rejected by
+    response length; a lone-block prompt emits nothing."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import sft
+
+    rows = [
+        ("X", 0, "user", "how to sort lists"),
+        ("X", 1, "assistant", "use the sort builtin with a key"),
+        ("Y", 0, "user", "how to merge maps"),
+        ("Y", 1, "assistant", "update one"),
+        ("Z", 0, "user", "why is it slow"),
+        ("Z", 1, "assistant", "profile first"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    monkeypatch.setattr(synth, "transcripts", lambda s, d: df)
+    got = sft.preference_pairs(spark, "unused").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["block_key"] == "how to"
+    assert r["chosen_conv"] == "X" and r["rejected_conv"] == "Y"
+    assert r["chosen_tokens"] == 7 and r["rejected_tokens"] == 2
