@@ -832,3 +832,142 @@ SELECT ROUND(AVG(ap), 6)    AS map,
        ROUND(AVG(ndcg10), 6) AS ndcg10
 FROM norm
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the memory-bounded ANN companion to the IVF path
+# ---------------------------------------------------------------------------
+#
+# IVF prunes WHICH vectors a query scores; PQ bounds the BYTES each scored
+# vector costs: d float32s become M_SUB sub-codes (here 4 × log2(K_PQ) bits),
+# so a 10^9-vector corpus's scan structure fits executor memory and the
+# codebook (M_SUB·K_PQ·SUB_DIMS doubles) broadcasts for asymmetric-distance
+# scoring. Same determinism contract as the IVF quantizer: seeds = lowest
+# vec_ids' sub-vectors, distances rounded to 4 dp before the argmin (ties →
+# smaller code), centroid means rounded to 6 dp per update, fixed
+# KMEANS_ITERS rounds — so the DuckDB twin reproduces it bit-for-bit.
+# K_PQ/M_SUB are sf-fixture pins exactly like K_CENTROIDS; production
+# derives K_PQ=256 (one byte per sub-code) and M_SUB from the byte budget.
+
+M_SUB = 4
+SUB_DIMS = EMB_DIMS // M_SUB
+K_PQ = 4
+
+
+def _subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv[SUB_DIMS]) — each vector split into M_SUB slices."""
+    slices = F.array(
+        *[F.slice("v", s * SUB_DIMS + 1, SUB_DIMS) for s in range(M_SUB)]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(slices).alias("sub", "sv")
+    ).withColumn("sub", F.col("sub").cast("int"))
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
+    """Each (vec_id, sub) with its n nearest codewords of that subspace."""
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        sv.join(F.broadcast(cents), on="sub")
+        .select(
+            "vec_id", "sub", "sv", "cid",
+            _sqdist(F.col("sv"), F.col("cvec")).alias("d"),
+        )
+        .withColumn("nn", F.row_number().over(w))
+        .where(F.col("nn") <= n)
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """(sub, cid, cvec) after KMEANS_ITERS Lloyd rounds per subspace —
+    all M_SUB subspaces train in the SAME jobs (sub is just a grouping
+    column), so the codebook costs one corpus scan per round, not M_SUB."""
+    sv = _subvectors(emb)
+    cents = sv.where(F.col("vec_id") < K_PQ).select(
+        "sub", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cvec")
+    )
+    for _ in range(KMEANS_ITERS):
+        best = _pq_assign(sv, cents)
+        cents = (
+            best.select("sub", "cid", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("cvec")
+            )
+            .localCheckpoint()  # M_SUB·K_PQ·SUB_DIMS doubles
+        )
+    return cents
+
+
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: every vector's PQ encoding, one row per subspace —
+    (vec_id, sub, code, sqdist); sqdist is the rounded reconstruction
+    error of that sub-code, so the output carries the distortion the
+    byte-budget choice pays."""
+    emb = _emb_double(spark, sf_dir)
+    codes = _pq_assign(_subvectors(emb), _pq_codebook(emb))
+    return codes.select(
+        "vec_id",
+        "sub",
+        F.col("cid").alias("code"),
+        F.col("d").alias("sqdist"),
+    )
+
+
+_SV_SQD_SQL = (
+    f"ROUND(list_sum(list_transform(range(1, {SUB_DIMS + 1}),"
+    " k -> (e.sv[k] - c.cvec[k]) ** 2)), 4)"
+)
+
+
+def _pq_kmeans_cte() -> tuple[str, str]:
+    parts = [
+        f"emb AS ({_EMB_D_SQL})",
+        f"""sv AS MATERIALIZED (
+  SELECT vec_id, CAST(s AS INTEGER) AS sub,
+         v[s * {SUB_DIMS} + 1 : s * {SUB_DIMS} + {SUB_DIMS}] AS sv
+  FROM emb CROSS JOIN (SELECT unnest(range({M_SUB})) AS s)
+)""",
+        f"""p0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, sv AS cvec
+       FROM sv WHERE vec_id < {K_PQ})""",
+    ]
+    prev = "p0"
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT vec_id, sub, sv, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS nn
+  FROM (SELECT e.vec_id, e.sub, e.sv, c.cid, {_SV_SQD_SQL} AS d
+        FROM sv e JOIN {prev} c ON c.sub = e.sub)
+)"""
+        )
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT sub, cid, list(val ORDER BY dim) AS cvec FROM (
+    SELECT sub, cid, dim, ROUND(AVG(x), 6) AS val FROM (
+      SELECT sub, cid, CAST(unnest(range(len(sv))) AS INTEGER) AS dim,
+             unnest(sv) AS x
+      FROM b{i} WHERE nn = 1
+    ) GROUP BY sub, cid, dim
+  ) GROUP BY sub, cid
+)"""
+        )
+        prev = f"p{i}"
+    return ",\n".join(parts), prev
+
+
+_PQ_BODY, _PQ_FINAL = _pq_kmeans_cte()
+
+ANN_PQ_CODES_SQL = f"""
+WITH {_PQ_BODY}
+SELECT vec_id, sub, cid AS code, d AS sqdist FROM (
+  SELECT e.vec_id, e.sub, c.cid, {_SV_SQD_SQL} AS d,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.sub ORDER BY {_SV_SQD_SQL}, c.cid) AS nn
+  FROM sv e JOIN {_PQ_FINAL} c ON c.sub = e.sub
+) WHERE nn = 1
+"""

@@ -698,3 +698,30 @@ def test_ivf_cell_stats_invariants(spark):
     assert row["max_over_avg"] == round(
         row["max_cell"] * sim.K_CENTROIDS / row["n_vecs"], 4
     )
+
+
+def test_pq_codes_shape_and_lloyd_descent(spark):
+    """Every vector emits one code per subspace in [0, K_PQ); training the
+    codebook strictly reduces total reconstruction error vs assigning
+    against the raw seed codewords (Lloyd descent)."""
+    from ed_twitter_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    codes = sim.ann_pq_codes(spark, SF_SMOKE)
+    emb = sim._emb_double(spark, SF_SMOKE)
+    n_vec = emb.count()
+    agg = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("code").alias("cmin"),
+        F.max("code").alias("cmax"),
+        F.sum("sqdist").alias("err"),
+    ).first()
+    assert agg["n"] == n_vec * sim.M_SUB
+    assert 0 <= agg["cmin"] and agg["cmax"] < sim.K_PQ
+
+    sv = sim._subvectors(emb)
+    seeds = sv.where(F.col("vec_id") < sim.K_PQ).select(
+        "sub", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cvec")
+    )
+    err0 = sim._pq_assign(sv, seeds).agg(F.sum("d")).first()[0]
+    assert agg["err"] < err0
