@@ -971,3 +971,74 @@ SELECT vec_id, sub, cid AS code, d AS sqdist FROM (
   FROM sv e JOIN {_PQ_FINAL} c ON c.sub = e.sub
 ) WHERE nn = 1
 """
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, vec_id, adc) — top-k by asymmetric distance
+    computation over the PQ codes: per query, a lookup table of
+    query-subvector→codeword distances (M_SUB·K_PQ rounded doubles)
+    replaces the full-vector scan, so each corpus vector costs M_SUB
+    table lookups instead of d multiplies — the classical PQ search
+    (Jégou et al.) that makes exhaustive scans affordable at 10⁹
+    vectors.
+
+    Plan shape: the LUT is queries × codebook (Q·M_SUB·K_PQ rows, tiny)
+    and broadcasts; the codes table joins it on (sub, code) and
+    map-side-combines the per-subspace sum into (query_id, vec_id) —
+    one scan of the codes, one bounded aggregation, no shuffle of
+    vector-width data."""
+    return ann_pq_topk_df(_emb_double(spark, sf_dir))
+
+
+def ann_pq_topk_df(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+    codebook = _pq_codebook(emb)
+    codes = _pq_assign(_subvectors(emb), codebook).select(
+        "vec_id", "sub", F.col("cid").alias("code")
+    )
+    qsv = _subvectors(emb.where(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    lut = qsv.join(codebook, on="sub").select(
+        "query_id", "sub", F.col("cid").alias("code"),
+        _sqdist(F.col("qsv"), F.col("cvec")).alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), on=["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 4).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "adc")
+    )
+
+
+ANN_PQ_TOPK_SQL = f"""
+WITH {_PQ_BODY},
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT e.vec_id, e.sub, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.sub ORDER BY {_SV_SQD_SQL}, c.cid) AS nn
+    FROM sv e JOIN {_PQ_FINAL} c ON c.sub = e.sub
+  ) WHERE nn = 1
+),
+lut AS MATERIALIZED (
+  SELECT e.vec_id AS query_id, e.sub, c.cid AS code, {_SV_SQD_SQL} AS d
+  FROM sv e JOIN {_PQ_FINAL} c ON c.sub = e.sub
+  WHERE e.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT l.query_id, x.vec_id, ROUND(SUM(l.d), 4) AS adc
+  FROM codes x JOIN lut l ON l.sub = x.sub AND l.code = x.code
+  WHERE x.vec_id <> l.query_id
+  GROUP BY l.query_id, x.vec_id
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS INTEGER) AS rank,
+       vec_id, adc
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""

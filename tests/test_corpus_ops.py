@@ -725,3 +725,26 @@ def test_pq_codes_shape_and_lloyd_descent(spark):
     )
     err0 = sim._pq_assign(sv, seeds).agg(F.sum("d")).first()[0]
     assert agg["err"] < err0
+
+
+def test_pq_adc_respects_cluster_structure(spark):
+    """On data PQ can actually represent — K_PQ well-separated clusters
+    per subspace — ADC top-k stays entirely within the query's cluster.
+    (The isotropic parquet fixture is PQ's adversarial floor, like IVF's;
+    the oracle gate covers exactness there, this covers semantics.)"""
+    import numpy as np
+    from ed_twitter_spark.operators import similarity as sim
+
+    rs = np.random.RandomState(11)
+    centers = rs.randn(sim.K_PQ, sim.EMB_DIMS) * 10.0
+    rows = []
+    for i in range(48):
+        c = i % sim.K_PQ
+        v = centers[c] + rs.randn(sim.EMB_DIMS) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = sim.ann_pq_topk_df(emb, n_queries=4).collect()
+    assert len(out) == 4 * sim.TOP_K
+    for r in out:
+        # query i sits in cluster i % K_PQ; every retrieved neighbor must too
+        assert r["vec_id"] % sim.K_PQ == r["query_id"] % sim.K_PQ
