@@ -1858,3 +1858,89 @@ SELECT v AS vertex_id, ROUND(pr, 8) AS ppr FROM {prev}
 
 def q_kg_ppr(spark, sf_dir: str) -> DataFrame:
     return kg_ppr(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# KG growth curve — how much of the final graph exists by X% of each
+# conversation (the ingest-planning signal: early-saturating graphs can
+# emit edges from streaming prefixes; late-binding ones cannot)
+# ---------------------------------------------------------------------------
+
+
+def kg_snapshot_growth(edges: DataFrame) -> DataFrame:
+    """(decile, new_edges, cum_edges) — canonical co-occurrence edges
+    bucketed by the conversation-relative decile at which they were FIRST
+    established (both endpoints seen; earliest across asserting
+    conversations), with the running total.
+
+    Same (conv, vertex) aggregation + bounded self-join as
+    ``kg_edge_evidence``; the cumulative sum runs over ≤10 rows, so the
+    final window is driver-trivial at any corpus size."""
+    per_conv_max = edges.where(F.col("obj_vertex").isNotNull()).groupBy(
+        "conv_id"
+    ).agg(F.max("turn_idx").alias("mt"))
+    cv = (
+        edges.where(F.col("obj_vertex").isNotNull())
+        .groupBy("conv_id", F.col("obj_vertex").alias("v"))
+        .agg(F.min("turn_idx").alias("first_turn"))
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    est = (
+        a.join(b, on="conv_id")
+        .where(F.col("a.v") < F.col("b.v"))
+        .join(per_conv_max, on="conv_id")
+        .select(
+            F.col("a.v").alias("src"),
+            F.col("b.v").alias("dst"),
+            F.floor(
+                F.lit(10)
+                * F.greatest("a.first_turn", "b.first_turn")
+                / (F.col("mt") + 1)
+            ).cast("int").alias("decile"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("decile").alias("decile"))
+    )
+    per_decile = est.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("new_edges")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.select(
+        "decile",
+        "new_edges",
+        F.sum("new_edges").over(w).cast("long").alias("cum_edges"),
+    )
+
+
+def kg_snapshot_growth_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + """,
+pcm AS (SELECT conv_id, MAX(turn_idx) AS mt FROM kge
+        WHERE obj_vertex IS NOT NULL GROUP BY conv_id),
+cv AS (
+  SELECT conv_id, obj_vertex AS v, MIN(turn_idx) AS first_turn
+  FROM kge WHERE obj_vertex IS NOT NULL GROUP BY conv_id, obj_vertex
+),
+est AS (
+  SELECT a.v AS src, b.v AS dst,
+         MIN(CAST(FLOOR(10 * GREATEST(a.first_turn, b.first_turn)
+                        / (m.mt + 1)) AS INTEGER)) AS decile
+  FROM cv a
+  JOIN cv b ON a.conv_id = b.conv_id AND a.v < b.v
+  JOIN pcm m ON m.conv_id = a.conv_id
+  GROUP BY a.v, b.v
+),
+pd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_edges
+       FROM est GROUP BY decile)
+SELECT decile, new_edges,
+       CAST(SUM(new_edges) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_edges
+FROM pd
+"""
+    )
+
+
+def q_kg_snapshot_growth(spark, sf_dir: str) -> DataFrame:
+    return kg_snapshot_growth(q_kg_edges(spark, sf_dir))

@@ -322,3 +322,74 @@ SELECT conv_id, tool_turn_idx, answer_turn_idx,
              / CAST(len(ans_toks) AS DOUBLE), 6) AS grounding_ratio
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# the composed SFT dataset build — extraction→quality→dedup→split as ONE query
+# ---------------------------------------------------------------------------
+
+SFT_MIN_PROMPT_TOKENS = 3
+SFT_MIN_RESPONSE_TOKENS = 3
+SFT_TRAIN_PCT = 80  # md5-bucket split, same convention as dataset_split
+
+
+def sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end SFT dataset build as ONE composed query (the
+    transcript-side twin of ``corpus_pipeline``): mine pairs → quality
+    floor (min prompt/response tokens) → exact dedup on (prompt,
+    response) keeping the earliest occurrence → deterministic md5-bucket
+    train/val split. One oracle pins the stage ORDER, not just each
+    stage: a pair deduped away must never reach the split.
+
+    Scale shape: the dedup groupBy keys on the pair text (same shuffle
+    budget as dedup_exact); the split is a pure map (md5 of the prompt),
+    so the composition adds exactly ONE Exchange beyond sft_pairs."""
+    p = sft_pairs_df(synth.transcripts(spark, sf_dir)).where(
+        (F.col("prompt_tokens") >= SFT_MIN_PROMPT_TOKENS)
+        & (F.col("response_tokens") >= SFT_MIN_RESPONSE_TOKENS)
+    )
+    w = Window.partitionBy("prompt", "response").orderBy(
+        "conv_id", "prompt_turn_idx"
+    )
+    deduped = (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("prompt")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    return deduped.select(
+        "conv_id",
+        "prompt_turn_idx",
+        "prompt",
+        "response",
+        "prompt_tokens",
+        "response_tokens",
+        F.when(bucket < SFT_TRAIN_PCT, "train").otherwise("val").alias("split"),
+    )
+
+
+SFT_PIPELINE_SQL = f"""
+WITH pairs AS ({SFT_PAIRS_SQL}),
+q AS (
+  SELECT * FROM pairs
+  WHERE prompt_tokens >= {SFT_MIN_PROMPT_TOKENS}
+    AND response_tokens >= {SFT_MIN_RESPONSE_TOKENS}
+),
+d AS (
+  SELECT * FROM (
+    SELECT q.*,
+           ROW_NUMBER() OVER (PARTITION BY prompt, response
+                              ORDER BY conv_id, prompt_turn_idx) AS rn
+    FROM q
+  ) WHERE rn = 1
+)
+SELECT conv_id, prompt_turn_idx, prompt, response,
+       prompt_tokens, response_tokens,
+       CASE WHEN CAST(('0x' || substr(md5(prompt), 1, 8)) AS BIGINT) % 100
+                 < {SFT_TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM d
+"""

@@ -134,3 +134,42 @@ SELECT role, next_role,
 FROM p WHERE next_role IS NOT NULL
 GROUP BY role, next_role
 """
+
+
+def turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(role, next_role, n, avg_latency_us, max_latency_us) — response
+    latency per adjacent role transition (the time-to-respond profile an
+    agent-serving team watches). Integer-microsecond arithmetic end to
+    end, so the cross-engine averages are exact after one ROUND."""
+    t = synth.transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pairs = (
+        t.select("conv_id", "turn_idx", "role", us.alias("us"))
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("lat", F.lead("us").over(w) - F.col("us"))
+        .where(F.col("next_role").isNotNull())
+    )
+    return pairs.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("lat"), 4).alias("avg_latency_us"),
+        F.max("lat").cast("long").alias("max_latency_us"),
+    )
+
+
+TURN_LATENCY_SQL = f"""
+WITH t AS ({synth.TRANSCRIPTS_SQL}),
+p AS (
+  SELECT conv_id, role,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - epoch_us(ts) AS lat
+  FROM t
+)
+SELECT role, next_role,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(lat), 4)       AS avg_latency_us,
+       CAST(MAX(lat) AS BIGINT) AS max_latency_us
+FROM p WHERE next_role IS NOT NULL
+GROUP BY role, next_role
+"""

@@ -435,6 +435,9 @@ def _register_graph():
     register("kg_edge_evidence", graph_ops.kg_edge_evidence_oracle_sql())(
         graph_ops.q_kg_edge_evidence
     )
+    register("kg_snapshot_growth", graph_ops.kg_snapshot_growth_oracle_sql())(
+        graph_ops.q_kg_snapshot_growth
+    )
     register("kg_ntriples", graph_ops.kg_ntriples_oracle_sql())(graph_ops.q_kg_ntriples)
     register("kg_bfs_hops", graph_ops.kg_bfs_hops_oracle_sql())(graph_ops.q_kg_bfs_hops)
     register("kg_eigencentrality", graph_ops.kg_eigencentrality_oracle_sql())(
@@ -783,6 +786,14 @@ def _register_sessions():
         sft_ops.preference_pairs
     )
     register("tool_grounding", sft_ops.TOOL_GROUNDING_SQL)(sft_ops.tool_grounding)
+    register("sft_pipeline", sft_ops.SFT_PIPELINE_SQL)(sft_ops.sft_pipeline)
+
+    from ed_twitter_spark.operators.transcript_stats import (
+        TURN_LATENCY_SQL,
+        turn_latency,
+    )
+
+    register("turn_latency", TURN_LATENCY_SQL)(turn_latency)
 
     from ed_twitter_spark.operators import funnels as fnl
 

@@ -904,3 +904,21 @@ def test_edge_evidence_provenance_by_hand(spark):
     assert r["support"] == 1 + 1  # min(1,2) in cA + min(1,1) in cB
     assert r["first_established"] == 1  # max(0,1) in cA
     assert r["last_refreshed"] == 7  # max(5,7) in cB
+
+
+def test_snapshot_growth_deciles_by_hand(spark):
+    """One 10-turn conv: vertices 1,2 appear at turn 0, vertex 3 at turn
+    9 → edge (1,2) established decile 0; (1,3),(2,3) at decile 9
+    (floor(10·9/10)); cumulative 1 → 3."""
+    from ed_twitter_spark.operators.graph import kg_snapshot_growth
+
+    rows = [("c", 1, 0), ("c", 2, 0), ("c", 3, 9)]
+    edges = spark.createDataFrame(
+        [(c, v, t, f"{c}#{t}", 0.5) for c, v, t in rows],
+        "conv_id string, obj_vertex bigint, turn_idx int, subj string, score double",
+    )
+    got = {
+        r["decile"]: (r["new_edges"], r["cum_edges"])
+        for r in kg_snapshot_growth(edges).collect()
+    }
+    assert got == {0: (1, 1), 9: (2, 3)}

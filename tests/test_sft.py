@@ -109,3 +109,29 @@ def test_preference_pairs_block_and_rank(spark, monkeypatch):
     assert r["block_key"] == "how to"
     assert r["chosen_conv"] == "X" and r["rejected_conv"] == "Y"
     assert r["chosen_tokens"] == 7 and r["rejected_tokens"] == 2
+
+
+def test_sft_pipeline_stage_order(spark, monkeypatch):
+    """Quality floor drops the short response; dedup keeps the EARLIEST
+    duplicate; the split hashes the prompt — and a deduped pair never
+    reaches the split (stage order)."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import sft
+
+    rows = [
+        ("B", 0, "user", "same question again asked"),   # dup, later conv…
+        ("B", 1, "assistant", "identical answer text here"),
+        ("A", 0, "user", "same question again asked"),   # …A wins (conv order)
+        ("A", 1, "assistant", "identical answer text here"),
+        ("C", 0, "user", "short reply please now"),
+        ("C", 1, "assistant", "ok"),                     # fails response floor
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    monkeypatch.setattr(synth, "transcripts", lambda s, d: df)
+    got = sft.sft_pipeline(spark, "unused").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["conv_id"] == "A"  # earliest (conv_id, turn) kept
+    assert r["split"] in ("train", "val")
