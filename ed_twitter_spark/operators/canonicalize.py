@@ -331,3 +331,119 @@ def components_for(spark, sf_dir: str) -> DataFrame:
 def canonicalize(spark, sf_dir: str) -> DataFrame:
     """Registry query: CC labels over the prior-linker triples at sf_dir."""
     return components_for(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy canonicalization: SymSpell deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+#
+# Exact surface equivalence (above) misses near-identical spellings —
+# typos, singular/plural, numbered alias variants. The classic
+# KG-construction fix is alias merging under a small edit distance. An
+# all-pairs levenshtein join is O(n²) and dies at KB scale; SymSpell-style
+# deletion blocking is the scalable shape: two surfaces are within
+# edit distance 1 iff their deletion-1 neighborhoods (the string itself +
+# every single-character deletion) intersect. Each surface fans out to
+# len+1 variants (bounded: surfaces are short), candidate pairs come from
+# ONE equi-join on the variant key, and a cheap levenshtein post-filter
+# removes the false candidates the intersection admits (e.g. transposed
+# pairs like "ab"/"ba" share deletion variants but are distance 2).
+# At 10⁹ surfaces this is Σ|surface| join rows instead of n² — the same
+# bucketed-not-all-pairs discipline as the dedup ladder.
+
+
+def fuzzy_alias_pairs(surfaces: DataFrame) -> DataFrame:
+    """(src, dst) with src < dst and levenshtein(src, dst) <= 1, from a
+    (surface string) DataFrame. Deletion-blocked, never all-pairs."""
+    s = F.col("surface")
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - F.lit(1)),
+            F.substring(s, i + F.lit(1), F.length(s)),
+        ),
+    )
+    variants = surfaces.select(
+        "surface",
+        F.explode(F.array_union(F.array(s), deletions)).alias("variant"),
+    )
+    a = variants.select(F.col("surface").alias("src"), "variant")
+    b = variants.select(F.col("surface").alias("dst"), "variant")
+    return (
+        a.join(b, "variant")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .where(F.levenshtein("src", "dst") <= 1)
+    )
+
+
+def fuzzy_canonical_labels(surfaces: DataFrame) -> DataFrame:
+    """(surface, canonical) — canonical = min surface of the connected
+    component under edit-distance-1 alias edges; singletons map to
+    themselves (left join + coalesce, so the label table covers the whole
+    universe, not just surfaces that found a fuzzy partner)."""
+    labels = connected_components(fuzzy_alias_pairs(surfaces))
+    return (
+        surfaces.join(
+            labels.select(F.col("node").alias("surface"), "component"),
+            "surface",
+            "left",
+        )
+        .select("surface", F.coalesce("component", F.col("surface")).alias("canonical"))
+    )
+
+
+CANONICALIZE_FUZZY_ORACLE_TEMPLATE = """
+WITH kb AS ({kb_sql}),
+u AS (
+  SELECT DISTINCT mention AS surface FROM kb
+  UNION
+  SELECT DISTINCT ent_name AS surface FROM kb
+),
+edges0 AS (
+  SELECT a.surface AS src, b.surface AS dst
+  FROM u a JOIN u b ON a.surface < b.surface
+  WHERE levenshtein(a.surface, b.surface) <= 1
+),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION
+  SELECT dst AS src, src AS dst FROM edges0
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r
+  FROM edges e JOIN reach ON e.dst = reach.node
+),
+labels AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT u.surface AS surface,
+       COALESCE(labels.component, u.surface) AS canonical
+FROM u LEFT JOIN labels ON u.surface = labels.node
+"""
+
+
+def canonicalize_fuzzy_oracle_sql() -> str:
+    from ed_twitter_spark import synth
+
+    sql = CANONICALIZE_FUZZY_ORACLE_TEMPLATE.format(
+        kb_sql=synth.KB_ALIAS_SQL
+    ).lstrip()
+    return "WITH RECURSIVE" + sql[len("WITH") :]
+
+
+def canonicalize_fuzzy(spark, sf_dir: str) -> DataFrame:
+    """Registry query: fuzzy alias merging over the KB surface universe
+    (mention surfaces ∪ entity names — near-identical spellings denote one
+    canonical form; on the synthetic KB this merges each token's E0_/E1_
+    candidate entities, the redirect-map analog the exact path can't see)."""
+    from ed_twitter_spark import synth
+
+    kb = synth.kb_alias(spark, sf_dir)
+    surfaces = (
+        kb.select(F.col("mention").alias("surface"))
+        .union(kb.select(F.col("ent_name").alias("surface")))
+        .distinct()
+    )
+    return fuzzy_canonical_labels(surfaces)

@@ -309,10 +309,15 @@ _register_embed()
 def _register_canonicalize():
     from ed_twitter_spark.operators.canonicalize import (
         canonicalize,
+        canonicalize_fuzzy,
+        canonicalize_fuzzy_oracle_sql,
         canonicalize_oracle_sql,
     )
 
     register("canonicalize", canonicalize_oracle_sql())(canonicalize)
+    register("canonicalize_fuzzy", canonicalize_fuzzy_oracle_sql())(
+        canonicalize_fuzzy
+    )
 
 
 _register_canonicalize()

@@ -152,3 +152,76 @@ def test_kg_degrees_single_shuffle(spark):
     plan_str = g.kg_degrees(g.q_kg_edges(spark, SF_SMOKE))._jdf.queryExecution().executedPlan().toString()
     # partial (map-side) aggregation must be present before the exchange
     assert "partial" in plan_str.lower()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy canonicalization (SymSpell deletion blocking + levenshtein filter)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_edit_kinds(spark):
+    """Blocking must find substitution, insertion and deletion pairs, and
+    the post-filter must reject transpositions (distance 2) that share
+    deletion variants."""
+    from ed_twitter_spark.operators.canonicalize import fuzzy_alias_pairs
+
+    surfaces = ["abc", "axc", "abxc", "ab", "ba", "zzz"]
+    df = spark.createDataFrame([(s,) for s in surfaces], ["surface"])
+    got = {tuple(r) for r in fuzzy_alias_pairs(df).collect()}
+    expected = {
+        tuple(sorted((a, b)))
+        for i, a in enumerate(surfaces)
+        for b in surfaces[i + 1 :]
+        if _lev(a, b) <= 1
+    }
+    assert ("ab", "ba") not in got  # transposition: distance 2
+    assert got == expected
+
+
+def test_fuzzy_pairs_match_brute_force(spark):
+    """Deletion-neighborhood blocking is complete for distance <= 1: on a
+    random short-string universe the blocked join equals all-pairs."""
+    rng = random.Random(7)
+    alpha = "abcd"
+    surfaces = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(1, 5))) for _ in range(60)}
+    )
+    from ed_twitter_spark.operators.canonicalize import fuzzy_alias_pairs
+
+    df = spark.createDataFrame([(s,) for s in surfaces], ["surface"])
+    got = {tuple(r) for r in fuzzy_alias_pairs(df).collect()}
+    expected = {
+        (a, b)
+        for i, a in enumerate(surfaces)
+        for b in surfaces[i + 1 :]
+        if _lev(a, b) <= 1
+    }
+    assert got == expected
+
+
+def test_fuzzy_labels_cover_singletons(spark):
+    from ed_twitter_spark.operators.canonicalize import fuzzy_canonical_labels
+
+    df = spark.createDataFrame(
+        [("kitten",), ("sitten",), ("sitting",), ("lonely",)], ["surface"]
+    )
+    labels = dict(fuzzy_canonical_labels(df).collect())
+    # kitten<->sitten merge (substitution); sitting is distance 2 from both
+    assert labels == {
+        "kitten": "kitten",
+        "sitten": "kitten",
+        "sitting": "sitting",
+        "lonely": "lonely",
+    }
