@@ -1944,3 +1944,90 @@ FROM pd
 
 def q_kg_snapshot_growth(spark, sf_dir: str) -> DataFrame:
     return kg_snapshot_growth(q_kg_edges(spark, sf_dir))
+
+
+def kg_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row (m_edges, sum_deg, sum_deg_sq, sum_deg_prod, assortativity):
+    Newman's degree-assortativity coefficient of the co-occurrence graph —
+    do hubs link to hubs (r > 0, social-network shape) or to leaves
+    (r < 0, hub-and-spoke shape)? The single scalar that tells a KG
+    operator which join-skew regime the graph is in.
+
+    Over the symmetric directed edge list with x = deg(src), y = deg(dst):
+    r = (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²)  — the Pearson correlation of
+    endpoint degrees; symmetry gives Σx = Σy and Σx² = Σy², collapsing the
+    usual sqrt denominator. The three sums are one map-side-combined
+    aggregation over the edge list after two vertex-table-sized broadcast
+    joins attach endpoint degrees — the 10^12-row side shuffles zero times
+    beyond the co-occurrence build itself. Sums are exact BIGINTs; the
+    final combination happens in DOUBLE on both engines (identical inputs
+    → identical rounded output; at extreme scale the combination is
+    double-precision-limited either way, so the contract is explicit).
+    A degree-regular graph has zero variance → assortativity NULL.
+    """
+    e = cooccurrence_edges(edges)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ex = e.join(F.broadcast(deg), on="src").join(
+        F.broadcast(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_dst"))
+        ),
+        on="dst",
+    )
+    agg = ex.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum("deg").alias("sum_deg"),
+        F.sum(F.col("deg") * F.col("deg")).alias("sum_deg_sq"),
+        F.sum(F.col("deg") * F.col("deg_dst")).alias("sum_deg_prod"),
+    )
+    m = F.col("m_edges").cast("double")
+    sx = F.col("sum_deg").cast("double")
+    sxx = F.col("sum_deg_sq").cast("double")
+    sxy = F.col("sum_deg_prod").cast("double")
+    den = m * sxx - sx * sx
+    return agg.select(
+        "m_edges",
+        "sum_deg",
+        "sum_deg_sq",
+        "sum_deg_prod",
+        F.when(den != 0, F.round((m * sxy - sx * sx) / den, 6)).alias(
+            "assortativity"
+        ),
+    )
+
+
+def kg_assortativity_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + """,
+cv AS (SELECT DISTINCT conv_id, obj_vertex AS v FROM kge WHERE obj_vertex IS NOT NULL),
+coedges AS (
+  SELECT DISTINCT a.v AS src, b.v AS dst
+  FROM cv a JOIN cv b ON a.conv_id = b.conv_id AND a.v <> b.v
+),
+degs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM coedges GROUP BY src),
+ex AS (
+  SELECT d1.deg AS x, d2.deg AS y
+  FROM coedges e JOIN degs d1 ON d1.src = e.src JOIN degs d2 ON d2.src = e.dst
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT)    AS m_edges,
+         CAST(SUM(x) AS BIGINT)      AS sum_deg,
+         CAST(SUM(x * x) AS BIGINT)  AS sum_deg_sq,
+         CAST(SUM(x * y) AS BIGINT)  AS sum_deg_prod
+  FROM ex
+)
+SELECT m_edges, sum_deg, sum_deg_sq, sum_deg_prod,
+       CASE WHEN CAST(m_edges AS DOUBLE) * CAST(sum_deg_sq AS DOUBLE)
+                 - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE) <> 0
+            THEN ROUND((CAST(m_edges AS DOUBLE) * CAST(sum_deg_prod AS DOUBLE)
+                        - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE))
+                       / (CAST(m_edges AS DOUBLE) * CAST(sum_deg_sq AS DOUBLE)
+                          - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE)), 6)
+       END AS assortativity
+FROM sums
+"""
+    )
+
+
+def q_kg_assortativity(spark, sf_dir: str) -> DataFrame:
+    return kg_assortativity(q_kg_edges(spark, sf_dir))

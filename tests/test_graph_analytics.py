@@ -922,3 +922,45 @@ def test_snapshot_growth_deciles_by_hand(spark):
         for r in kg_snapshot_growth(edges).collect()
     }
     assert got == {0: (1, 1), 9: (2, 3)}
+
+
+def _assort_edges(spark, convs):
+    rows = [
+        (c, v, f"{c}#s#{i}", 0.5)
+        for i, (c, vs) in enumerate(convs)
+        for v in vs
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, obj_vertex bigint, subj string, score double"
+    )
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from ed_twitter_spark.operators.graph import kg_assortativity
+
+    # K1,3 star: hub 0 co-occurs with each leaf in its own conversation.
+    # Endpoint-degree pairs (3,1)x3 and (1,3)x3 -> r = -1 exactly.
+    e = _assort_edges(spark, [("c1", [0, 1]), ("c2", [0, 2]), ("c3", [0, 3])])
+    row = kg_assortativity(e).collect()[0]
+    assert row["m_edges"] == 6
+    assert row["assortativity"] == pytest.approx(-1.0)
+
+
+def test_assortativity_equal_degree_components_is_plus_one(spark):
+    from ed_twitter_spark.operators.graph import kg_assortativity
+
+    # triangle (deg 2) + disjoint edge (deg 1): every edge joins equal
+    # degrees but degrees vary across the graph -> r = +1 exactly.
+    e = _assort_edges(spark, [("c1", [0, 1, 2]), ("c2", [7, 8])])
+    row = kg_assortativity(e).collect()[0]
+    assert row["m_edges"] == 8
+    assert row["assortativity"] == pytest.approx(1.0)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from ed_twitter_spark.operators.graph import kg_assortativity
+
+    # single triangle: all degrees equal -> zero variance -> NULL
+    e = _assort_edges(spark, [("c1", [0, 1, 2])])
+    row = kg_assortativity(e).collect()[0]
+    assert row["assortativity"] is None
