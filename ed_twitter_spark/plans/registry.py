@@ -829,6 +829,15 @@ def _register_sessions():
 
     register("stream_link", _LINK_PRIOR_ORACLE)(slink.stream_link_query)
 
+    # the whole KG-construction chain (mentions → candidates → argmax →
+    # canonical edge re-pointing) as one stateless streaming plan; oracle =
+    # the batch kg_edges SQL verbatim (batch ≡ stream end to end)
+    from ed_twitter_spark.operators import graph as _graph_ops
+
+    register("stream_kg_edges", _graph_ops.kg_edges_oracle_sql())(
+        slink.stream_kg_edges_query
+    )
+
     # stateful streaming twin of distinct_sketch: the 256-register HLL
     # table maintained as streaming-aggregation state; oracle = the batch
     # estimate algebra (batch ≡ stream across micro-batch splits)

@@ -73,9 +73,14 @@ def run_link_once(
     max_files_per_trigger: int | None = 2,
     query_name: str = "stream_link",
     out_dir: str | None = None,
+    plan=None,
 ) -> DataFrame:
     """Bounded replay (availableNow) of the staged turn stream through the
     streaming linker; returns the emitted triples.
+
+    ``plan`` overrides the streamed dataflow: a callable
+    ``stream_df -> DataFrame`` (default: ``link_stream`` against the sf_dir
+    KB) — used by the KG-edge stream to extend the plan past the linker.
 
     ``max_files_per_trigger=2`` forces several micro-batches so the replay
     exercises incremental processing, not a single batch in disguise; the
@@ -93,7 +98,11 @@ def run_link_once(
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    triples = link_stream(reader.parquet(src_dir), synth.kb_alias(spark, sf_dir))
+    stream_src = reader.parquet(src_dir)
+    if plan is None:
+        triples = link_stream(stream_src, synth.kb_alias(spark, sf_dir))
+    else:
+        triples = plan(stream_src)
     writer = (
         triples.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -123,4 +132,46 @@ def stream_link_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_transcripts(spark, sf_dir, src)
     return run_link_once(
         spark, src, sf_dir, query_name=f"stream_link_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def kg_edge_stream(
+    turns_stream: DataFrame, kb_df: DataFrame, components_df: DataFrame
+) -> DataFrame:
+    """The FULL KG-construction pipeline as one stateless streaming plan:
+    turns → mentions → broadcast KB candidates → prior argmax →
+    canonical-edge re-pointing (a second stream-static broadcast join
+    against the component-label dimension). Still zero state and zero
+    stream-side shuffle — the canonical labels, like the KB, are a
+    dimension snapshot broadcast per micro-batch, so cumulative output ≡
+    the batch `kg_edges` table on the same input (the registry oracle is
+    that SQL verbatim). Label refresh = query restart, same as KB refresh
+    (checkpoint holds only source offsets)."""
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_edges(link_stream(turns_stream, kb_df), components_df)
+
+
+def stream_kg_edges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: stage → bounded replay → emitted canonical edges.
+
+    Oracle = the batch `kg_edges` SQL — batch≡stream for the whole
+    linking + materialization chain, checked value-exact by the driver."""
+    import uuid
+
+    from ed_twitter_spark.operators.canonicalize import components_for
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_link_src_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    stage_transcripts(spark, sf_dir, src)
+    kb = synth.kb_alias(spark, sf_dir)
+    components = components_for(spark, sf_dir)
+    return run_link_once(
+        spark,
+        src,
+        sf_dir,
+        query_name=f"stream_kg_edges_{uuid.uuid4().hex[:8]}",
+        plan=lambda s: kg_edge_stream(s, kb, components),
     )

@@ -61,3 +61,32 @@ def test_stream_link_incremental_restart(spark, tmp_path):
     assert out2.count() == full.count()
     assert out2.exceptAll(full).count() == 0
     assert full.exceptAll(out2).count() == 0
+
+
+def test_stream_kg_edges_incremental_restart(spark, tmp_path):
+    """The full KG-edge stream (linker + canonical re-pointing) resumed
+    from a checkpoint after new turns land emits exactly the batch
+    kg_edges table for the union — no re-emission, no gaps."""
+    from ed_twitter_spark.operators import graph as graph_ops
+    from ed_twitter_spark.operators.canonicalize import components_for
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    turns = synth.transcripts(spark, SF_SMOKE)
+    kb = synth.kb_alias(spark, SF_SMOKE)
+    components = components_for(spark, SF_SMOKE)
+    plan = lambda s: slink.kg_edge_stream(s, kb, components)  # noqa: E731
+
+    turns.where("doc_id % 2 = 0").write.mode("overwrite").parquet(src)
+    slink.run_link_once(
+        spark, src, SF_SMOKE, checkpoint_dir=ckpt, out_dir=out, plan=plan
+    )
+    turns.where("doc_id % 2 = 1").write.mode("append").parquet(src)
+    out2 = slink.run_link_once(
+        spark, src, SF_SMOKE, checkpoint_dir=ckpt, out_dir=out, plan=plan
+    )
+    batch = graph_ops.kg_edges(_batch_triples(spark, src), components)
+    assert out2.count() == batch.count()
+    assert out2.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out2).count() == 0
