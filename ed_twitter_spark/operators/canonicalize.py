@@ -447,3 +447,58 @@ def canonicalize_fuzzy(spark, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return fuzzy_canonical_labels(surfaces)
+
+
+# ---------------------------------------------------------------------------
+# Incremental canonicalization: fold new edges into an existing label table
+# ---------------------------------------------------------------------------
+
+
+def incremental_components(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """(node, component) — the label table after newly-landed equivalence
+    edges are folded in, WITHOUT recomputing CC from the full edge history.
+
+    An existing label table is a contracted view of every edge ever seen:
+    (node → component) edges preserve exactly the old partition. CC over
+    (label edges ∪ new edges) therefore equals CC over (all old edges ∪
+    new edges), but the input is |nodes| + |new| rows instead of the full
+    history, and the effective diameter is ~2 (old structure is pre-
+    contracted stars), so the distributed loop converges in a couple of
+    rounds no matter how deep the historical graph was. This is the daily
+    ingest shape: labels live in the warehouse, each increment folds only
+    the new day's edges (the CC twin of `plans/incremental.py`'s triple
+    partial-fold).
+    """
+    label_edges = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    return connected_components(
+        label_edges.union(new_edges.select("src", "dst"))
+    )
+
+
+def canonicalize_incremental(spark, sf_dir: str) -> DataFrame:
+    """Registry query: build labels from the even-doc half of the corpus,
+    then fold the odd-doc half's equivalence edges in incrementally. The
+    per-mention argmax is row-local given the (global) KB, so the two
+    halves' triple sets partition the full triple set and the folded
+    result must equal the full recompute — the oracle is `canonicalize`'s
+    full-history SQL verbatim."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import candidates as cand_ops
+    from ed_twitter_spark.operators import mentions as mention_ops
+
+    turns = synth.transcripts(spark, sf_dir)
+    kb = synth.kb_alias(spark, sf_dir)
+
+    def half_edges(parity: int) -> DataFrame:
+        triples = cand_ops.link_prior_argmax(
+            cand_ops.gen_candidates(
+                mention_ops.detect_mentions(turns.where(f"doc_id % 2 = {parity}")),
+                kb,
+            )
+        )
+        return surface_equivalence_edges(triples, kb)
+
+    base = connected_components(half_edges(0))
+    return incremental_components(base, half_edges(1))

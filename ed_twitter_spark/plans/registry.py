@@ -318,6 +318,13 @@ def _register_canonicalize():
     register("canonicalize_fuzzy", canonicalize_fuzzy_oracle_sql())(
         canonicalize_fuzzy
     )
+    # incremental fold of new equivalence edges into an existing label
+    # table; must equal the full-history recompute → same oracle verbatim
+    from ed_twitter_spark.operators.canonicalize import canonicalize_incremental
+
+    register("canonicalize_incremental", canonicalize_oracle_sql())(
+        canonicalize_incremental
+    )
 
 
 _register_canonicalize()

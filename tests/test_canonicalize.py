@@ -225,3 +225,28 @@ def test_fuzzy_labels_cover_singletons(spark):
         "sitting": "sitting",
         "lonely": "lonely",
     }
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """Folding a second batch of edges into contracted labels must equal
+    CC over the union — including merges that join two old components."""
+    from ed_twitter_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = [("a", "b"), ("c", "d"), ("x", "y")]
+    new_edges = [("b", "c"), ("y", "z"), ("p", "q")]  # merge, extend, new
+    base = connected_components(spark.createDataFrame(old_edges, ["src", "dst"]))
+    inc = dict(
+        incremental_components(
+            base, spark.createDataFrame(new_edges, ["src", "dst"])
+        ).collect()
+    )
+    full = dict(
+        connected_components(
+            spark.createDataFrame(old_edges + new_edges, ["src", "dst"])
+        ).collect()
+    )
+    assert inc == full
+    assert inc["d"] == "a"  # the cross-component merge propagated
