@@ -135,3 +135,65 @@ FROM (SELECT v, COUNT(*) AS present, SUM(power(2.0, -m)) AS s_present
         + ",".join(blocks)
         + f"\nSELECT CAST(t AS INTEGER) AS t, nf FROM ({nf}) curve\n"
     )
+
+
+EFF_DIAMETER_FRACTION = 0.9
+
+
+def kg_effective_diameter(nf: DataFrame, fraction: float = EFF_DIAMETER_FRACTION) -> DataFrame:
+    """One-row (nf_max, threshold, eff_diameter): the ANF/HyperANF
+    effective diameter — the (linearly interpolated) smallest t at which
+    the neighborhood function reaches ``fraction`` of its plateau (Palmer
+    et al. 2002; Boldi & Vigna 2013 §5). THE one-number answer to "how many
+    hops apart is this KG", and the classic consumer of the HyperBall
+    curve. Input is the (t, nf) frame from :func:`hyperball_nf` — 4 rows,
+    so the unpartitioned window is a non-issue; both engines interpolate
+    the identical register-exact curve, so the output is value-exact."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("t")
+    m = nf.agg(F.max("nf").alias("nf_max"))
+    j = nf.withColumn("prev_nf", F.lag("nf").over(w)).crossJoin(m)
+    first = (
+        j.where(F.col("nf") >= F.lit(fraction) * F.col("nf_max"))
+        .orderBy("t")
+        .limit(1)
+    )
+    thr = F.lit(fraction) * F.col("nf_max")
+    return first.select(
+        "nf_max",
+        F.round(thr, 4).alias("threshold"),
+        F.round(
+            F.when(F.col("t") == 0, F.lit(0.0)).otherwise(
+                F.col("t")
+                - 1
+                + (thr - F.col("prev_nf")) / (F.col("nf") - F.col("prev_nf"))
+            ),
+            4,
+        ).alias("eff_diameter"),
+    )
+
+
+def q_kg_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kg_effective_diameter(kg_hyperball(spark, sf_dir))
+
+
+def kg_effective_diameter_oracle_sql(
+    iters: int = HB_ITERS, fraction: float = EFF_DIAMETER_FRACTION
+) -> str:
+    return f"""
+WITH nfq AS ({kg_hyperball_oracle_sql(iters)}),
+mx AS (SELECT MAX(nf) AS nf_max FROM nfq),
+lagged AS (SELECT t, nf, LAG(nf) OVER (ORDER BY t) AS prev_nf FROM nfq),
+hit AS (
+  SELECT lagged.*, mx.nf_max FROM lagged, mx
+  WHERE nf >= {fraction} * mx.nf_max
+  ORDER BY t LIMIT 1
+)
+SELECT nf_max,
+       ROUND({fraction} * nf_max, 4) AS threshold,
+       ROUND(CASE WHEN t = 0 THEN 0.0
+                  ELSE t - 1 + ({fraction} * nf_max - prev_nf) / (nf - prev_nf)
+             END, 4) AS eff_diameter
+FROM hit
+"""

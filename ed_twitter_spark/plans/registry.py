@@ -502,6 +502,9 @@ def _register_graph():
     )(kg_embed_ops.kg_embed_transe_eval)
     from ed_twitter_spark.operators import hyperball as hyperball_ops
 
+    register("kg_effective_diameter", hyperball_ops.kg_effective_diameter_oracle_sql())(
+        hyperball_ops.q_kg_effective_diameter
+    )
     register("kg_hyperball", hyperball_ops.kg_hyperball_oracle_sql())(
         hyperball_ops.kg_hyperball
     )

@@ -964,3 +964,28 @@ def test_assortativity_regular_graph_is_null(spark):
     e = _assort_edges(spark, [("c1", [0, 1, 2])])
     row = kg_assortativity(e).collect()[0]
     assert row["assortativity"] is None
+
+
+def test_effective_diameter_interpolation(spark):
+    from ed_twitter_spark.operators.hyperball import kg_effective_diameter
+
+    # hand curve: plateau 100; 0.9*100=90 first reached between t=1 (60)
+    # and t=2 (95) -> 1 + (90-60)/(95-60) = 1.8571
+    nf = spark.createDataFrame(
+        [(0, 10.0), (1, 60.0), (2, 95.0), (3, 100.0)], "t int, nf double"
+    )
+    row = kg_effective_diameter(nf).collect()[0]
+    assert row["nf_max"] == 100.0
+    assert row["threshold"] == 90.0
+    assert row["eff_diameter"] == pytest.approx(1.8571)
+
+
+def test_effective_diameter_degenerate_zero(spark):
+    from ed_twitter_spark.operators.hyperball import kg_effective_diameter
+
+    # nf(0) already >= 90% of the plateau (near-edgeless graph) -> 0.0
+    nf = spark.createDataFrame(
+        [(0, 98.0), (1, 99.0), (2, 100.0), (3, 100.0)], "t int, nf double"
+    )
+    row = kg_effective_diameter(nf).collect()[0]
+    assert row["eff_diameter"] == 0.0
