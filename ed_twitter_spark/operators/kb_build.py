@@ -360,3 +360,70 @@ def rltd_filter_sql() -> str:
     from ed_twitter_spark.operators.mentions import mentions_sql
 
     return RLTD_FILTER_SQL.format(mentions_sql=mentions_sql())
+
+
+# ---------------------------------------------------------------------------
+# Incremental p(e|m) maintenance: additive partial counts + finalize
+# ---------------------------------------------------------------------------
+#
+# The prior table is built from an append-only anchor corpus, so its ONLY
+# mutable state is the (mention, ent_name) count — everything else
+# (total_freq, prior, rank, cap) is a deterministic finalize over the
+# counts. Daily ingest therefore keeps the partial-count table in the
+# warehouse and folds each new day with one union + re-sum (map-side
+# combined, KB-sized output); re-running the finalize yields a table
+# bit-identical to a from-scratch rebuild over the union — which is what
+# the registry oracle (the full kb_alias SQL verbatim) checks. This is the
+# KB twin of `plans/incremental.py`'s triple partial-fold and
+# `canonicalize_incremental`'s label fold.
+
+
+def kb_alias_partial_counts(anchors_df: DataFrame) -> DataFrame:
+    """(mention, ent_name, cnt) — the additive partial for one ingest slice."""
+    return anchors_df.groupBy("mention", "ent_name").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def kb_alias_fold(*partials: DataFrame) -> DataFrame:
+    """Sum any number of partial-count tables (all KB-sized)."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("mention", "ent_name").agg(F.sum("cnt").alias("cnt"))
+
+
+def kb_alias_finalize(counts: DataFrame) -> DataFrame:
+    """Counts → the full alias table: total_freq, 6-dp prior, rank, top-CAP.
+    Must stay expression-identical to synth._kb_alias's tail so the fold
+    path is bit-equal to the from-scratch build."""
+    w_tot = Window.partitionBy("mention")
+    w_rank = Window.partitionBy("mention").orderBy(F.desc("cnt"), F.asc("ent_name"))
+    return (
+        counts.withColumn("total_freq", F.sum("cnt").over(w_tot))
+        .withColumn("prior", F.round(F.col("cnt") / F.col("total_freq"), 6))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= CAP)
+        .select(
+            "mention",
+            synth.ent_id_col(F.col("ent_name")).alias("ent_id"),
+            "ent_name",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("total_freq").cast("long").alias("total_freq"),
+            "prior",
+            "rank",
+        )
+    )
+
+
+def kb_alias_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: partial counts over the even-doc slice folded with
+    the odd-doc slice, then finalized — must equal the from-scratch
+    kb_alias (oracle = synth.KB_ALIAS_SQL verbatim)."""
+    a = synth.anchors(spark, sf_dir)
+    return kb_alias_finalize(
+        kb_alias_fold(
+            kb_alias_partial_counts(a.where("doc_id % 2 = 0")),
+            kb_alias_partial_counts(a.where("doc_id % 2 = 1")),
+        )
+    )

@@ -619,6 +619,9 @@ def _register_kb_build():
     from ed_twitter_spark.operators import kb_build as kbb
 
     register("kb_alias_merged", kbb.KB_MERGED_SQL)(kbb.kb_alias_merged)
+    # additive partial-count fold + finalize must be bit-equal to the
+    # from-scratch build → the full kb_alias SQL verbatim as its oracle
+    register("kb_alias_incremental", synth.KB_ALIAS_SQL)(kbb.kb_alias_incremental)
     register("ent_name_normalize", kbb.ENT_NORMALIZE_SQL)(kbb.ent_name_normalize)
     register("mention_normalize", kbb.mention_normalize_sql())(kbb.mention_normalize)
     register("rltd_filter", kbb.rltd_filter_sql())(kbb.rltd_filter)

@@ -33,3 +33,25 @@ def test_eval_micro_f1_closed_form(spark):
     assert row["precision"] == row["recall"]
     assert 0.75 < row["recall"] < 0.85
     assert row["true_pos"] > 0
+
+
+def test_kb_alias_incremental_fold_equals_rebuild(spark):
+    """Three-way partial-count fold (uneven slices) must be row-identical
+    to the from-scratch kb_alias build."""
+    from ed_twitter_spark.operators.kb_build import (
+        kb_alias_finalize,
+        kb_alias_fold,
+        kb_alias_partial_counts,
+    )
+
+    a = synth.anchors(spark, SF_SMOKE)
+    folded = kb_alias_finalize(
+        kb_alias_fold(
+            kb_alias_partial_counts(a.where("doc_id % 3 = 0")),
+            kb_alias_partial_counts(a.where("doc_id % 3 = 1")),
+            kb_alias_partial_counts(a.where("doc_id % 3 = 2")),
+        )
+    )
+    full = synth.kb_alias(spark, SF_SMOKE)
+    assert folded.exceptAll(full).count() == 0
+    assert full.exceptAll(folded).count() == 0
