@@ -149,6 +149,9 @@ def bgp_query(
     optional_filters: list[str] | None = None,
     minus: list[tuple[str, str, str]] | None = None,
     minus_filters: list[str] | None = None,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns; return DISTINCT bindings.
 
@@ -176,6 +179,17 @@ def bgp_query(
       spec's quirk is preserved: a minus group sharing NO variable with
       the required group removes nothing (every solution is trivially
       incompatible), rather than erroring like a disconnected join.
+    * ``order_by`` / ``limit`` / ``offset`` — SPARQL solution modifiers,
+      applied in spec order (ORDER BY → OFFSET → LIMIT) AFTER the
+      DISTINCT projection. ``order_by`` entries are variable names,
+      ``-var`` for DESC. ORDER BY+LIMIT compiles to Spark's
+      TakeOrderedAndProject: each partition keeps its own top
+      (offset+limit) rows and only those reach the driver-side merge —
+      no global sort of the full solution set, which is what makes a
+      top-k over a 10^12-triple match affordable. For a deterministic
+      result the order keys must totally order the solutions (pass every
+      projected variable); a partial order leaves tie-breaking
+      engine-defined, as in SPARQL itself.
     """
     acc, bound = _compile_group(triples, patterns, filters)
 
@@ -207,7 +221,22 @@ def bgp_query(
     missing = [v for v in out if v not in bound]
     if missing:
         raise ValueError(f"select variables not bound by any pattern: {missing}")
-    return acc.select(*out).distinct()
+    res = acc.select(*out).distinct()
+    if order_by:
+        bad = [v.lstrip("-") for v in order_by if v.lstrip("-") not in out]
+        if bad:
+            raise ValueError(f"order_by variables not in the projection: {bad}")
+        res = res.orderBy(
+            *[
+                F.col(v[1:]).desc() if v.startswith("-") else F.col(v).asc()
+                for v in order_by
+            ]
+        )
+    if offset:
+        res = res.offset(offset)
+    if limit is not None:
+        res = res.limit(limit)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +304,35 @@ JOIN trip p3 ON p3.p = 'in_conv' AND p3.s = p1.s
 JOIN trip p4 ON p4.p = 'in_conv' AND p4.s = p2.s AND p4.o = p3.o
 WHERE p1.p = 'mentioned_by_user'
 """
+    )
+
+
+def kg_bgp_topk(spark, sf_dir: str) -> DataFrame:
+    """Gate query for the solution modifiers: the demo BGP paged with
+    ORDER BY c ASC, e DESC OFFSET 2 LIMIT 5. The two order keys are the
+    whole projection, so the page is totally ordered → value-exact
+    cross-engine; the Spark plan is TakeOrderedAndProject (per-partition
+    top-7, no global sort)."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    return bgp_query(
+        kg_triple_store(typed).localCheckpoint(),
+        BGP_DEMO_PATTERNS,
+        select=["c", "e"],
+        order_by=["c", "-e"],
+        limit=5,
+        offset=2,
+    )
+
+
+def kg_bgp_topk_oracle_sql() -> str:
+    return (
+        kg_bgp_query_oracle_sql()
+        + "ORDER BY c ASC, e DESC LIMIT 5 OFFSET 2\n"
     )
 
 

@@ -474,6 +474,7 @@ def _register_graph():
     from ed_twitter_spark.operators import bgp as bgp_ops
 
     register("kg_bgp_query", bgp_ops.kg_bgp_query_oracle_sql())(bgp_ops.kg_bgp_query)
+    register("kg_bgp_topk", bgp_ops.kg_bgp_topk_oracle_sql())(bgp_ops.kg_bgp_topk)
     register("kg_bgp_optional", bgp_ops.kg_bgp_optional_oracle_sql())(
         bgp_ops.kg_bgp_optional
     )

@@ -989,3 +989,58 @@ def test_effective_diameter_degenerate_zero(spark):
     )
     row = kg_effective_diameter(nf).collect()[0]
     assert row["eff_diameter"] == 0.0
+
+
+def test_bgp_solution_modifiers(tiny_triples):
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    # all mention triples, ordered by entity then mention desc, paged
+    ordered = bgp_query(
+        tiny_triples,
+        [("?m", "mentioned_by_user", "?e"), ("?m", "in_conv", "?c")],
+        select=["e", "m"],
+        order_by=["e", "-m"],
+    ).collect()
+    assert [(r["e"], r["m"]) for r in ordered] == [
+        ("e:E1", "c1#0#0"),
+        ("e:E2", "c1#0#1"),
+    ]
+    page = bgp_query(
+        tiny_triples,
+        [("?m", "?p", "?o")],
+        select=["m", "p", "o"],
+        order_by=["m", "p", "o"],
+        limit=2,
+        offset=1,
+    ).collect()
+    full = bgp_query(
+        tiny_triples, [("?m", "?p", "?o")], select=["m", "p", "o"],
+        order_by=["m", "p", "o"],
+    ).collect()
+    assert page == full[1:3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bgp_query(
+            tiny_triples,
+            [("?m", "mentioned_by_user", "?e")],
+            select=["e"],
+            order_by=["m"],  # not in the projection
+        )
+
+
+def test_bgp_topk_plan_is_take_ordered(tiny_triples):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
+    global Exchange+Sort of the full solution set."""
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    df = bgp_query(
+        tiny_triples,
+        [("?m", "?p", "?o")],
+        select=["m", "p", "o"],
+        order_by=["m", "p", "o"],
+        limit=3,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
