@@ -336,6 +336,59 @@ def kg_bgp_topk_oracle_sql() -> str:
     )
 
 
+def bgp_ask(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL ASK: one (matched boolean) row — does any solution exist?
+
+    Compiled as the BGP plan capped by LIMIT 1: Spark stops the scan at
+    the first produced row (CollectLimit short-circuit), so an ASK over a
+    10^12-triple store that matches early reads a few partitions, not the
+    table. The count(limit 1) > 0 trick keeps it one job and
+    oracle-comparable as a value."""
+    acc, _ = _compile_group(triples, patterns, filters)
+    probe = acc.limit(1).agg(F.count(F.lit(1)).alias("n"))
+    return probe.select((F.col("n") > 0).alias("matched"))
+
+
+def kg_bgp_ask(spark, sf_dir: str) -> DataFrame:
+    """Gate query: two ASKs union-ed — the demo cross-channel pattern
+    (expected true) and an impossible predicate (expected false), so the
+    gate pins both branches of the boolean."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    store = kg_triple_store(typed).localCheckpoint()
+    yes = bgp_ask(store, BGP_DEMO_PATTERNS)
+    no = bgp_ask(store, [("?m", "mentioned_by_nobody", "?e")])
+    return yes.select(F.lit("demo").alias("ask"), "matched").unionByName(
+        no.select(F.lit("impossible").alias("ask"), "matched")
+    )
+
+
+def kg_bgp_ask_oracle_sql() -> str:
+    # reuse the demo twin's CTE prefix (kge/typed/trip) and turn its final
+    # SELECT into a named solution set; both ASK branches are then real
+    # EXISTS probes over the same store — nothing is hardcoded
+    head, tail = kg_bgp_query_oracle_sql().rsplit("SELECT DISTINCT", 1)
+    return (
+        head.rstrip().rstrip(",")
+        + ",\ndemo AS (\nSELECT DISTINCT"
+        + tail
+        + """)
+SELECT 'demo' AS ask, EXISTS(SELECT 1 FROM demo) AS matched
+UNION ALL
+SELECT 'impossible' AS ask,
+       EXISTS(SELECT 1 FROM trip WHERE p = 'mentioned_by_nobody') AS matched
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate query: OPTIONAL + FILTER + a predicate variable
 # ---------------------------------------------------------------------------

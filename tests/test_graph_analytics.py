@@ -1044,3 +1044,31 @@ def test_bgp_topk_plan_is_take_ordered(tiny_triples):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bgp_ask_both_branches(tiny_triples):
+    from ed_twitter_spark.operators.bgp import BGP_DEMO_PATTERNS, bgp_ask
+
+    assert bgp_ask(tiny_triples, BGP_DEMO_PATTERNS).collect()[0]["matched"]
+    assert not bgp_ask(
+        tiny_triples, [("?m", "no_such_predicate", "?e")]
+    ).collect()[0]["matched"]
+    # FILTER participates in the probe
+    assert not bgp_ask(
+        tiny_triples,
+        [("?m", "mentioned_by_user", "?e")],
+        filters=["e = 'e:NOPE'"],
+    ).collect()[0]["matched"]
+
+
+def test_fuzzy_pair_join_is_hash_not_cartesian(spark):
+    """The deletion-blocked candidate join must compile to an equi hash
+    join — never CartesianProduct / BroadcastNestedLoop."""
+    from ed_twitter_spark.operators.canonicalize import fuzzy_alias_pairs
+
+    df = fuzzy_alias_pairs(
+        spark.createDataFrame([("abc",), ("abd",), ("xyz",)], ["surface"])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
