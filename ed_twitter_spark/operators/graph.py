@@ -2031,3 +2031,198 @@ FROM sums
 
 def q_kg_assortativity(spark, sf_dir: str) -> DataFrame:
     return kg_assortativity(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality: Brandes from sampled seeds, depth-truncated
+# ---------------------------------------------------------------------------
+
+BETW_SEEDS = 4  # sampled sources (Brandes–Pich); lowest vertex ids = deterministic
+BETW_DEPTH = 3  # shortest-path truncation radius, matching BFS_MAX_HOPS
+
+
+def kg_betweenness(
+    graph_edges: DataFrame, n_seeds: int = BETW_SEEDS, depth: int = BETW_DEPTH
+) -> DataFrame:
+    """(vertex_id, betweenness) — Brandes dependency accumulation from
+    ``n_seeds`` sampled sources, truncated at ``depth`` hops (Brandes &
+    Pich 2007 "Centrality Estimation in Large Networks": exact Brandes
+    from every source is O(n·m) — the sampled + bounded variant is the
+    form that survives web scale). The last classic centrality beside
+    PageRank / eigenvector / k-core in the analytics battery.
+
+    ``graph_edges`` is a generic symmetric (src, dst) edge list. NOT the
+    entity co-occurrence graph: that one is complete at every synthetic
+    SF (density 1.0 — measured), so every shortest path is a direct edge
+    and betweenness is structurally zero there; the gate query runs over
+    the provenance graph instead (see :func:`q_kg_betweenness`).
+
+    Per source s (all seeds advance together, keyed by (s, v)):
+    forward BFS computes dist and σ (shortest-path counts: σ(v) = Σ σ(u)
+    over dist-(t−1) neighbours); the backward pass accumulates
+    δ(v) = Σ_{w ∈ N(v), dist(w)=dist(v)+1} σ(v)/σ(w) · (1 + δ(w)), and
+    betweenness(v) = Σ_s δ_s(v), v ≠ s. Each level is ONE edge join +
+    ONE aggregation over a (seeds × frontier)-sized frame — K seeds bound
+    every stage at K·m rows regardless of graph size. Seeds are the
+    n_seeds lexicographically-lowest vertex ids, so both engines pick the
+    identical sample; δ sums are rounded at 6 dp.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(graph_edges.select("src", "dst").distinct())
+    seeds = (
+        e.select(F.col("src").alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(n_seeds)
+        .select(F.col("v").alias("s"))
+    )
+    # forward: levels[t] = (s, v, sigma) at dist t; known = visited set
+    lvl = seeds.select("s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma"))
+    levels = [persist_tracked(lvl)]
+    known = levels[0].select("s", "v")
+    for _ in range(depth):
+        cand = (
+            levels[-1]
+            .join(e, levels[-1]["v"] == e["src"])
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(known, on=["s", "v"], how="left_anti")
+        )
+        levels.append(persist_tracked(cand.localCheckpoint()))
+        known = known.union(levels[-1].select("s", "v"))
+    # backward: delta[t] over levels[t], from depth-1 down to 1
+    delta = levels[depth].select("s", "v", F.lit(0.0).alias("delta"))
+    acc = None
+    for t in range(depth - 1, 0, -1):
+        nxt = delta.select(
+            "s",
+            F.col("v").alias("w"),
+            "delta",
+        ).join(
+            levels[t + 1].select("s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w")),
+            on=["s", "w"],
+        )
+        contrib = (
+            levels[t]
+            .join(e, levels[t]["v"] == e["src"])
+            .select("s", "v", "sigma", F.col("dst").alias("w"))
+            .join(nxt, on=["s", "w"])
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("sigma").cast("double")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("delta")
+            )
+        )
+        delta = (
+            levels[t]
+            .join(contrib, on=["s", "v"], how="left")
+            .select("s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+        )
+        acc = delta if acc is None else acc.unionByName(delta)
+    if acc is None:  # depth < 2: no interior vertices
+        return seeds.select(
+            F.col("s").alias("vertex_id"), F.lit(0.0).alias("betweenness")
+        ).limit(0)
+    return (
+        acc.where(F.col("v") != F.col("s"))
+        .groupBy(F.col("v").alias("vertex_id"))
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+        .where(F.col("betweenness") > 0)
+    )
+
+
+def _provenance_edges_sql() -> str:
+    """The undirected provenance graph as a coedges-named CTE: every
+    (s, o) pair of the BGP triple store, symmetrized — mention ids tie a
+    vertex to its conversation, so conv and entity nodes broker real
+    multi-hop shortest paths (unlike the complete co-occurrence graph)."""
+    from ed_twitter_spark.operators.bgp import _trip_sql
+
+    return (
+        _trip_sql()
+        + """,
+und AS (SELECT DISTINCT s AS src, o AS dst FROM trip),
+coedges AS MATERIALIZED (
+  SELECT src, dst FROM und UNION SELECT dst AS src, src AS dst FROM und
+)"""
+    )
+
+
+def kg_betweenness_oracle_sql(
+    n_seeds: int = BETW_SEEDS, depth: int = BETW_DEPTH
+) -> str:
+    fwd = [
+        f"""l0 AS (
+  SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma
+  FROM (SELECT DISTINCT src AS s FROM coedges ORDER BY s LIMIT {n_seeds})
+)"""
+    ]
+    known = "SELECT s, v FROM l0"
+    for t in range(1, depth + 1):
+        fwd.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma
+  FROM l{t - 1} p JOIN coedges e ON e.src = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM ({known}) k WHERE k.s = p.s AND k.v = e.dst)
+  GROUP BY p.s, e.dst
+)"""
+        )
+        known += f" UNION ALL SELECT s, v FROM l{t}"
+    bwd = [f"d{depth} AS (SELECT s, v, 0.0 AS delta FROM l{depth})"]
+    for t in range(depth - 1, 0, -1):
+        bwd.append(
+            f"""d{t} AS (
+  SELECT l.s, l.v,
+         COALESCE((
+           SELECT SUM(CAST(l.sigma AS DOUBLE) / w.sigma * (1.0 + dw.delta))
+           FROM coedges e
+           JOIN l{t + 1} w ON w.s = l.s AND w.v = e.dst
+           JOIN d{t + 1} dw ON dw.s = l.s AND dw.v = e.dst
+           WHERE e.src = l.v
+         ), 0.0) AS delta
+  FROM l{t} l
+)"""
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{t}" for t in range(depth - 1, 0, -1)
+    )
+    return (
+        _provenance_edges_sql()
+        + ",\n"
+        + ",\n".join(fwd)
+        + ",\n"
+        + ",\n".join(bwd)
+        + f"""
+SELECT v AS vertex_id, ROUND(SUM(delta), 6) AS betweenness
+FROM ({acc}) a
+WHERE v <> s
+GROUP BY v
+HAVING ROUND(SUM(delta), 6) > 0
+"""
+    )
+
+
+def q_kg_betweenness(spark, sf_dir: str) -> DataFrame:
+    """Gate query: Brandes over the PROVENANCE graph (the BGP triple
+    store's (s, o) pairs, symmetrized) — mention → entity-vertex and
+    mention → conversation edges make conv/vertex nodes real brokers."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import bgp as bgp_ops
+
+    typed = kg_typed_edges(
+        q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    und = (
+        bgp_ops.kg_triple_store(typed)
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .distinct()
+    )
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kg_betweenness(sym)

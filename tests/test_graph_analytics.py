@@ -1072,3 +1072,36 @@ def test_fuzzy_pair_join_is_hash_not_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def _sym(spark, pairs):
+    rows = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_betweenness_star_by_hand(spark):
+    from ed_twitter_spark.operators.graph import kg_betweenness
+
+    # K1,3: every leaf-leaf shortest path crosses the hub; Brandes over
+    # ordered pairs gives bc(hub) = 6, leaves 0 (filtered)
+    e = _sym(spark, [("h", "a"), ("h", "b"), ("h", "c")])
+    got = {r["vertex_id"]: r["betweenness"] for r in kg_betweenness(e).collect()}
+    assert got == {"h": 6.0}
+
+
+def test_betweenness_path_by_hand(spark):
+    from ed_twitter_spark.operators.graph import kg_betweenness
+
+    # path a-b-c-d: interior vertices each broker 4 ordered pairs
+    e = _sym(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["vertex_id"]: r["betweenness"] for r in kg_betweenness(e).collect()}
+    assert got == {"b": 4.0, "c": 4.0}
+
+
+def test_betweenness_clique_is_empty(spark):
+    from ed_twitter_spark.operators.graph import kg_betweenness
+
+    # complete graph: all shortest paths are direct edges -> no brokers
+    nodes = ["a", "b", "c", "d"]
+    e = _sym(spark, [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]])
+    assert kg_betweenness(e).count() == 0
