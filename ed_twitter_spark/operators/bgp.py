@@ -1063,3 +1063,63 @@ SELECT DISTINCT t.s AS s, c.sup AS p, t.o AS o
 FROM trip t JOIN closure c ON c.sub = t.p
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# SPARQL DESCRIBE — the fourth query form
+# ---------------------------------------------------------------------------
+
+
+def bgp_describe(triples: DataFrame, resource: DataFrame) -> DataFrame:
+    """SPARQL DESCRIBE: the sub-graph about a resource — every triple
+    where it appears as subject or object (the spec leaves the exact
+    description to the implementation; symmetric incidence is the
+    standard concise-bounded choice for a flat store). ``resource`` is a
+    one-row (r string) frame; each incidence side is a broadcast hash
+    semi-join the optimizer folds into the triple scan as a pushed
+    filter, so DESCRIBE over a 10^12-triple store reads two filtered
+    slices, never the table."""
+    r = resource.select(F.col("r"))
+    on_s = triples.join(
+        F.broadcast(r.select(F.col("r").alias("s"))), on="s"
+    ).select("s", "p", "o")
+    on_o = triples.join(
+        F.broadcast(r.select(F.col("r").alias("o"))), on="o"
+    ).select("s", "p", "o")
+    return on_s.union(on_o).distinct()
+
+
+def kg_bgp_describe(spark, sf_dir: str) -> DataFrame:
+    """Gate query: DESCRIBE the busiest entity vertex (most link triples,
+    tie-break min id — the same deterministic hub rule as kg_star_query,
+    so the query is parameterless). Completes the SPARQL query-form set:
+    SELECT (kg_bgp_query), CONSTRUCT (kg_bgp_construct), ASK
+    (kg_bgp_ask), DESCRIBE."""
+    store = _gate_triples(spark, sf_dir)
+    hub = (
+        store.where(F.col("p").startswith("mentioned_"))
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o"))
+        .limit(1)
+        .select(F.col("o").alias("r"))
+    )
+    return bgp_describe(store, hub)
+
+
+def kg_bgp_describe_oracle_sql() -> str:
+    return (
+        _trip_sql()
+        + """,
+hub AS (
+  SELECT o AS r FROM (
+    SELECT o, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o) AS rn
+    FROM trip WHERE p LIKE 'mentioned_%' GROUP BY o
+  ) WHERE rn = 1
+)
+SELECT DISTINCT t.s, t.p, t.o
+FROM trip t, hub h
+WHERE t.s = h.r OR t.o = h.r
+"""
+    )

@@ -479,6 +479,9 @@ def _register_graph():
     register("kg_bgp_query", bgp_ops.kg_bgp_query_oracle_sql())(bgp_ops.kg_bgp_query)
     register("kg_bgp_topk", bgp_ops.kg_bgp_topk_oracle_sql())(bgp_ops.kg_bgp_topk)
     register("kg_bgp_ask", bgp_ops.kg_bgp_ask_oracle_sql())(bgp_ops.kg_bgp_ask)
+    register("kg_bgp_describe", bgp_ops.kg_bgp_describe_oracle_sql())(
+        bgp_ops.kg_bgp_describe
+    )
     register("kg_bgp_optional", bgp_ops.kg_bgp_optional_oracle_sql())(
         bgp_ops.kg_bgp_optional
     )

@@ -1105,3 +1105,16 @@ def test_betweenness_clique_is_empty(spark):
     nodes = ["a", "b", "c", "d"]
     e = _sym(spark, [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]])
     assert kg_betweenness(e).count() == 0
+
+
+def test_bgp_describe_symmetric_incidence(tiny_triples, spark):
+    from ed_twitter_spark.operators.bgp import bgp_describe
+
+    r = spark.createDataFrame([("c1",)], ["r"])
+    got = {(x["s"], x["p"], x["o"]) for x in bgp_describe(tiny_triples, r).collect()}
+    # c1 as object (in_conv) and as subject (mentions) — both sides kept
+    assert ("c1#0#0", "in_conv", "c1") in got
+    assert ("c1", "mentions", "e:E1") in got
+    assert all("c1" in (s, o) for s, _, o in got)
+    # nothing about c2
+    assert not any("c2" in (s, o) for s, _, o in got)
