@@ -2226,3 +2226,117 @@ def q_kg_betweenness(spark, sf_dir: str) -> DataFrame:
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return kg_betweenness(sym)
+
+
+# ---------------------------------------------------------------------------
+# Shortest-path extraction: "how are X and Y related"
+# ---------------------------------------------------------------------------
+
+
+def kg_shortest_path(
+    graph_edges: DataFrame,
+    source: str,
+    target: str,
+    max_hops: int = BETW_DEPTH,
+) -> DataFrame:
+    """(step, node) — one shortest path from ``source`` to ``target``
+    (≤ ``max_hops``), or 0 rows if unreachable. The canonical KG
+    explanation query: the path names the broker nodes that connect two
+    entities.
+
+    Forward BFS records, per newly-visited node, the MINIMUM predecessor
+    id (deterministic tie-break, so both engines reconstruct the same
+    path); each level is one edge join + one min-aggregation +
+    one anti-join, the same bounded frontier shape as kg_bfs_hops.
+    Backtracking walks ≤ max_hops single-row lookups on the driver —
+    O(path length) tiny jobs, not a distributed concern.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    spark = graph_edges.sparkSession
+    e = persist_tracked(graph_edges.select("src", "dst").distinct())
+    visited = spark.createDataFrame(
+        [(source, 0, None)], "v string, dist int, parent string"
+    )
+    frontier = visited.select("v")
+    found_dist = None
+    for t in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["v"] == e["src"])
+            .select(F.col("dst").alias("nv"), F.col("src").alias("parent"))
+            .groupBy("nv")
+            .agg(F.min("parent").alias("parent"))
+            .join(visited.select(F.col("v").alias("nv")), on="nv", how="left_anti")
+            .select(F.col("nv").alias("v"), F.lit(t).alias("dist"), "parent")
+        )
+        nxt = persist_tracked(nxt.localCheckpoint())
+        if nxt.where(F.col("v") == target).count() > 0:
+            found_dist = t
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("v")
+        if found_dist is not None:
+            break
+    if found_dist is None and source != target:
+        return spark.createDataFrame([], "step int, node string")
+    # driver backtrack: ≤ max_hops one-row filters
+    path = [target]
+    cur = target
+    for _ in range(found_dist or 0):
+        cur = visited.where(F.col("v") == cur).collect()[0]["parent"]
+        path.append(cur)
+    path.reverse()
+    return spark.createDataFrame(
+        list(enumerate(path)), "step int, node string"
+    )
+
+
+def q_kg_path_between(spark, sf_dir: str) -> DataFrame:
+    """Gate query: the shortest path between the two busiest entity
+    vertices of the provenance graph. Vertex nodes only ever touch
+    mention/conv nodes there (namespaces are disjoint), so the path is
+    structurally vertex–broker–vertex (distance exactly 2) and the
+    min-parent rule makes the broker the MIN common neighbour — which is
+    what the DuckDB twin computes."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import bgp as bgp_ops
+
+    typed = kg_typed_edges(
+        q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    trip = bgp_ops.kg_triple_store(typed)
+    und = trip.select(F.col("s").alias("src"), F.col("o").alias("dst")).distinct()
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    top2 = [
+        r["o"]
+        for r in trip.where(F.col("p").startswith("mentioned_"))
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o"))
+        .limit(2)
+        .collect()
+    ]
+    return kg_shortest_path(sym, top2[0], top2[1])
+
+
+def kg_path_between_oracle_sql() -> str:
+    return (
+        _provenance_edges_sql()
+        + """,
+tops AS (
+  SELECT o, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o) AS rn
+  FROM trip WHERE p LIKE 'mentioned_%' GROUP BY o
+),
+s AS (SELECT o FROM tops WHERE rn = 1),
+t AS (SELECT o FROM tops WHERE rn = 2),
+broker AS (
+  SELECT MIN(e1.dst) AS b
+  FROM coedges e1 JOIN coedges e2 ON e1.dst = e2.src
+  WHERE e1.src = (SELECT o FROM s) AND e2.dst = (SELECT o FROM t)
+)
+SELECT 0 AS step, (SELECT o FROM s) AS node
+UNION ALL SELECT 1, (SELECT b FROM broker)
+UNION ALL SELECT 2, (SELECT o FROM t)
+"""
+    )

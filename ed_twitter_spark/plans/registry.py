@@ -456,6 +456,9 @@ def _register_graph():
     register("kg_betweenness", graph_ops.kg_betweenness_oracle_sql())(
         graph_ops.q_kg_betweenness
     )
+    register("kg_path_between", graph_ops.kg_path_between_oracle_sql())(
+        graph_ops.q_kg_path_between
+    )
     register("kg_ntriples", graph_ops.kg_ntriples_oracle_sql())(graph_ops.q_kg_ntriples)
     register("kg_bfs_hops", graph_ops.kg_bfs_hops_oracle_sql())(graph_ops.q_kg_bfs_hops)
     register("kg_eigencentrality", graph_ops.kg_eigencentrality_oracle_sql())(

@@ -1118,3 +1118,27 @@ def test_bgp_describe_symmetric_incidence(tiny_triples, spark):
     assert all("c1" in (s, o) for s, _, o in got)
     # nothing about c2
     assert not any("c2" in (s, o) for s, _, o in got)
+
+
+def test_shortest_path_on_path_graph(spark):
+    from ed_twitter_spark.operators.graph import kg_shortest_path
+
+    e = _sym(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = [(r["step"], r["node"]) for r in kg_shortest_path(e, "a", "d").collect()]
+    assert got == [(0, "a"), (1, "b"), (2, "c"), (3, "d")]
+
+
+def test_shortest_path_min_parent_tiebreak(spark):
+    from ed_twitter_spark.operators.graph import kg_shortest_path
+
+    # two brokers b1/b2 between s and t -> the min one is chosen
+    e = _sym(spark, [("s", "b2"), ("s", "b1"), ("b2", "t"), ("b1", "t")])
+    got = [(r["step"], r["node"]) for r in kg_shortest_path(e, "s", "t").collect()]
+    assert got == [(0, "s"), (1, "b1"), (2, "t")]
+
+
+def test_shortest_path_unreachable_is_empty(spark):
+    from ed_twitter_spark.operators.graph import kg_shortest_path
+
+    e = _sym(spark, [("a", "b"), ("x", "y")])
+    assert kg_shortest_path(e, "a", "y").count() == 0
