@@ -75,16 +75,36 @@ def run(spark, names=None, sf_dir=SF_DIR):
         )
         from ed_twitter_spark.operators.similarity import _centroids_for
 
+        # The IVF coarse quantizer (an index-build artifact: built once,
+        # probed by every ANN query) reads only the embeddings table — it
+        # is independent of the transcripts→KB→triples→CC chain, and its
+        # k-means rounds are small driver-synchronous jobs that leave most
+        # cores idle. Build it on a second thread so the scheduler
+        # interleaves it with the chain (concurrent actions on one
+        # SparkSession are supported; the two threads touch disjoint
+        # shared-cache keys, and CPython dict ops are atomic).
+        import threading
+
+        ivf_err: list[Exception] = []
+
+        def _build_ivf():
+            try:
+                _centroids_for(spark, sf_dir).count()
+            except Exception as exc:  # surface, don't swallow
+                ivf_err.append(exc)
+
+        ivf_thread = threading.Thread(target=_build_ivf, daemon=True)
+        ivf_thread.start()
         for df in (
             synth.transcripts(spark, sf_dir),
             synth.kb_alias(spark, sf_dir),
             prior_triples(spark, sf_dir),
             components_for(spark, sf_dir),
-            # the IVF coarse quantizer is an index-build artifact: built
-            # once, probed by every ANN query
-            _centroids_for(spark, sf_dir),
         ):
             df.count()
+        ivf_thread.join()
+        if ivf_err:
+            raise ivf_err[0]
         timings["_shared_build"] = round(time.time() - t0, 3)
         for name in names:
             t0 = time.time()
