@@ -1010,7 +1010,10 @@ def kg_label_propagation(edges: DataFrame) -> DataFrame:
     )
 
 
-def kg_label_propagation_oracle_sql() -> str:
+def _lpa_ctes_sql() -> tuple[str, str]:
+    """The unrolled LPA iteration as a CTE chain over ``coedges``; returns
+    (fragment, final_label_cte_name). Shared by the LPA oracle and every
+    oracle that consumes the LPA partition (modularity)."""
     iters = []
     prev = "l0"
     for i in range(1, LPA_ITERS + 1):
@@ -1029,12 +1032,20 @@ l{i} AS (
 )"""
         )
         prev = f"l{i}"
+    frag = (
+        "l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM coedges),\n"
+        + ",".join(iters)
+    )
+    return frag, prev
+
+
+def kg_label_propagation_oracle_sql() -> str:
+    frag, prev = _lpa_ctes_sql()
     return (
         _kg_edges_named_sql()
         + f""",
 {_COEDGES_SQL.lstrip()},
-l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM coedges),
-{",".join(iters)}
+{frag}
 SELECT v AS vertex_id, lbl AS community FROM {prev}
 """
     )
@@ -1042,6 +1053,118 @@ SELECT v AS vertex_id, lbl AS community FROM {prev}
 
 def q_kg_label_propagation(spark, sf_dir: str) -> DataFrame:
     return kg_label_propagation(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# modularity — quality score of the LPA partition
+# ---------------------------------------------------------------------------
+
+
+def kg_modularity(edges: DataFrame) -> DataFrame:
+    """(community, n_vertices, intra_edges, deg_sum, q_contrib) — Newman
+    modularity of the LPA partition over the co-occurrence graph, one row
+    per community; Q = Σ q_contrib = Σ_c [ e_c/m − (deg_c/2m)² ].
+
+    The score that tells a KG operator whether the communities LPA found
+    are real structure (Q ≫ 0) or noise (Q ≈ 0) — the standard acceptance
+    gate before communities are used for partitioning or entity blocking.
+
+    Plan shape: the label table is VERTEX-sized, so attaching communities
+    to both edge endpoints is two broadcast hash joins into the edge
+    stream (degrading to co-partitioned shuffle joins past the broadcast
+    limit — same regime as PageRank's rank flow); intra-community edge
+    counts and degree sums are map-side-combined aggregations keyed by
+    community, and m is a one-row aggregate broadcast back. Nothing scans
+    the edge list more than the LPA build already does. Exact-integer
+    sums; the final combination is DOUBLE on both engines.
+
+    Fixture check (two cliques {10,11,12} + {20,21}): m=4, q = 3/4−(6/8)²
+    = 1/4−(2/8)² = 0.1875 each → Q = 0.375.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(cooccurrence_edges(edges))
+    labels = persist_tracked(kg_label_propagation(edges))
+    lab_src = labels.select(
+        F.col("vertex_id").alias("src"), F.col("community").alias("c_src")
+    )
+    lab_dst = labels.select(
+        F.col("vertex_id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    m_df = e.agg((F.count(F.lit(1)) / F.lit(2.0)).alias("m"))
+    # both edge directions are present, so directed intra count is 2·e_c
+    intra = (
+        e.join(F.broadcast(lab_src), on="src")
+        .join(F.broadcast(lab_dst), on="dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("intra_edges"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    degc = (
+        deg.join(F.broadcast(lab_src), on="src")
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+            F.sum("deg").cast("bigint").alias("deg_sum"),
+        )
+    )
+    return (
+        degc.join(intra, on="community", how="left")
+        .na.fill({"intra_edges": 0})
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_vertices",
+            "intra_edges",
+            "deg_sum",
+            F.round(
+                F.col("intra_edges") / F.col("m")
+                - F.pow(F.col("deg_sum") / (F.lit(2.0) * F.col("m")), F.lit(2.0)),
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+
+
+def kg_modularity_oracle_sql() -> str:
+    frag, prev = _lpa_ctes_sql()
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+{frag},
+lab AS (SELECT v AS vertex_id, lbl AS community FROM {prev}),
+mtot AS (SELECT CAST(COUNT(*) AS DOUBLE) / 2.0 AS m FROM coedges),
+intra AS (
+  SELECT la.community AS community, CAST(COUNT(*) / 2 AS BIGINT) AS intra_edges
+  FROM coedges e
+  JOIN lab la ON la.vertex_id = e.src
+  JOIN lab lb ON lb.vertex_id = e.dst
+  WHERE la.community = lb.community
+  GROUP BY la.community
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM coedges GROUP BY src),
+degc AS (
+  SELECT la.community AS community,
+         CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+  FROM deg d JOIN lab la ON la.vertex_id = d.src
+  GROUP BY la.community
+)
+SELECT degc.community, n_vertices,
+       COALESCE(intra.intra_edges, 0) AS intra_edges, deg_sum,
+       ROUND(COALESCE(intra.intra_edges, 0) / mtot.m
+             - POWER(deg_sum / (2.0 * mtot.m), 2), 6) AS q_contrib
+FROM degc LEFT JOIN intra ON intra.community = degc.community CROSS JOIN mtot
+ORDER BY degc.community
+"""
+    )
+
+
+def q_kg_modularity(spark, sf_dir: str) -> DataFrame:
+    return kg_modularity(q_kg_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -439,6 +439,9 @@ def _register_graph():
     register("kg_label_propagation", graph_ops.kg_label_propagation_oracle_sql())(
         graph_ops.q_kg_label_propagation
     )
+    register("kg_modularity", graph_ops.kg_modularity_oracle_sql())(
+        graph_ops.q_kg_modularity
+    )
     register("kg_k_core", graph_ops.kg_k_core_oracle_sql())(graph_ops.q_kg_k_core)
     register("kg_ktruss", graph_ops.kg_ktruss_oracle_sql())(graph_ops.q_kg_ktruss)
     register("kg_degree_distribution", graph_ops.kg_degree_distribution_oracle_sql())(

@@ -187,6 +187,36 @@ def test_label_propagation_by_hand(fake_edges, spark):
     assert got2 == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_modularity_by_hand(fake_edges, spark):
+    """Single-community partition → Q = m/m − (2m/2m)² = 0 exactly; the
+    two-clique fixture → 0.1875 per community, Q = 0.375 (hand-computed
+    in the operator docstring)."""
+    from ed_twitter_spark.operators.graph import kg_modularity
+
+    rows = kg_modularity(fake_edges).collect()
+    assert len(rows) == 1  # LPA labels the whole connected fixture 1
+    r = rows[0]
+    # triangle + path: 5 undirected edges, deg_sum = 2m = 10, all intra
+    assert (r["community"], r["n_vertices"], r["intra_edges"], r["deg_sum"]) == (
+        1, 5, 5, 10,
+    )
+    assert r["q_contrib"] == pytest.approx(0.0)
+
+    two_rows = [("cA", v) for v in (10, 11, 12)] + [("cB", v) for v in (20, 21)]
+    two = spark.createDataFrame(
+        [(c, v, f"{c}#t#{i}", 0.5) for i, (c, v) in enumerate(two_rows)],
+        "conv_id string, obj_vertex bigint, subj string, score double",
+    )
+    got = {
+        r["community"]: (r["n_vertices"], r["intra_edges"], r["deg_sum"], r["q_contrib"])
+        for r in kg_modularity(two).collect()
+    }
+    assert got == {
+        10: (3, 3, 6, pytest.approx(0.1875)),
+        20: (2, 1, 2, pytest.approx(0.1875)),
+    }
+
+
 def test_k_core_by_hand(fake_edges):
     """2-core of triangle 1-2-3 + path 3-4-5: round 1 peels 5, round 2
     peels 4, the triangle survives with residual degree 2."""
