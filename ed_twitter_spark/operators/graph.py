@@ -2069,6 +2069,90 @@ def q_kg_snapshot_growth(spark, sf_dir: str) -> DataFrame:
     return kg_snapshot_growth(q_kg_edges(spark, sf_dir))
 
 
+def kg_asof_snapshot(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """(src, dst, est_ts_epoch) — the co-occurrence edge set AS OF the
+    corpus-median linked-mention timestamp: the point-in-time temporal-KG
+    query ("what did the graph look like at time T?") that a continuously
+    maintained KG must serve for audits and time-travel joins.
+
+    An edge (src < dst) is established at the earliest moment some single
+    conversation had seen BOTH endpoints — min over conversations of
+    max(first-seen ts of src, first-seen ts of dst) — the same bounded
+    (entities-per-conversation)² self-join as ``kg_edge_evidence``; the
+    cutoff is the EXACT interpolated median (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``), computed in one scalar aggregate and
+    broadcast back, so the only per-edge work is one comparison. At
+    10^12 turns the timestamp attach is the same (conv_id, turn_idx)
+    co-partitioned join the lifetimes query already pays.
+    """
+    t = transcripts.select(
+        "conv_id", "turn_idx", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    lm = (
+        edges.where(F.col("obj_vertex").isNotNull())
+        .join(t, on=["conv_id", "turn_idx"])
+    )
+    cutoff = lm.agg(F.expr("percentile(ts_epoch, 0.5)").alias("cutoff"))
+    cv = lm.groupBy("conv_id", F.col("obj_vertex").alias("v")).agg(
+        F.min("ts_epoch").alias("first_ts")
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    est = (
+        a.join(b, on="conv_id")
+        .where(F.col("a.v") < F.col("b.v"))
+        .select(
+            F.col("a.v").alias("src"),
+            F.col("b.v").alias("dst"),
+            F.greatest("a.first_ts", "b.first_ts").alias("est"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("est").cast("bigint").alias("est_ts_epoch"))
+    )
+    return (
+        est.crossJoin(F.broadcast(cutoff))
+        .where(F.col("est_ts_epoch") <= F.col("cutoff"))
+        .select("src", "dst", "est_ts_epoch")
+        .orderBy("src", "dst")
+    )
+
+
+def kg_asof_snapshot_oracle_sql() -> str:
+    from ed_twitter_spark import synth
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL}),
+lm AS (
+  SELECT k.conv_id, k.obj_vertex AS v, CAST(epoch(tr.ts) AS BIGINT) AS ts_epoch
+  FROM kge k JOIN tr ON tr.conv_id = k.conv_id AND tr.turn_idx = k.turn_idx
+  WHERE k.obj_vertex IS NOT NULL
+),
+cut AS (SELECT quantile_cont(ts_epoch, 0.5) AS cutoff FROM lm),
+cv AS (
+  SELECT conv_id, v, MIN(ts_epoch) AS first_ts FROM lm GROUP BY conv_id, v
+),
+est AS (
+  SELECT a.v AS src, b.v AS dst,
+         CAST(MIN(GREATEST(a.first_ts, b.first_ts)) AS BIGINT) AS est_ts_epoch
+  FROM cv a JOIN cv b ON a.conv_id = b.conv_id AND a.v < b.v
+  GROUP BY a.v, b.v
+)
+SELECT src, dst, est_ts_epoch FROM est CROSS JOIN cut
+WHERE est_ts_epoch <= cutoff
+ORDER BY src, dst
+"""
+    )
+
+
+def q_kg_asof_snapshot(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+
+    return kg_asof_snapshot(
+        q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+
+
 def kg_assortativity(edges: DataFrame) -> DataFrame:
     """One-row (m_edges, sum_deg, sum_deg_sq, sum_deg_prod, assortativity):
     Newman's degree-assortativity coefficient of the co-occurrence graph —

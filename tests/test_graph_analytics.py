@@ -217,6 +217,30 @@ def test_modularity_by_hand(fake_edges, spark):
     }
 
 
+def test_asof_snapshot_by_hand(spark):
+    """Median linked-mention ts of {100,200,300,1000,2000} = 300; the
+    (3,4) edge is established at 2000 in cB and must NOT appear; (1,3)
+    and (2,3) land exactly ON the cutoff (inclusive)."""
+    import datetime as dt
+
+    from ed_twitter_spark.operators.graph import kg_asof_snapshot
+
+    def ts(sec):
+        return dt.datetime.fromtimestamp(sec, dt.timezone.utc).replace(tzinfo=None)
+
+    edges = spark.createDataFrame(
+        [("cA", 0, 1), ("cA", 1, 2), ("cA", 2, 3), ("cB", 0, 3), ("cB", 1, 4)],
+        "conv_id string, turn_idx int, obj_vertex bigint",
+    )
+    transcripts = spark.createDataFrame(
+        [("cA", 0, ts(100)), ("cA", 1, ts(200)), ("cA", 2, ts(300)),
+         ("cB", 0, ts(1000)), ("cB", 1, ts(2000))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    got = [tuple(r) for r in kg_asof_snapshot(edges, transcripts).collect()]
+    assert got == [(1, 2, 200), (1, 3, 300), (2, 3, 300)]
+
+
 def test_k_core_by_hand(fake_edges):
     """2-core of triangle 1-2-3 + path 3-4-5: round 1 peels 5, round 2
     peels 4, the triangle survives with residual degree 2."""
