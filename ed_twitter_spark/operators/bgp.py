@@ -149,6 +149,10 @@ def bgp_query(
     optional_filters: list[str] | None = None,
     minus: list[tuple[str, str, str]] | None = None,
     minus_filters: list[str] | None = None,
+    exists: list[tuple[str, str, str]] | None = None,
+    exists_filters: list[str] | None = None,
+    not_exists: list[tuple[str, str, str]] | None = None,
+    not_exists_filters: list[str] | None = None,
     order_by: list[str] | None = None,
     limit: int | None = None,
     offset: int | None = None,
@@ -179,6 +183,15 @@ def bgp_query(
       spec's quirk is preserved: a minus group sharing NO variable with
       the required group removes nothing (every solution is trivially
       incompatible), rather than erroring like a disconnected join.
+    * ``exists`` / ``not_exists`` (+ ``_filters``) — SPARQL
+      ``FILTER (NOT) EXISTS``: a solution survives iff the group, with
+      the solution's shared-variable bindings substituted, has ≥1 (resp.
+      0) matches — a LEFT SEMI (resp. LEFT ANTI) join on the shared
+      variables. Where MINUS with NO shared variable removes nothing,
+      a disjoint EXISTS is a SCALAR gate (SPARQL 1.1 §8.1.1 vs §8.3.3 —
+      the classic divergence case): all solutions survive iff the group
+      matches anything at all, so the compiler joins on a constant key
+      against the group's first row — one broadcast of ≤1 row.
     * ``order_by`` / ``limit`` / ``offset`` — SPARQL solution modifiers,
       applied in spec order (ORDER BY → OFFSET → LIMIT) AFTER the
       DISTINCT projection. ``order_by`` entries are variable names,
@@ -216,6 +229,25 @@ def bgp_query(
         shared = sorted(mg_bound & bound)
         if shared:  # disjoint MINUS removes nothing (SPARQL 1.1 §8.3.3)
             acc = acc.join(mg.select(*shared).distinct(), on=shared, how="left_anti")
+
+    for grp, flt, how in (
+        (exists, exists_filters, "left_semi"),
+        (not_exists, not_exists_filters, "left_anti"),
+    ):
+        if not grp:
+            continue
+        eg, eg_bound = _compile_group(triples, grp, flt)
+        shared = sorted(eg_bound & bound)
+        if shared:
+            acc = acc.join(eg.select(*shared).distinct(), on=shared, how=how)
+        else:
+            # disjoint (NOT) EXISTS is a scalar gate, not a no-op like MINUS
+            probe = F.broadcast(eg.limit(1).select(F.lit(1).alias("_probe")))
+            acc = (
+                acc.withColumn("_probe", F.lit(1))
+                .join(probe, on="_probe", how=how)
+                .drop("_probe")
+            )
 
     out = select if select is not None else all_vars
     missing = [v for v in out if v not in bound]
@@ -627,6 +659,73 @@ WHERE r1.p = 'mentioned_by_user'
   AND NOT EXISTS (
     SELECT 1 FROM trip o1 JOIN trip o2 ON o2.p = 'in_conv' AND o2.s = o1.s
     WHERE o1.p LIKE 'mentioned_in_%' AND o1.o = r1.o AND o2.o = r2.o
+  )
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gate query: FILTER EXISTS (correlated on the entity alone)
+# ---------------------------------------------------------------------------
+
+# "(conversation, entity) pairs the user mentioned where the SAME entity
+# also surfaced inside a tool call in SOME conversation (not necessarily
+# this one)" — the corroboration query. Deliberately correlates on ?e
+# only, a narrower scope than the MINUS demo's (?e, ?c): EXISTS semi-joins
+# exactly the shared variables, nothing more.
+BGP_EXISTS_GROUP = [
+    ("?m3", "?pt", "?e"),
+]
+
+
+def kg_bgp_exists(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators import graph as graph_ops
+
+    typed = graph_ops.kg_typed_edges(
+        graph_ops.q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+    return bgp_query(
+        kg_triple_store(typed).localCheckpoint(),
+        BGP_OPT_REQUIRED,
+        select=["c", "e"],
+        exists=BGP_EXISTS_GROUP,
+        exists_filters=BGP_OPT_FILTERS,
+    )
+
+
+def kg_bgp_exists_oracle_sql() -> str:
+    """DuckDB twin: the required self-join with a correlated EXISTS over
+    the hand-compiled exists group (correlation on ?e only)."""
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.graph import _kg_edges_named_sql
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL}),
+typed AS (
+  SELECT k.subj,
+         CASE WHEN t.tool IS NOT NULL THEN 'mentioned_in_' || t.tool
+              ELSE 'mentioned_by_' || t.role END AS pred,
+         k.obj_vertex, k.conv_id
+  FROM kge k JOIN tr t ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+  WHERE k.obj_vertex IS NOT NULL
+),
+trip AS (
+  SELECT subj AS s, pred AS p, obj_vertex AS o FROM typed
+  UNION ALL
+  SELECT subj AS s, 'in_conv' AS p, conv_id AS o FROM typed
+  UNION ALL
+  SELECT DISTINCT conv_id AS s, 'mentions' AS p, obj_vertex AS o FROM typed
+)
+SELECT DISTINCT r2.o AS c, r1.o AS e
+FROM trip r1
+JOIN trip r2 ON r2.p = 'in_conv' AND r2.s = r1.s
+WHERE r1.p = 'mentioned_by_user'
+  AND EXISTS (
+    SELECT 1 FROM trip o1
+    WHERE o1.p LIKE 'mentioned_in_%' AND o1.o = r1.o
   )
 """
     )

@@ -496,6 +496,9 @@ def _register_graph():
     )
     register("kg_bgp_union", bgp_ops.kg_bgp_union_oracle_sql())(bgp_ops.kg_bgp_union)
     register("kg_bgp_minus", bgp_ops.kg_bgp_minus_oracle_sql())(bgp_ops.kg_bgp_minus)
+    register("kg_bgp_exists", bgp_ops.kg_bgp_exists_oracle_sql())(
+        bgp_ops.kg_bgp_exists
+    )
     register("kg_bgp_aggregate", bgp_ops.kg_bgp_aggregate_oracle_sql())(
         bgp_ops.kg_bgp_aggregate
     )

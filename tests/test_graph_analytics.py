@@ -621,6 +621,65 @@ def test_bgp_minus_disjoint_removes_nothing(tiny_triples):
     assert {r["e"] for r in got} == {"e:E1", "e:E2"}
 
 
+def test_bgp_exists_correlates_on_shared_vars(tiny_triples):
+    """EXISTS on ?e alone: both E1 and E2 have SOME search mention, so both
+    survive — contrast with MINUS on (?e, ?c) which removes E1 only."""
+    from ed_twitter_spark.operators.bgp import (
+        BGP_EXISTS_GROUP,
+        BGP_OPT_FILTERS,
+        BGP_OPT_REQUIRED,
+        bgp_query,
+    )
+
+    got = bgp_query(
+        tiny_triples,
+        BGP_OPT_REQUIRED,
+        select=["c", "e"],
+        exists=BGP_EXISTS_GROUP,
+        exists_filters=BGP_OPT_FILTERS,
+    ).collect()
+    assert {(r["c"], r["e"]) for r in got} == {("c1", "e:E1"), ("c1", "e:E2")}
+
+    # NOT EXISTS, same-conversation correlation on (?e, ?c): removes E1
+    # (its search mention is in c1), keeps E2 (search mention is in c2) —
+    # here NOT EXISTS and MINUS agree because variables are shared
+    got2 = bgp_query(
+        tiny_triples,
+        BGP_OPT_REQUIRED,
+        select=["c", "e"],
+        not_exists=[("?m2", "?pt", "?e"), ("?m2", "in_conv", "?c")],
+        not_exists_filters=BGP_OPT_FILTERS,
+    ).collect()
+    assert {(r["c"], r["e"]) for r in got2} == {("c1", "e:E2")}
+
+
+def test_bgp_exists_disjoint_is_scalar_gate(tiny_triples):
+    """SPARQL 1.1 divergence: disjoint NOT EXISTS over a non-empty group
+    removes EVERYTHING (vs MINUS removing nothing); disjoint EXISTS over
+    an empty group removes everything too."""
+    from ed_twitter_spark.operators.bgp import bgp_query
+
+    base = [("?m", "mentioned_by_user", "?e")]
+    # inner group non-empty → NOT EXISTS kills all rows
+    got = bgp_query(
+        tiny_triples, base, select=["e"],
+        not_exists=[("?x", "in_conv", "?y")],
+    ).collect()
+    assert got == []
+    # inner group empty → EXISTS kills all rows
+    got2 = bgp_query(
+        tiny_triples, base, select=["e"],
+        exists=[("?x", "never_seen_pred", "?y")],
+    ).collect()
+    assert got2 == []
+    # inner group non-empty → EXISTS keeps all rows
+    got3 = bgp_query(
+        tiny_triples, base, select=["e"],
+        exists=[("?x", "in_conv", "?y")],
+    ).collect()
+    assert {r["e"] for r in got3} == {"e:E1", "e:E2"}
+
+
 def test_bgp_optional_rejects_disconnected_group(tiny_triples):
     from ed_twitter_spark.operators.bgp import bgp_query
 
