@@ -378,6 +378,122 @@ FROM per_doc
 
 
 # ---------------------------------------------------------------------------
+# interpolated Kneser–Ney bigram perplexity — the sequence-aware upgrade
+# of the unigram signal (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.17)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def bigram_kn_ppl(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_neg_logp, ppl) — per-document perplexity
+    under an interpolated Kneser–Ney BIGRAM model trained on the corpus
+    itself (the CCNet self-LM trick, one order up): where the unigram
+    signal only sees token rarity, this one scores token ORDER — shuffled
+    or templated word salad gets a high ppl even when every token is
+    common.
+
+    P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+             + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(··),  D = 0.75.
+
+    Trained on itself every scored bigram has c ≥ 1, so no zero-prob
+    backoff path is needed. Plan shape: bigrams are one JVM zip_with over
+    the token array (no self-join, no Python); the model is three
+    map-side-combined aggregations over the bigram-TYPE table (≪ token
+    count); scoring is one hash join of the bigram stream against the
+    type-keyed prob table — identical shape at any corpus size, and the
+    prob table broadcasts while vocab² stays under the limit.
+
+    Docs with < 2 tokens have no bigrams and are absent, as in the paper.
+    """
+    toks = toks_col()
+    big = (
+        docs.select("doc_id", toks.alias("tk"))
+        .where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1),"
+                    " (a, b) -> named_struct('w1', a, 'w2', b))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fwd_types")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("back_types"))
+    tot = bc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    prob = (
+        bc.join(ctx, on="w1")
+        .join(cont, on="w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.greatest(F.col("c12") - F.lit(KN_DISCOUNT), F.lit(0.0))
+                / F.col("c1")
+                + F.lit(KN_DISCOUNT)
+                * F.col("fwd_types")
+                / F.col("c1")
+                * (F.col("back_types") / F.col("n_types"))
+            ).alias("p"),
+        )
+    )
+    per_doc = (
+        big.join(prob, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.sum(F.log("p")) / F.count(F.lit(1)), 6).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_neg_logp",
+        F.round(F.exp(F.col("avg_neg_logp")), 4).alias("ppl"),
+    )
+
+
+def quality_bigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_kn_ppl(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+QUALITY_KN_PPL_SQL = f"""
+WITH d0 AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+d AS (SELECT * FROM d0 WHERE len(tk) >= 2),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM d, UNNEST(range(1, len(tk))) AS t(i)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fwd_types FROM bc GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS back_types FROM bc GROUP BY w2),
+tot AS (SELECT COUNT(*) * 1.0 AS n_types FROM bc),
+prob AS (
+  SELECT bc.w1, bc.w2,
+         GREATEST(bc.c12 - 0.75, 0) / ctx.c1
+         + 0.75 * ctx.fwd_types / ctx.c1 * (cont.back_types / tot.n_types) AS p
+  FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(-SUM(ln(p)) / COUNT(*), 6) AS avg_neg_logp
+  FROM big b JOIN prob USING (w1, w2) GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, avg_neg_logp, ROUND(exp(avg_neg_logp), 4) AS ppl
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher word-level quality rules (Rae et al. 2021, table A1)
 # ---------------------------------------------------------------------------
 

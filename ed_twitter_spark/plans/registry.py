@@ -563,6 +563,9 @@ def _register_corpus_ops():
     register("lang_id_ngram", ts.LANG_ID_NGRAM_SQL)(ts.lang_id_ngram)
     register("tfidf_top_terms", ts.TFIDF_SQL)(ts.tfidf_top_terms)
     register("quality_unigram_ppl", ts.QUALITY_PPL_SQL)(ts.quality_unigram_ppl)
+    register("quality_bigram_kn_ppl", ts.QUALITY_KN_PPL_SQL)(
+        ts.quality_bigram_kn_ppl
+    )
     register("dedup_exact", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
     register("dedup_minhash_lsh", dd.DEDUP_MINHASH_SQL)(dd.dedup_minhash_lsh)
     register("dedup_ngram_jaccard", dd.DEDUP_JACCARD_SQL)(dd.dedup_ngram_jaccard)

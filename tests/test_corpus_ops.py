@@ -410,6 +410,58 @@ def test_unigram_ppl_matches_python(spark, docs_pdf):
         assert abs(got.loc[did, "ppl"] - round(math.exp(avg), 4)) < 2e-4
 
 
+def test_bigram_kn_ppl_by_hand(spark):
+    """Hand-sized corpus: docs 'a b a b' and 'b a' → bc={(a,b):2,(b,a):2},
+    every context has c1=2, 1 fwd type, 1 back type, 2 bigram types →
+    P = (2−.75)/2 + .75·(1/2)·(1/2) = 0.8125 for both bigrams."""
+    import math
+
+    from ed_twitter_spark.operators.textstats import bigram_kn_ppl
+
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "b a"), ("d3", "solo")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_kn_ppl(docs).collect()}
+    assert set(got) == {"d1", "d2"}  # d3 has <2 tokens → absent
+    avg = round(-math.log(0.8125), 6)
+    assert got["d1"]["n_bigrams"] == 3 and got["d2"]["n_bigrams"] == 1
+    for d in ("d1", "d2"):
+        assert got[d]["avg_neg_logp"] == pytest.approx(avg, abs=1e-6)
+        assert got[d]["ppl"] == pytest.approx(round(math.exp(avg), 4), abs=1e-4)
+
+
+def test_bigram_kn_ppl_matches_python(spark, docs_pdf):
+    """Interpolated KN recomputed in pure Python over the corpus bigram LM."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from ed_twitter_spark.operators.textstats import quality_bigram_kn_ppl
+
+    got = quality_bigram_kn_ppl(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    toks = {r["doc_id"]: re.split(r"\s+", r["text"]) for _, r in docs_pdf.iterrows()}
+    bigs = {d: list(zip(ts, ts[1:])) for d, ts in toks.items() if len(ts) >= 2}
+    bc = Counter(b for bs in bigs.values() for b in bs)
+    c1, fwd, back = Counter(), defaultdict(set), defaultdict(set)
+    for (w1, w2), c in bc.items():
+        c1[w1] += c
+        fwd[w1].add(w2)
+        back[w2].add(w1)
+    n_types = float(len(bc))
+
+    def p(w1, w2):
+        return (bc[(w1, w2)] - 0.75) / c1[w1] + 0.75 * len(fwd[w1]) / c1[w1] * (
+            len(back[w2]) / n_types
+        )
+
+    for did, bs in list(bigs.items())[:50]:
+        avg = round(-sum(math.log(p(*b)) for b in bs) / len(bs), 6)
+        assert got.loc[did, "n_bigrams"] == len(bs)
+        assert abs(got.loc[did, "avg_neg_logp"] - avg) < 2e-6
+        assert abs(got.loc[did, "ppl"] - round(math.exp(avg), 4)) < 2e-4
+
+
 def test_minhash_km_sketch_matches_python(spark, docs_pdf):
     """The Kirsch–Mitzenmacher sketch components (h1 + i·h2) mod 2^32
     recomputed in pure Python from one md5 per shingle."""
