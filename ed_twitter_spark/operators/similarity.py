@@ -1042,3 +1042,75 @@ SELECT query_id,
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the storage-tier sibling of PQ
+# ---------------------------------------------------------------------------
+
+
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, code, err) — per-dimension affine int8 quantization of
+    the embedding table: code = ⌊(x−lo_d)/scale_d + 0.5⌋ clamped to [0,255],
+    scale_d = (hi_d−lo_d)/255 from the corpus min/max of that dimension,
+    with err = reconstruction − x (6 dp) carried per component so the
+    distortion the 4× storage saving pays is first-class output.
+
+    The quantizer every 100-TB embedding store ships before PQ: codes are
+    byte-addressable (SIMD-scannable) and the dequant is two flops. Plan
+    shape: ONE scan → per-dim min/max (EMB_DIMS-row map-side-combined
+    aggregate) broadcast back → stateless per-component arithmetic; no
+    join keyed by anything wider than the 64-row dim table, no second
+    scan, no Python. A constant dimension (hi = lo) quantizes to code 0
+    with scale pinned to 1.0 (exact reconstruction), not a 0-division.
+
+    Rounding is ⌊t+0.5⌋ on BOTH engines — written out explicitly instead
+    of ROUND() so the code can never straddle the engines' half-even vs
+    half-away conventions; t ≥ 0 always (x ≥ lo), so ⌊t+0.5⌋ is plain
+    round-half-up.
+    """
+    emb = _emb_double(spark, sf_dir)
+    dims = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    stats = dims.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    sc = stats.select(
+        "dim",
+        "lo",
+        F.when(F.col("hi") == F.col("lo"), F.lit(1.0))
+        .otherwise((F.col("hi") - F.col("lo")) / F.lit(255.0))
+        .alias("scale"),
+    )
+    t = (F.col("x") - F.col("lo")) / F.col("scale")
+    code = F.least(F.lit(255), F.floor(t + F.lit(0.5))).cast("int")
+    return (
+        dims.join(F.broadcast(sc), on="dim")
+        .select(
+            "vec_id",
+            "dim",
+            code.alias("code"),
+            (
+                F.round(
+                    F.col("lo") + code.cast("double") * F.col("scale") - F.col("x"),
+                    6,
+                )
+                + F.lit(0.0)  # normalize -0.0 → 0.0, as the SQL twin does
+            ).alias("err"),
+        )
+    )
+
+
+EMBED_QUANTIZE_INT8_SQL = f"""
+WITH emb AS ({_EMB_D_SQL}),
+dims AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, v[i] AS x
+  FROM emb, UNNEST(range(1, {EMB_DIMS + 1})) AS t(i)
+),
+st AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim),
+sc AS (SELECT dim, lo,
+              CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 255.0 END AS scale
+       FROM st)
+SELECT d.vec_id, d.dim,
+       CAST(LEAST(255, FLOOR((d.x - s.lo) / s.scale + 0.5)) AS INTEGER) AS code,
+       ROUND(s.lo + CAST(LEAST(255, FLOOR((d.x - s.lo) / s.scale + 0.5)) AS DOUBLE)
+               * s.scale - d.x, 6) + 0.0 AS err
+FROM dims d JOIN sc s USING (dim)
+"""

@@ -610,6 +610,9 @@ def _register_corpus_ops():
     register("ann_recall_derived", sim.ANN_RECALL_DERIVED_SQL)(sim.ann_recall_derived)
     register("ann_ivf_cell_stats", sim.ANN_IVF_CELL_STATS_SQL)(sim.ann_ivf_cell_stats)
     register("ann_pq_codes", sim.ANN_PQ_CODES_SQL)(sim.ann_pq_codes)
+    register("embed_quantize_int8", sim.EMBED_QUANTIZE_INT8_SQL)(
+        sim.embed_quantize_int8
+    )
     register("ann_pq_topk", sim.ANN_PQ_TOPK_SQL)(sim.ann_pq_topk)
     register("embed_cosine_pairs", sim.EMBED_PAIRS_SQL)(sim.embed_cosine_pairs)
     register("mm_assets", mm.MM_ASSETS_SQL)(mm.mm_assets)

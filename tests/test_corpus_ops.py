@@ -752,6 +752,50 @@ def test_ivf_cell_stats_invariants(spark):
     )
 
 
+def test_int8_quantize_error_bound(spark):
+    """Affine int8 invariants on the real table: codes in [0,255], every
+    component's |err| ≤ scale_d/2 (+1 ulp slack), and the per-dim extremes
+    land exactly on codes 0 and 255 with |err| ≈ 0."""
+    import pyspark.sql.functions as F
+
+    from ed_twitter_spark.operators.similarity import (
+        _emb_double,
+        embed_quantize_int8,
+    )
+
+    q = embed_quantize_int8(spark, SF_SMOKE).cache()
+    assert q.where((F.col("code") < 0) | (F.col("code") > 255)).count() == 0
+    dims = _emb_double(spark, SF_SMOKE).select(
+        "vec_id", F.posexplode("v").alias("dim", "x")
+    )
+    st = dims.groupBy("dim").agg(
+        ((F.max("x") - F.min("x")) / 255.0).alias("scale")
+    )
+    viol = (
+        q.join(st, on="dim")
+        .where(F.abs("err") > F.col("scale") / 2 + 6e-7)  # 6-dp rounding slack
+        .count()
+    )
+    assert viol == 0
+    # the per-dim min maps to code 0, the max to 255, both err≈0
+    ext = (
+        q.join(dims, on=["vec_id", "dim"])
+        .join(
+            dims.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi")),
+            on="dim",
+        )
+    )
+    lo_rows = ext.where(F.col("x") == F.col("lo"))
+    hi_rows = ext.where(F.col("x") == F.col("hi"))
+    assert lo_rows.where(F.col("code") != 0).count() == 0
+    assert hi_rows.where(F.col("code") != 255).count() == 0
+    assert ext.where(
+        ((F.col("x") == F.col("lo")) | (F.col("x") == F.col("hi")))
+        & (F.abs("err") > 1e-6)
+    ).count() == 0
+    q.unpersist()
+
+
 def test_pq_codes_shape_and_lloyd_descent(spark):
     """Every vector emits one code per subspace in [0, K_PQ); training the
     codebook strictly reduces total reconstruction error vs assigning
