@@ -1894,6 +1894,155 @@ def q_kg_random_walks(spark, sf_dir: str) -> DataFrame:
     return kg_random_walks(q_kg_edges(spark, sf_dir))
 
 
+# node2vec return / in-out parameters (Grover & Leskovec 2016 §3.2.2).
+# p > 1 discourages returning, q < 1 pushes outward (DFS-like): the bias
+# classes ranked by descending α = [distance-2 (1/q=2), distance-1 (1),
+# return (1/p=0.5)] — the determinized walk picks the best class first.
+N2V_P = 2.0
+N2V_Q = 0.5
+
+
+def kg_node2vec_walks(edges: DataFrame) -> DataFrame:
+    """(vertex_id, v1, v2, v3) — one WALK_LEN-step SECOND-ORDER biased walk
+    per vertex: node2vec's (p, q) transition bias, determinized the same
+    way ``kg_random_walks`` determinizes DeepWalk's uniform draw.
+
+    node2vec weights a candidate x from (prev → cur) by α: 1/p if
+    x = prev, 1 if x is a neighbor of prev, 1/q otherwise. The
+    determinization picks the best α CLASS outright (with p=2, q=0.5:
+    distance-2 > distance-1 > return, i.e. maximally outward/DFS-like)
+    and hash-greedily within the class via the same
+    h32(start|step|dst) draw — reproducible, partitioning-stable,
+    oracle-checkable. Step 1 has no prev, so it is the plain hash-greedy
+    first-order step, exactly as in the uniform walk.
+
+    Scale shape adds ONE piece to the first-order walk's per-step cost:
+    classifying each candidate needs an edge-existence probe
+    (prev, dst) ∈ E — a LEFT join of the Σdeg(cur)-sized candidate set
+    against the adjacency on its natural key, co-partitioned with the
+    very join that produced the candidates. Frontier stays one row per
+    start vertex; WALK_LEN steps = a fixed pipeline of bounded jobs.
+    """
+    from ed_twitter_spark.functions.hashing import h32_col
+
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(cooccurrence_edges(edges))
+
+    def hv(step: int) -> F.Column:
+        return h32_col(
+            F.concat_ws(
+                "|",
+                F.col("start").cast("string"),
+                F.lit(str(step)),
+                F.col("dst").cast("string"),
+            )
+        )
+
+    # step 1: first-order hash-greedy (no prev to bias against)
+    acc = e.select(F.col("src").alias("start")).distinct().withColumn(
+        "cur", F.col("start")
+    )
+    cand = acc.join(e, acc["cur"] == e["src"]).select(
+        "start", F.col("dst"), hv(1).alias("hv")
+    )
+    acc = (
+        cand.groupBy("start")
+        .agg(F.min(F.struct("hv", "dst")).alias("m"))
+        .select("start", F.col("m.dst").alias("v1"))
+        .withColumn("prev", F.col("start"))
+        .withColumn("cur", F.col("v1"))
+    )
+    prev_cols = ["v1"]
+    nbr = e.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"),
+        F.lit(1).alias("is_nbr"),
+    )
+    for step in range(2, WALK_LEN + 1):
+        cand = acc.join(e, acc["cur"] == e["src"]).select(
+            "start", *prev_cols, "prev", F.col("dst"), hv(step).alias("hv")
+        )
+        marked = cand.join(nbr, on=["prev", "dst"], how="left")
+        # α class rank (ascending = preferred): dist-2 → 0, dist-1 → 1,
+        # return → 2 (the descending-α order for p=2, q=0.5)
+        cls = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(2))
+            .when(F.col("is_nbr") == 1, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        pick = (
+            marked.select(
+                "start", *prev_cols, "dst", "hv", cls.alias("cls")
+            )
+            .groupBy("start", *prev_cols)
+            .agg(F.min(F.struct("cls", "hv", "dst")).alias("m"))
+        )
+        new_v = f"v{step}"
+        acc = (
+            pick.select("start", *prev_cols, F.col("m.dst").alias(new_v))
+            .withColumn("prev", F.col(prev_cols[-1]))
+            .withColumn("cur", F.col(new_v))
+        )
+        prev_cols.append(new_v)
+    return acc.select(F.col("start").alias("vertex_id"), *prev_cols)
+
+
+def kg_node2vec_walks_oracle_sql() -> str:
+    from ed_twitter_spark.functions.hashing import h32_sql
+
+    def hv(step: int, dst: str) -> str:
+        return h32_sql(
+            f"CAST(start AS VARCHAR) || '|{step}|' || CAST({dst} AS VARCHAR)"
+        )
+
+    steps = [
+        f"""n1 AS (
+  SELECT s0.start, e.dst, {hv(1, 'e.dst')} AS hv
+  FROM s0 JOIN coedges e ON e.src = s0.start
+),
+p1 AS (
+  SELECT start, start AS prev, dst AS v1
+  FROM (SELECT *, row_number() OVER (PARTITION BY start ORDER BY hv, dst) AS rn
+        FROM n1)
+  WHERE rn = 1
+)"""
+    ]
+    prev_v, prev_tbl = "v1", "p1"
+    carried = ", v1"
+    for step in range(2, WALK_LEN + 1):
+        steps.append(
+            f"""n{step} AS (
+  SELECT {prev_tbl}.start{carried}, {prev_tbl}.prev, e.dst, {hv(step, 'e.dst')} AS hv,
+         CASE WHEN e.dst = {prev_tbl}.prev THEN 2
+              WHEN nb.src IS NOT NULL THEN 1 ELSE 0 END AS cls
+  FROM {prev_tbl}
+  JOIN coedges e ON e.src = {prev_tbl}.{prev_v}
+  LEFT JOIN coedges nb ON nb.src = {prev_tbl}.prev AND nb.dst = e.dst
+),
+p{step} AS (
+  SELECT start{carried}, {prev_v} AS prev, dst AS v{step}
+  FROM (SELECT *, row_number() OVER (PARTITION BY start ORDER BY cls, hv, dst) AS rn
+        FROM n{step})
+  WHERE rn = 1
+)"""
+        )
+        carried += f", v{step}"
+        prev_v, prev_tbl = f"v{step}", f"p{step}"
+    walk_cols = ", ".join(f"v{k}" for k in range(1, WALK_LEN + 1))
+    return (
+        _kg_edges_named_sql()
+        + ",\n"
+        + _COEDGES_SQL.lstrip()
+        + ",\ns0 AS (SELECT DISTINCT src AS start FROM coedges),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT start AS vertex_id, {walk_cols} FROM p{WALK_LEN} ORDER BY vertex_id"
+    )
+
+
+def q_kg_node2vec_walks(spark, sf_dir: str) -> DataFrame:
+    return kg_node2vec_walks(q_kg_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # personalized PageRank (random walk with restart from the hub)
 # ---------------------------------------------------------------------------

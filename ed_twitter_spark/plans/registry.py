@@ -453,6 +453,9 @@ def _register_graph():
     register("kg_snapshot_growth", graph_ops.kg_snapshot_growth_oracle_sql())(
         graph_ops.q_kg_snapshot_growth
     )
+    register("kg_node2vec_walks", graph_ops.kg_node2vec_walks_oracle_sql())(
+        graph_ops.q_kg_node2vec_walks
+    )
     register("kg_asof_snapshot", graph_ops.kg_asof_snapshot_oracle_sql())(
         graph_ops.q_kg_asof_snapshot
     )

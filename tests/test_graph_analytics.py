@@ -417,6 +417,50 @@ def test_random_walks_by_hand(fake_edges):
             assert b in adj[a]
 
 
+def test_node2vec_walks_by_hand(fake_edges):
+    """Second-order transcription on the paper graph: class rank
+    dist-2 < dist-1 < return (p=2, q=0.5), hash tie-break within class."""
+    import hashlib
+
+    from ed_twitter_spark.operators.graph import WALK_LEN, kg_node2vec_walks
+
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2, 4], 4: [3, 5], 5: [4]}
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    expected = {}
+    for start in adj:
+        prev, cur, walk = None, start, []
+        for step in range(1, WALK_LEN + 1):
+            if prev is None:
+                nxt = min(adj[cur], key=lambda d: (h32(f"{start}|{step}|{d}"), d))
+            else:
+                def cls(d, prev=prev):
+                    if d == prev:
+                        return 2
+                    return 1 if d in adj[prev] else 0
+
+                nxt = min(
+                    adj[cur],
+                    key=lambda d: (cls(d), h32(f"{start}|{step}|{d}"), d),
+                )
+            prev, cur = cur, nxt
+            walk.append(cur)
+        expected[start] = tuple(walk)
+
+    got = kg_node2vec_walks(fake_edges).collect()
+    assert {r["vertex_id"]: (r["v1"], r["v2"], r["v3"]) for r in got} == expected
+    # the q<1 outward bias is visible: from 5 the walk runs 4→3→{1|2},
+    # never bouncing back to 5 or 4 (the uniform walk may)
+    by_start = {r["vertex_id"]: (r["v1"], r["v2"], r["v3"]) for r in got}
+    assert by_start[5][0] == 4 and by_start[5][1] == 3 and by_start[5][2] in (1, 2)
+    for r in got:
+        path = [r["vertex_id"], r["v1"], r["v2"], r["v3"]]
+        for a, b in zip(path, path[1:]):
+            assert b in adj[a]
+
+
 # ---------------------------------------------------------------------------
 # BGP compiler
 # ---------------------------------------------------------------------------
