@@ -888,6 +888,12 @@ def _register_sessions():
     register("stream_distinct", ssketch.STREAM_DISTINCT_SQL)(
         ssketch.stream_distinct_query
     )
+    # stateful streaming GROUP BY dedup; the oracle is the batch
+    # dedup_exact SQL verbatim — (COUNT, MIN) state merges are
+    # order-independent, so the final state table must equal the batch
+    from ed_twitter_spark.operators.dedup import DEDUP_EXACT_SQL
+
+    register("stream_dedup", DEDUP_EXACT_SQL)(ssketch.stream_dedup_query)
     # additive counterpart: CMS counters as streaming state; the oracle is
     # the BATCH heavy-hitters SQL verbatim — streamed counters summed
     # across micro-batches must equal the batch sketch

@@ -243,3 +243,81 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est_count"))
         .select("token", "est_count", "exact_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup — the state-store twin of operators.dedup.dedup_exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_state_stream(docs_stream: DataFrame) -> DataFrame:
+    """documents stream → live (content_hash, n_docs, canonical_doc_id)
+    aggregation. A stateful streaming GROUP BY, not ``dropDuplicates``:
+    first-seen dedup depends on micro-batch arrival order, while
+    (COUNT, MIN) state merges are order-independent — so the final state
+    table is deterministic for ANY interleaving and equals the batch
+    ``dedup_exact`` output exactly. State is one row per distinct
+    content hash (the deduped corpus size), keyed by the same hash the
+    batch operator groups on."""
+    return (
+        docs_stream.select(
+            "doc_id", F.md5(F.lower("text")).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def run_dedup_once(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 2,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Bounded replay (availableNow) of the staged document stream through
+    the dedup state aggregation; returns the final state table."""
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    query_name = query_name or f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    static = spark.read.parquet(src_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    state = dedup_state_stream(reader.parquet(src_dir))
+    q = (
+        state.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming dedup replay '{query_name}' did not complete within 300s"
+        )
+    return spark.table(query_name)
+
+
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: stage → micro-batched replay → final dedup state.
+
+    Oracle = the batch ``DEDUP_EXACT_SQL`` twin: value equality proves the
+    state-store (COUNT, MIN) merges across micro-batches reproduce the
+    batch group-by exactly — the property an always-on ingest dedup at
+    10^12 turns rests on (state size = deduped corpus, not stream length;
+    Spark shards the state store by the same hash key the shuffle uses).
+    """
+    src = os.path.join(
+        tempfile.gettempdir(), f"stream_dedup_src_{uuid.uuid4().hex[:12]}"
+    )
+    stage_documents(spark, sf_dir, src)
+    try:
+        return run_dedup_once(spark, src)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

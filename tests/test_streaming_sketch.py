@@ -91,3 +91,42 @@ def test_stream_cms_counters_equal_batch(spark, tmp_path):
     )
     as_set = lambda df: {(r["depth"], r["bucket"], r["cnt"]) for r in df.collect()}
     assert as_set(got) == as_set(want)
+
+
+def test_stream_dedup_equals_batch(spark, tmp_path):
+    """Micro-batched streaming dedup state ≡ batch dedup_exact, and an
+    incremental restart folds a late-arriving duplicate file into the
+    same state (n_docs increments, canonical MIN survives)."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.dedup import dedup_exact
+
+    src = ssk.stage_documents(spark, SF_SMOKE, str(tmp_path / "dsrc"), n_files=4)
+    got = ssk.run_dedup_once(
+        spark, src, checkpoint_dir=str(tmp_path / "dckpt"), max_files_per_trigger=1
+    )
+    as_map = lambda df: {
+        r["content_hash"]: (r["n_docs"], r["canonical_doc_id"]) for r in df.collect()
+    }
+    want = as_map(dedup_exact(spark, SF_SMOKE))
+    assert as_map(got) == want
+
+    # late file: re-send one existing doc with a HIGHER doc_id (dup text)
+    docs = spark.read.parquet(src)
+    one = docs.orderBy("doc_id").limit(1)
+    dup_id = one.first()["doc_id"] + 10_000_000
+    one.withColumn("doc_id", F.lit(dup_id).cast("long")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got2 = as_map(
+        ssk.run_dedup_once(
+            spark, src, checkpoint_dir=str(tmp_path / "dckpt"),
+            max_files_per_trigger=1,
+        )
+    )
+    h = one.select(F.md5(F.lower("text")).alias("h")).first()["h"]
+    n0, canon0 = want[h]
+    assert got2[h] == (n0 + 1, canon0)  # count grew, canonical unchanged
+    assert {k: v for k, v in got2.items() if k != h} == {
+        k: v for k, v in want.items() if k != h
+    }
