@@ -378,6 +378,56 @@ FROM per_doc
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets — head/middle/tail by LM-ppl terciles
+# ---------------------------------------------------------------------------
+
+
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ppl, bucket) — CCNet's quality partition (Wenzek et al.
+    2020 §4.3): rank every document by LM perplexity and split the corpus
+    into equal-mass head / middle / tail buckets at the EXACT interpolated
+    terciles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``); head =
+    lowest-ppl third. Downstream pipelines keep head, re-filter middle,
+    drop tail.
+
+    Plan shape: the unigram-ppl build (two map-side-combined aggregations
+    + one vocab join) plus ONE scalar two-element percentile aggregate
+    broadcast back — per-doc work after the scan is a pair of
+    comparisons. The percentile over 10^12 doc scores is a single-pass
+    exact aggregate; at that scale an approx-percentile with a fixed
+    error budget is the drop-in (the bucket boundary moves by <ε mass),
+    noted here because exactness is what the oracle pins.
+    """
+    ppl = quality_unigram_ppl(spark, sf_dir).select("doc_id", "ppl")
+    cuts = ppl.agg(
+        F.expr("percentile(ppl, 1.0/3)").alias("t1"),
+        F.expr("percentile(ppl, 2.0/3)").alias("t2"),
+    )
+    return ppl.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+CORPUS_PPL_BUCKETS_SQL = f"""
+WITH base AS ({QUALITY_PPL_SQL}),
+cuts AS (
+  SELECT quantile_cont(ppl, 1.0/3) AS t1, quantile_cont(ppl, 2.0/3) AS t2
+  FROM base
+)
+SELECT doc_id, ppl,
+       CASE WHEN ppl <= t1 THEN 'head'
+            WHEN ppl <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base CROSS JOIN cuts
+"""
+
+
+# ---------------------------------------------------------------------------
 # interpolated Kneser–Ney bigram perplexity — the sequence-aware upgrade
 # of the unigram signal (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.17)
 # ---------------------------------------------------------------------------

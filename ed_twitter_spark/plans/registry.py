@@ -569,6 +569,9 @@ def _register_corpus_ops():
     register("quality_bigram_kn_ppl", ts.QUALITY_KN_PPL_SQL)(
         ts.quality_bigram_kn_ppl
     )
+    register("corpus_ppl_buckets", ts.CORPUS_PPL_BUCKETS_SQL)(
+        ts.corpus_ppl_buckets
+    )
     register("dedup_exact", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
     register("dedup_minhash_lsh", dd.DEDUP_MINHASH_SQL)(dd.dedup_minhash_lsh)
     register("dedup_ngram_jaccard", dd.DEDUP_JACCARD_SQL)(dd.dedup_ngram_jaccard)

@@ -410,6 +410,27 @@ def test_unigram_ppl_matches_python(spark, docs_pdf):
         assert abs(got.loc[did, "ppl"] - round(math.exp(avg), 4)) < 2e-4
 
 
+def test_ppl_buckets_equal_mass_and_ordered(spark):
+    """Terciles: bucket sizes within 1 of n/3 each, and the buckets are
+    ordered — max(head.ppl) ≤ min(middle.ppl)-adjacent boundary ≤ ... —
+    verified against a numpy quantile transcription."""
+    import numpy as np
+
+    from ed_twitter_spark.operators.textstats import corpus_ppl_buckets
+
+    got = corpus_ppl_buckets(spark, SF_SMOKE).toPandas()
+    n = len(got)
+    sizes = got["bucket"].value_counts()
+    # interpolated terciles put ⌈n/3⌉-ish rows per bucket (ties may shift)
+    assert abs(sizes.get("head", 0) - n / 3) <= 2
+    assert abs(sizes.get("tail", 0) - n / 3) <= 2
+    t1, t2 = np.quantile(got["ppl"].to_numpy(), [1 / 3, 2 / 3])
+    by = got.groupby("bucket")["ppl"]
+    assert by.max()["head"] <= t1 + 1e-9
+    assert by.min()["middle"] > t1 - 1e-9 and by.max()["middle"] <= t2 + 1e-9
+    assert by.min()["tail"] > t2 - 1e-9
+
+
 def test_bigram_kn_ppl_by_hand(spark):
     """Hand-sized corpus: docs 'a b a b' and 'b a' → bc={(a,b):2,(b,a):2},
     every context has c1=2, 1 fwd type, 1 back type, 2 bigram types →
