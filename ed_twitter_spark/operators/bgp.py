@@ -860,6 +860,61 @@ def _gate_triples(spark, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# VoID statistics: the per-predicate profile a SPARQL optimizer plans from
+# ---------------------------------------------------------------------------
+
+
+def kg_void_stats(spark, sf_dir: str) -> DataFrame:
+    """(p, n_triples, n_subj, n_obj, out_fanout, in_fanout) — VoID-style
+    property-partition statistics of the triple store (W3C VoID
+    ``void:propertyPartition`` / ``void:triples`` / ``void:distinctSubjects``):
+    per predicate, the triple count, distinct subjects/objects, and the
+    average out/in fanout. These are exactly the cardinalities the BGP
+    compiler's greedy join order (and any cost-based SPARQL planner —
+    S2RDF's ExtVP selectivities) reads before picking an anchor pattern.
+
+    Plan shape: ONE aggregation over the triple scan keyed by predicate.
+    Predicates are few and hot, so the distinct counts matter: Catalyst
+    plans COUNT(DISTINCT x) via expand + two-phase aggregation with
+    map-side partial dedup, so the hot keys ship deduplicated partials,
+    not raw triple streams — the same regime as the gopher/text rollups.
+    """
+    return void_stats(_gate_triples(spark, sf_dir))
+
+
+def void_stats(trips: DataFrame) -> DataFrame:
+    """The per-predicate profile over any (s, p, o) frame — the core
+    ``kg_void_stats`` wraps for the gate's triple store."""
+    agg = trips.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s").alias("n_subj"),
+        F.countDistinct("o").alias("n_obj"),
+    )
+    return agg.select(
+        "p",
+        "n_triples",
+        "n_subj",
+        "n_obj",
+        F.round(F.col("n_triples") / F.col("n_subj"), 6).alias("out_fanout"),
+        F.round(F.col("n_triples") / F.col("n_obj"), 6).alias("in_fanout"),
+    )
+
+
+def kg_void_stats_oracle_sql() -> str:
+    return (
+        _trip_sql()
+        + """
+SELECT p, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subj,
+       CAST(COUNT(DISTINCT o) AS BIGINT) AS n_obj,
+       ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT s), 6) AS out_fanout,
+       ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT o), 6) AS in_fanout
+FROM trip GROUP BY p
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # CONSTRUCT: BGP match → new triples (the KG *rewriting* surface)
 # ---------------------------------------------------------------------------
 

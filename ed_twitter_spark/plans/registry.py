@@ -502,6 +502,9 @@ def _register_graph():
     register("kg_bgp_exists", bgp_ops.kg_bgp_exists_oracle_sql())(
         bgp_ops.kg_bgp_exists
     )
+    register("kg_void_stats", bgp_ops.kg_void_stats_oracle_sql())(
+        bgp_ops.kg_void_stats
+    )
     register("kg_bgp_aggregate", bgp_ops.kg_bgp_aggregate_oracle_sql())(
         bgp_ops.kg_bgp_aggregate
     )

@@ -665,6 +665,19 @@ def test_bgp_minus_disjoint_removes_nothing(tiny_triples):
     assert {r["e"] for r in got} == {"e:E1", "e:E2"}
 
 
+def test_void_stats_by_hand(tiny_triples, spark):
+    """Hand-count on the tiny store: mentioned_by_user has 2 triples,
+    2 distinct subjects and objects; in_conv has 4 triples over 4 subjects
+    and 2 conversations (in_fanout 2.0)."""
+    from ed_twitter_spark.operators.bgp import void_stats
+
+    got = {r["p"]: tuple(r)[1:] for r in void_stats(tiny_triples).collect()}
+    assert got["mentioned_by_user"] == (2, 2, 2, 1.0, 1.0)
+    assert got["mentioned_in_search"] == (2, 2, 2, 1.0, 1.0)
+    assert got["in_conv"] == (4, 4, 2, 1.0, 2.0)
+    assert got["mentions"] == (3, 2, 2, 1.5, 1.5)
+
+
 def test_bgp_exists_correlates_on_shared_vars(tiny_triples):
     """EXISTS on ?e alone: both E1 and E2 have SOME search mention, so both
     survive — contrast with MINUS on (?e, ?c) which removes E1 only."""
