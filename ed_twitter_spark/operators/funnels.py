@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # purchase within 7 days of view
@@ -141,4 +142,83 @@ SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM ev e JOIN cohort c ON c.user_id = e.user_id
 GROUP BY c.cohort_week, CAST(date_diff('day', c.cohort_week, e.wk) / 7 AS INT)
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily volume anomaly — trailing-window z-score over per-type event counts
+# ---------------------------------------------------------------------------
+
+ANOM_TRAIL_DAYS = 7
+ANOM_MIN_WINDOW = 3
+ANOM_SIGMA = 3.0
+
+
+def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n, trail_mean, trail_std, is_anomaly) — per-type
+    daily event volume flagged against its own trailing week: anomalous
+    iff n > mean + 3σ over the PRECEDING ≤7 days (≥3 days of history —
+    the cold-start rows are dropped, not emitted as false negatives).
+    The monitoring query an always-on ingest pipeline alarms from.
+
+    Determinism across engines is engineered, not hoped for: the window
+    carries only INTEGER sums (Σn, Σn², count), so mean/var/σ derive from
+    exact integers via one shared formula — no engine-library variance
+    (whose accumulation order could differ in the last ulp) touches the
+    comparison. Plan shape: the 10^12-row scan collapses to one
+    (event_type, day) map-side-combined count; the window runs over that
+    tiny daily table partitioned by type — driver-trivial at any scale.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOM_TRAIL_DAYS, -1)
+    )
+    trail = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    ).where(F.col("k") >= ANOM_MIN_WINDOW)
+    mean = F.col("s1") / F.col("k")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / F.col("k")
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return trail.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(mean, 6).alias("trail_mean"),
+        F.round(std, 6).alias("trail_std"),
+        (F.col("n") > mean + F.lit(ANOM_SIGMA) * std).alias("is_anomaly"),
+    )
+
+
+EVENT_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+trail AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER w AS s1,
+         SUM(n * n) OVER w AS s2,
+         COUNT(*) OVER w AS k
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ANOM_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       ROUND(s1 * 1.0 / k, 6) AS trail_mean,
+       ROUND(sqrt(GREATEST((s2 - s1 * 1.0 * s1 / k) / k, 0.0)), 6) AS trail_std,
+       n > s1 * 1.0 / k + {ANOM_SIGMA} * sqrt(GREATEST((s2 - s1 * 1.0 * s1 / k) / k, 0.0))
+         AS is_anomaly
+FROM trail WHERE k >= {ANOM_MIN_WINDOW}
 """

@@ -855,6 +855,7 @@ def _register_sessions():
 
     register("event_funnel", fnl.EVENT_FUNNEL_SQL)(fnl.event_funnel)
     register("event_retention", fnl.EVENT_RETENTION_SQL)(fnl.event_retention)
+    register("event_anomaly", fnl.EVENT_ANOMALY_SQL)(fnl.event_anomaly)
 
     # streaming twin: applyInPandasWithState per-user session state machine,
     # bounded single-batch replay so the emitted (append-mode) set is

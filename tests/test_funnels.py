@@ -71,3 +71,67 @@ def test_retention_matches_pandas(spark, events):
     assert {
         (r.cohort_week, r.week_offset): r.n_users for r in got.itertuples()
     } == rows
+
+
+def test_anomaly_matches_pandas(spark, events):
+    """Trailing-window z-score transcribed in pandas from exact integer
+    sums, including the ≥3-day history gate and the 3σ flag."""
+    import math
+
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n"], r["trail_mean"], r["trail_std"], r["is_anomaly"]
+        )
+        for r in fn.event_anomaly(spark, SF_SMOKE).collect()
+    }
+    daily = (
+        events.assign(day=events.ts.dt.strftime("%Y-%m-%d"))
+        .groupby(["event_type", "day"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    want = {}
+    for et, grp in daily.groupby("event_type"):
+        ns = grp["n"].tolist()
+        days = grp["day"].tolist()
+        for i in range(len(ns)):
+            w = ns[max(0, i - fn.ANOM_TRAIL_DAYS) : i]
+            if len(w) < fn.ANOM_MIN_WINDOW:
+                continue
+            s1, s2, k = sum(w), sum(x * x for x in w), len(w)
+            mean = s1 / k
+            std = math.sqrt(max((s2 - s1 * s1 / k) / k, 0.0))
+            want[(et, days[i])] = (
+                ns[i],
+                round(mean, 6),
+                round(std, 6),
+                ns[i] > mean + fn.ANOM_SIGMA * std,
+            )
+    assert got == want
+
+
+def test_anomaly_flags_injected_spike(spark, tmp_path):
+    """A 10× single-day spike after a flat week must flag, the flat days
+    must not."""
+    import datetime as dt
+
+    rows = []
+    for d in range(10):
+        n = 100 if d == 9 else 10
+        for i in range(n):
+            rows.append(
+                ("e%d_%d" % (d, i), dt.datetime(2024, 3, 1 + d, 12, 0, 0),
+                 i, "view", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id string, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["day"]: r["is_anomaly"] for r in fn.event_anomaly(
+        spark, str(tmp_path)
+    ).collect()}
+    assert got["2024-03-10"] is True
+    assert all(v is False for d, v in got.items() if d != "2024-03-10")
