@@ -342,6 +342,84 @@ WHERE ROUND(n_shared * 1.0 / (s1.sz + s2.sz - n_shared), 6) >= {JACCARD_MIN}
 
 
 # ---------------------------------------------------------------------------
+# asymmetric shingle containment — quote / sub-document inclusion
+# ---------------------------------------------------------------------------
+
+CONTAIN_MIN = 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc1, doc2, containment) — asymmetric shingle CONTAINMENT
+    |A∩B| / min(|A|, |B|) ≥ 0.5 (Broder 1997's other resemblance measure):
+    catches a short document quoted wholesale inside a long one, which
+    Jaccard structurally misses (a 20-shingle doc inside a 2000-shingle
+    doc has J ≈ 0.01 but containment 1.0). The deciding filter for
+    "is this a re-post with commentary" in transcript corpora.
+
+    Same single-scan inverted-index pipeline as ``dedup_ngram_jaccard``
+    (posting lists capped at DF_CAP bound the pair fan-out at C(cap, 2)
+    per shingle at any corpus size); only the final normalizer differs.
+    """
+    sh = _shingles(spark, sf_dir)
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= DF_CAP))
+    )
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda b: F.struct(
+                            a["doc_id"].alias("doc1"),
+                            b["doc_id"].alias("doc2"),
+                            a["sz"].alias("sz1"),
+                            b["sz"].alias("sz2"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("doc1", "doc2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("sz1", "sz2"), 6),
+        )
+        .where(F.col("containment") >= CONTAIN_MIN)
+        .select("doc1", "doc2", "containment")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) <= {DF_CAP}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc1, doc2,
+       ROUND(n_shared * 1.0 / LEAST(s1.sz, s2.sz), 6) AS containment
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE ROUND(n_shared * 1.0 / LEAST(s1.sz, s2.sz), 6) >= {CONTAIN_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 

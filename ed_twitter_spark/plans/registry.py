@@ -578,6 +578,7 @@ def _register_corpus_ops():
     register("dedup_exact", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
     register("dedup_minhash_lsh", dd.DEDUP_MINHASH_SQL)(dd.dedup_minhash_lsh)
     register("dedup_ngram_jaccard", dd.DEDUP_JACCARD_SQL)(dd.dedup_ngram_jaccard)
+    register("dedup_containment", dd.DEDUP_CONTAINMENT_SQL)(dd.dedup_containment)
     register("dedup_simhash", dd.DEDUP_SIMHASH_SQL)(dd.dedup_simhash)
     register("dedup_simhash_pairs", dd.DEDUP_SIMHASH_PAIRS_SQL)(dd.dedup_simhash_pairs)
     register("dedup_clusters", dd.DEDUP_CLUSTERS_SQL)(dd.dedup_clusters)

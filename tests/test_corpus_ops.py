@@ -865,3 +865,30 @@ def test_pq_adc_respects_cluster_structure(spark):
     for r in out:
         # query i sits in cluster i % K_PQ; every retrieved neighbor must too
         assert r["vec_id"] % sim.K_PQ == r["query_id"] % sim.K_PQ
+
+
+def test_containment_catches_quote_inclusion(spark, tmp_path):
+    """A short doc quoted verbatim inside a long one: Jaccard is tiny but
+    containment is 1.0 — the asymmetry the operator exists for."""
+    short = " ".join(f"q{i}" for i in range(10))
+    long = " ".join(f"w{i}" for i in range(200)) + " " + short
+    spark.createDataFrame(
+        [(1, long), (2, short), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from ed_twitter_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    got = {(r["doc1"], r["doc2"]): r["containment"]
+           for r in dedup_containment(spark, str(tmp_path)).collect()}
+    # short doc has 8 shingles, all inside the long doc (plus 2 stitched
+    # boundary shingles shared too); containment = 1.0
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
+    # while Jaccard (threshold 0.1) misses the pair entirely
+    j = {(r["doc1"], r["doc2"]) for r in
+         dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+    assert (1, 2) not in j
