@@ -771,3 +771,44 @@ SELECT doc_id, CAST(n_tri AS BIGINT) AS n_trigrams,
 FROM c
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# language-declaration audit — declared `lang` vs the n-gram prediction
+# ---------------------------------------------------------------------------
+
+
+def lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_declared, lang_pred, lang_score) — documents whose
+    DECLARED ``lang`` column disagrees with the character-trigram
+    prediction (confident disagreements only: 'unk' predictions are not
+    evidence of mislabeling). The metadata-quality audit every ingest
+    pipeline runs before trusting upstream language tags for mixture
+    weighting — a mislabeled-language doc poisons both the per-language
+    sampling quotas and any per-language quality thresholds.
+
+    Plan shape: the lang-ID pass (one narrow whole-stage-codegen
+    projection, nothing exploded) plus ONE equi-join back to the
+    documents scan keyed doc_id — co-partitioned with the scan that
+    produced it, pruned to (doc_id, lang) on the right side.
+    """
+    pred = lang_id_ngram(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("lang").alias("lang_declared")
+    )
+    return (
+        pred.join(docs, on="doc_id")
+        .where(
+            (F.col("lang_pred") != "unk")
+            & (F.col("lang_pred") != F.col("lang_declared"))
+        )
+        .select("doc_id", "lang_declared", "lang_pred", "lang_score")
+    )
+
+
+LANG_AUDIT_SQL = f"""
+WITH base AS ({LANG_ID_NGRAM_SQL})
+SELECT b.doc_id, d.lang AS lang_declared, b.lang_pred, b.lang_score
+FROM base b JOIN documents d USING (doc_id)
+WHERE b.lang_pred <> 'unk' AND b.lang_pred <> d.lang
+"""

@@ -567,6 +567,7 @@ def _register_corpus_ops():
     register("quality_repetition", ts.QUALITY_REPETITION_SQL)(ts.quality_repetition)
     register("quality_gopher", ts.QUALITY_GOPHER_SQL)(ts.quality_gopher)
     register("lang_id_ngram", ts.LANG_ID_NGRAM_SQL)(ts.lang_id_ngram)
+    register("lang_audit", ts.LANG_AUDIT_SQL)(ts.lang_audit)
     register("tfidf_top_terms", ts.TFIDF_SQL)(ts.tfidf_top_terms)
     register("quality_unigram_ppl", ts.QUALITY_PPL_SQL)(ts.quality_unigram_ppl)
     register("quality_bigram_kn_ppl", ts.QUALITY_KN_PPL_SQL)(

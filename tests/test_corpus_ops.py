@@ -892,3 +892,22 @@ def test_containment_catches_quote_inclusion(spark, tmp_path):
     j = {(r["doc1"], r["doc2"]) for r in
          dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
     assert (1, 2) not in j
+
+
+def test_lang_audit_flags_only_confident_disagreements(spark, tmp_path):
+    """An English text declared 'fr' must flag; the same text declared 'en'
+    must not; an all-digits doc (pred 'unk') must never flag regardless."""
+    en = "the quick brown fox jumps over the lazy dog and then rests"
+    spark.createDataFrame(
+        [(1, en, "fr"), (2, en, "en"), (3, "12345 67890 000", "de")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from ed_twitter_spark.operators.textstats import lang_audit, lang_id_ngram
+
+    pred = {r["doc_id"]: r["lang_pred"]
+            for r in lang_id_ngram(spark, str(tmp_path)).collect()}
+    assert pred[1] == "en" and pred[3] == "unk"
+    got = {r["doc_id"]: (r["lang_declared"], r["lang_pred"])
+           for r in lang_audit(spark, str(tmp_path)).collect()}
+    assert got == {1: ("fr", "en")}
