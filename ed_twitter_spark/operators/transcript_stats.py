@@ -173,3 +173,84 @@ SELECT role, next_role,
 FROM p WHERE next_role IS NOT NULL
 GROUP BY role, next_role
 """
+
+
+# ---------------------------------------------------------------------------
+# context-budget truncation point — how much conversation tail fits
+# ---------------------------------------------------------------------------
+
+CONTEXT_BUDGET_TOKENS = 512
+
+
+def conv_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_context_budget_df(synth.transcripts(spark, sf_dir))
+
+
+def conv_context_budget_df(t: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, total_tokens, fit_turns, fit_tokens, truncated)
+    — per conversation, the largest SUFFIX of turns whose whitespace-token
+    sum fits CONTEXT_BUDGET_TOKENS: the context-window truncation point
+    every chat-template renderer needs ("how many recent turns can this
+    model see"), computed corpus-wide so the training pipeline can size
+    RENDER_LAST_TURNS / packing bins from data instead of guesswork.
+
+    One window pass: a reverse (turn_idx DESC) running token sum per
+    conversation, then one aggregation counting the rows under budget —
+    both share the single conv_id exchange, the same plan shape as
+    ``conversation_stats``. A turn longer than the whole budget yields
+    fit_turns = 0 for that conversation's tail, never a partial turn.
+    """
+    ntok = F.size(F.split("text", r"\s+"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = (
+        t.withColumn("ntok", ntok)
+        .withColumn("rsum", F.sum("ntok").over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            F.sum(
+                (F.col("rsum") <= CONTEXT_BUDGET_TOKENS).cast("int")
+            ).cast("bigint").alias("fit_turns"),
+            F.max(
+                F.when(
+                    F.col("rsum") <= CONTEXT_BUDGET_TOKENS, F.col("rsum")
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("fit_tokens"),
+        )
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "total_tokens",
+        "fit_turns",
+        "fit_tokens",
+        (F.col("fit_turns") < F.col("n_turns")).alias("truncated"),
+    )
+
+
+CONV_CONTEXT_BUDGET_SQL = f"""
+WITH t AS ({synth.TRANSCRIPTS_SQL}),
+g AS (
+  SELECT conv_id,
+         len(string_split_regex(text, '\\s+')) AS ntok,
+         SUM(len(string_split_regex(text, '\\s+'))) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+  FROM t
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN rsum <= {CONTEXT_BUDGET_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS fit_turns,
+       CAST(MAX(CASE WHEN rsum <= {CONTEXT_BUDGET_TOKENS} THEN rsum ELSE 0 END) AS BIGINT)
+         AS fit_tokens,
+       SUM(CASE WHEN rsum <= {CONTEXT_BUDGET_TOKENS} THEN 1 ELSE 0 END) < COUNT(*)
+         AS truncated
+FROM g GROUP BY conv_id
+"""

@@ -847,11 +847,14 @@ def _register_sessions():
     register("sft_pipeline", sft_ops.SFT_PIPELINE_SQL)(sft_ops.sft_pipeline)
 
     from ed_twitter_spark.operators.transcript_stats import (
+        CONV_CONTEXT_BUDGET_SQL,
         TURN_LATENCY_SQL,
+        conv_context_budget,
         turn_latency,
     )
 
     register("turn_latency", TURN_LATENCY_SQL)(turn_latency)
+    register("conv_context_budget", CONV_CONTEXT_BUDGET_SQL)(conv_context_budget)
 
     from ed_twitter_spark.operators import funnels as fnl
 

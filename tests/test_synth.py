@@ -53,3 +53,27 @@ def test_kb_alias_priors(spark):
     # rank 1 = higher count; E0 should dominate (4-in-5 rule)
     top = kb.where(F.col("rank") == 1)
     assert top.where(~F.col("ent_name").startswith("E0_")).count() == 0
+
+
+def test_conv_context_budget_by_hand(spark):
+    """Suffix-fit semantics: with budget 512, a conversation of turns sized
+    [500, 10, 10] (oldest→newest) fits only the last two (20 ≤ 512 but
+    520 > 512); one oversized single turn yields fit_turns 0."""
+    from ed_twitter_spark.operators.transcript_stats import (
+        conv_context_budget_df,
+    )
+
+    def turn(conv, idx, n):
+        return (conv, idx, "user", " ".join(["w"] * n), None, None)
+
+    t = spark.createDataFrame(
+        [turn("c1", 0, 500), turn("c1", 1, 10), turn("c1", 2, 10),
+         turn("c2", 0, 600)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: (r["n_turns"], r["total_tokens"], r["fit_turns"],
+                          r["fit_tokens"], r["truncated"])
+           for r in conv_context_budget_df(t).collect()}
+    assert got["c1"] == (3, 520, 2, 20, True)
+    assert got["c2"] == (1, 600, 0, 0, True)
