@@ -1772,6 +1772,100 @@ def kg_typed_edges(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
     )
 
 
+def kg_entity_channels(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """(vertex_id, n_user, n_assistant, n_tool, n_total, n_preds,
+    dominant_pred) — per canonical entity, WHERE it surfaces: mention
+    counts by channel (user turns, assistant turns, tool calls), the
+    distinct predicate count, and the single most frequent typed predicate
+    (ties → lexicographically-first, a total order). The profile that
+    decides whether an entity is user-vocabulary, assistant-vocabulary or
+    tool-surfaced — the feature KG consumers filter on before trusting an
+    edge for grounding.
+
+    Plan shape: ONE (vertex, pred) map-side-combined count over the typed
+    edge stream (the typing join is the same co-partitioned
+    (conv_id, turn_idx) exchange ``kg_typed_edges`` pays), then a
+    vertex-keyed rollup and a window argmax over the (vertex, pred)
+    table — both orders of magnitude below the edge count. No extra scan
+    of the 10^12-row side.
+    """
+    typed = kg_typed_edges(edges, transcripts)
+    per = (
+        typed.where(F.col("obj_vertex").isNotNull())
+        .groupBy(F.col("obj_vertex").alias("vertex_id"), "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = per.groupBy("vertex_id").agg(
+        F.sum(
+            F.when(F.col("pred") == "mentioned_by_user", F.col("n")).otherwise(0)
+        ).cast("bigint").alias("n_user"),
+        F.sum(
+            F.when(F.col("pred") == "mentioned_by_assistant", F.col("n"))
+            .otherwise(0)
+        ).cast("bigint").alias("n_assistant"),
+        F.sum(
+            F.when(F.col("pred").like("mentioned_in_%"), F.col("n")).otherwise(0)
+        ).cast("bigint").alias("n_tool"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_preds"),
+    )
+    w = Window.partitionBy("vertex_id").orderBy(F.desc("n"), F.asc("pred"))
+    dom = (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vertex_id", F.col("pred").alias("dominant_pred"))
+    )
+    return agg.join(dom, on="vertex_id")
+
+
+def kg_entity_channels_oracle_sql() -> str:
+    from ed_twitter_spark import synth
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+tr AS ({synth.TRANSCRIPTS_SQL}),
+typed AS (
+  SELECT CASE WHEN t.tool IS NOT NULL THEN 'mentioned_in_' || t.tool
+              ELSE 'mentioned_by_' || t.role END AS pred,
+         k.obj_vertex
+  FROM kge k JOIN tr t ON t.conv_id = k.conv_id AND t.turn_idx = k.turn_idx
+  WHERE k.obj_vertex IS NOT NULL
+),
+per AS (
+  SELECT obj_vertex AS vertex_id, pred, COUNT(*) AS n
+  FROM typed GROUP BY obj_vertex, pred
+),
+agg AS (
+  SELECT vertex_id,
+         CAST(SUM(CASE WHEN pred = 'mentioned_by_user' THEN n ELSE 0 END) AS BIGINT) AS n_user,
+         CAST(SUM(CASE WHEN pred = 'mentioned_by_assistant' THEN n ELSE 0 END) AS BIGINT) AS n_assistant,
+         CAST(SUM(CASE WHEN pred LIKE 'mentioned_in_%' THEN n ELSE 0 END) AS BIGINT) AS n_tool,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_preds
+  FROM per GROUP BY vertex_id
+),
+dom AS (
+  SELECT vertex_id, pred AS dominant_pred
+  FROM (SELECT vertex_id, pred,
+               ROW_NUMBER() OVER (PARTITION BY vertex_id ORDER BY n DESC, pred) AS rn
+        FROM per)
+  WHERE rn = 1
+)
+SELECT agg.vertex_id, n_user, n_assistant, n_tool, n_total, n_preds, dominant_pred
+FROM agg JOIN dom ON dom.vertex_id = agg.vertex_id
+"""
+    )
+
+
+def q_kg_entity_channels(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+
+    return kg_entity_channels(
+        q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )
+
+
 def kg_typed_edges_oracle_sql() -> str:
     from ed_twitter_spark import synth
 

@@ -453,6 +453,9 @@ def _register_graph():
     register("kg_snapshot_growth", graph_ops.kg_snapshot_growth_oracle_sql())(
         graph_ops.q_kg_snapshot_growth
     )
+    register("kg_entity_channels", graph_ops.kg_entity_channels_oracle_sql())(
+        graph_ops.q_kg_entity_channels
+    )
     register("kg_node2vec_walks", graph_ops.kg_node2vec_walks_oracle_sql())(
         graph_ops.q_kg_node2vec_walks
     )

@@ -1312,3 +1312,33 @@ def test_shortest_path_unreachable_is_empty(spark):
 
     e = _sym(spark, [("a", "b"), ("x", "y")])
     assert kg_shortest_path(e, "a", "y").count() == 0
+
+
+def test_entity_channels_by_hand(spark):
+    """Channel rollup + dominant-predicate argmax with the lexicographic
+    tie-break, on a 2-entity fixture."""
+    import datetime as dt
+
+    from ed_twitter_spark.operators.graph import kg_entity_channels
+
+    edges = spark.createDataFrame(
+        [("cA", 0, 1), ("cA", 1, 1), ("cA", 2, 1), ("cA", 0, 2), ("cA", 3, 2)],
+        "conv_id string, turn_idx int, obj_vertex bigint",
+    ).selectExpr(
+        "concat(conv_id, '#', turn_idx, '#0') AS subj",
+        "'links_to' AS pred", "CAST(obj_vertex AS STRING) AS obj",
+        "obj_vertex", "conv_id", "turn_idx", "0 AS mention_idx",
+    )
+    ts0 = dt.datetime(2026, 1, 1)
+    transcripts = spark.createDataFrame(
+        [("cA", 0, "user", None, ts0), ("cA", 1, "assistant", None, ts0),
+         ("cA", 2, "assistant", "search", ts0), ("cA", 3, "user", None, ts0)],
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp",
+    )
+    got = {r["vertex_id"]: tuple(r)[1:] for r in
+           kg_entity_channels(edges, transcripts).collect()}
+    # v1: user@t0, assistant@t1, search-tool@t2 → tie at 1 each →
+    # lexicographic min = mentioned_by_assistant
+    assert got[1] == (1, 1, 1, 3, 3, "mentioned_by_assistant")
+    # v2: user@t0 and user@t3 → dominant user
+    assert got[2] == (2, 0, 0, 2, 1, "mentioned_by_user")
