@@ -427,3 +427,114 @@ SELECT doc_id, source, rk, quota
 FROM ranked JOIN quota USING (source)
 WHERE rk <= quota
 """
+
+
+# ---------------------------------------------------------------------------
+# curriculum schedule — difficulty-staged global training order
+# ---------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 4
+_CUR_BUCKETS = 16
+
+
+def dataset_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(global_idx, doc_id, phase, difficulty) — a curriculum-learning
+    schedule (Bengio et al. 2009) over the corpus: documents staged
+    easy -> hard by their self-LM difficulty (the unigram avg_neg_logp
+    from quality_unigram_ppl — rounded to 6 dp, so the staging key is
+    engine-stable), split into CURRICULUM_PHASES equal-mass phases at
+    EXACT interpolated quantile cutoffs (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the corpus_ppl_buckets contract), and
+    deterministically shuffled WITHIN each phase by md5(doc_id) so no
+    difficulty-adjacent ordering artifacts leak into training.
+
+    The global index is assigned with the same two-phase scheme as
+    dataset_interleave: a naive row_number() OVER (ORDER BY phase, md5)
+    would sort the whole corpus on one partition, so instead the md5
+    key's first hex digit makes 16 ordered buckets per phase, each
+    (phase, bucket) cell numbers its rows locally, and the ≤ 64 cell
+    counts come to the driver once for cumulative offsets — the only
+    driver state is that count vector.
+    """
+    from pyspark.sql import Window
+
+    from ed_twitter_spark.operators.textstats import quality_unigram_ppl
+
+    base = quality_unigram_ppl(spark, sf_dir).select(
+        "doc_id", F.col("avg_neg_logp").alias("difficulty")
+    )
+    cuts = base.agg(
+        F.expr("percentile(difficulty, 0.25)").alias("q1"),
+        F.expr("percentile(difficulty, 0.50)").alias("q2"),
+        F.expr("percentile(difficulty, 0.75)").alias("q3"),
+    )
+    ph = base.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "difficulty",
+        F.when(F.col("difficulty") <= F.col("q1"), F.lit(1))
+        .when(F.col("difficulty") <= F.col("q2"), F.lit(2))
+        .when(F.col("difficulty") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("phase"),
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    from ed_twitter_spark.caching import persist_tracked
+
+    b = persist_tracked(
+        ph.withColumn("okey", key).withColumn(
+            "bucket", F.conv(F.substring("okey", 1, 1), 16, 10).cast("int")
+        )
+    )
+    w = Window.partitionBy("phase", "bucket").orderBy("okey", "doc_id")
+    ranked = b.withColumn("rn", F.row_number().over(w))
+    counts = {
+        (r["phase"], r["bucket"]): r["n"]
+        for r in b.groupBy("phase", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for phase in range(1, CURRICULUM_PHASES + 1):
+        for bucket in range(_CUR_BUCKETS):
+            offsets[(phase, bucket)] = acc
+            acc += counts.get((phase, bucket), 0)
+    off = F.create_map(
+        *[
+            x
+            for (phase, bucket), o in sorted(offsets.items())
+            for x in (F.lit(phase * _CUR_BUCKETS + bucket), F.lit(o))
+        ]
+    )
+    return ranked.select(
+        (off[F.col("phase") * _CUR_BUCKETS + F.col("bucket")] + F.col("rn"))
+        .cast("long")
+        .alias("global_idx"),
+        "doc_id",
+        "phase",
+        "difficulty",
+    )
+
+
+def dataset_curriculum_oracle_sql() -> str:
+    from ed_twitter_spark.operators.textstats import QUALITY_PPL_SQL
+
+    return f"""
+WITH base AS ({QUALITY_PPL_SQL}),
+cuts AS (
+  SELECT quantile_cont(avg_neg_logp, 0.25) AS q1,
+         quantile_cont(avg_neg_logp, 0.50) AS q2,
+         quantile_cont(avg_neg_logp, 0.75) AS q3
+  FROM base
+),
+ph AS (
+  SELECT doc_id, avg_neg_logp AS difficulty,
+         CASE WHEN avg_neg_logp <= q1 THEN 1
+              WHEN avg_neg_logp <= q2 THEN 2
+              WHEN avg_neg_logp <= q3 THEN 3
+              ELSE 4 END AS phase
+  FROM base CROSS JOIN cuts
+)
+SELECT row_number() OVER (
+         ORDER BY phase, md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS global_idx,
+       doc_id, phase, difficulty
+FROM ph
+"""

@@ -596,6 +596,11 @@ def _register_corpus_ops():
     register("heavy_hitters_cms", skt.heavy_hitters_sql())(skt.heavy_hitters_cms)
     register("distinct_sketch", skt.distinct_sketch_sql())(skt.distinct_sketch)
 
+    from ed_twitter_spark.operators import bpe as bpe_ops
+
+    register("bpe_train", bpe_ops.bpe_train_oracle_sql())(bpe_ops.bpe_train)
+    register("bpe_encode", bpe_ops.bpe_encode_oracle_sql())(bpe_ops.bpe_encode)
+
     from ed_twitter_spark.operators import packing as pk
 
     register("chunk_documents", pk.CHUNK_DOCUMENTS_SQL)(pk.chunk_documents)
@@ -644,6 +649,13 @@ def _register_corpus_ops():
     register("dataset_sample_temperature", cf.DATASET_SAMPLE_TEMP_SQL)(
         cf.dataset_sample_temperature
     )
+    register("dataset_curriculum", cf.dataset_curriculum_oracle_sql())(
+        cf.dataset_curriculum
+    )
+
+    from ed_twitter_spark.operators import embed_pca as pca_ops
+
+    register("embed_pca", pca_ops.embed_pca_oracle_sql())(pca_ops.embed_pca)
 
 
 _register_corpus_ops()
