@@ -234,3 +234,36 @@ FROM dw JOIN enc USING (word)
 WHERE regexp_matches(word, '{_WORD_RE}')
 GROUP BY doc_id
 """
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(symbol, n_words, freq) — the trained tokenizer's symbol inventory:
+    every post-merge symbol with the number of distinct words containing
+    it and its corpus-weighted occurrence count. This is the artifact a
+    tokenizer build actually ships (merges + vocab); one explode over the
+    final vocab table, map-side combined."""
+    _, vocab = bpe_chain(spark, sf_dir)
+    syms = F.split(F.expr("substring(symstr, 2, length(symstr) - 2)"), r"\]\[")
+    return (
+        vocab.select("word", "freq", F.explode(syms).alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.countDistinct("word").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("freq"),
+        )
+    )
+
+
+def bpe_vocab_oracle_sql(n_merges: int = N_MERGES) -> str:
+    return f"""WITH {_chain_ctes(n_merges)}
+SELECT symbol,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       CAST(SUM(freq) AS BIGINT)            AS freq
+FROM (
+  SELECT word, freq,
+         unnest(string_split_regex(substr(symstr, 2, length(symstr) - 2),
+                                   '\\]\\[')) AS symbol
+  FROM v{n_merges}
+)
+GROUP BY symbol
+"""

@@ -98,14 +98,17 @@ def _moment_packets(emb: DataFrame) -> DataFrame:
     return emb.select("embedding").mapInPandas(gen, schema=_PARTIAL_SCHEMA)
 
 
-def _covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(i, j, c) — population covariance as identical doubles on both
-    engines (see module docstring)."""
+def _moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged integer moment packets, persisted (ONE corpus scan)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    packets = (
+    return persist_tracked(
         _moment_packets(emb).groupBy("i", "j").agg(F.sum("val").alias("val"))
     )
-    packets = persist_tracked(packets)
+
+
+def _covariance(packets: DataFrame) -> DataFrame:
+    """(i, j, c) — population covariance as identical doubles on both
+    engines (see module docstring)."""
     gram = packets.where((F.col("i") >= 0) & (F.col("j") >= 0)).select(
         "i", "j", F.col("val").alias("sxy")
     )
@@ -136,13 +139,9 @@ def _covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return persist_tracked(c)
 
 
-def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(dim, loading, eigval) — the dominant principal direction of the
-    (quantized) embedding distribution: loadings normalized so the
-    largest-|.| component is exactly 1.0, eigval = that component's
-    pre-normalization matvec value at the final step (the dominant
-    eigenvalue under max-norm convergence)."""
-    cov = _covariance(spark, sf_dir)
+def _power_iterate(cov: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """PCA_ITERS max-normalized power-iteration steps; returns the final
+    (unrounded) direction (v, x) and the 1-row (wstar,) eigenvalue frame."""
     x = cov.select(F.col("i").alias("v")).distinct().select(
         "v", F.lit(1.0).alias("x")
     )
@@ -162,6 +161,16 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = w.crossJoin(F.broadcast(wstar)).select(
             "v", (F.col("w") / F.col("wstar")).alias("x")
         )
+    return x, wstar
+
+
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, loading, eigval) — the dominant principal direction of the
+    (quantized) embedding distribution: loadings normalized so the
+    largest-|.| component is exactly 1.0, eigval = that component's
+    pre-normalization matvec value at the final step (the dominant
+    eigenvalue under max-norm convergence)."""
+    x, wstar = _power_iterate(_covariance(_moments(spark, sf_dir)))
     return x.crossJoin(F.broadcast(wstar)).select(
         F.col("v").alias("dim"),
         F.round("x", 6).alias("loading"),
@@ -169,7 +178,43 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embed_pca_oracle_sql(iters: int = PCA_ITERS) -> str:
+def embed_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, score) — every embedding projected onto the learned
+    principal direction, mean-centered, back in embedding units
+    (score = Σ_i (q_i − μ_i)·x_i / Q_SCALE). This is the consumer side
+    of the PCA build: 1-D codes for dominant-direction removal (Arora
+    et al. 2017) or coarse range partitioning of an ANN index.
+
+    Plan: the direction (D rows) and the per-dim means (D rows) broadcast
+    onto ONE posexplode of the embedding table — a single scan with a
+    vec_id-keyed map-side-combined sum; no shuffle grows with D."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "e")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("e").cast("double") * Q_SCALE + 0.5).cast("long").alias("qv"),
+    )
+    packets = _moments(spark, sf_dir)
+    x, _ = _power_iterate(_covariance(packets))
+    sums = packets.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "i", F.col("val").alias("sx")
+    )
+    n = packets.where(F.col("i") == -1).select(F.col("val").alias("n"))
+    means = sums.crossJoin(F.broadcast(n))
+    term = (
+        F.col("qv") - F.col("sx") * F.lit(1.0) / F.col("n")
+    ) * F.col("x")
+    return (
+        q.join(F.broadcast(means), "i")
+        .join(F.broadcast(x.withColumnRenamed("v", "i")), "i")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(term) / F.lit(Q_SCALE), 6).alias("score"))
+    )
+
+
+def _pca_sql_ctes(iters: int) -> str:
     its = []
     prev = "x0"
     for k in range(1, iters + 1):
@@ -187,7 +232,7 @@ x{k} AS MATERIALIZED (
         )
         prev = f"x{k}"
     chain = ",\n".join(its)
-    return f"""WITH q AS MATERIALIZED (
+    return f"""q AS MATERIALIZED (
   SELECT vec_id,
          CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
          CAST(floor(unnest(embedding) * {Q_SCALE} + 0.5) AS BIGINT) AS qv
@@ -209,8 +254,23 @@ cov AS MATERIALIZED (
   FROM gram g JOIN stats si ON si.i = g.i JOIN stats sj ON sj.i = g.j
 ),
 x0 AS MATERIALIZED (SELECT DISTINCT i AS v, 1.0 AS x FROM cov),
-{chain}
+{chain}"""
+
+
+def embed_pca_oracle_sql(iters: int = PCA_ITERS) -> str:
+    return f"""WITH {_pca_sql_ctes(iters)}
 SELECT v AS dim, ROUND(x, 6) AS loading,
        ROUND((SELECT wstar FROM s{iters}), 6) AS eigval
 FROM x{iters}
+"""
+
+
+def embed_pca_scores_oracle_sql(iters: int = PCA_ITERS) -> str:
+    return f"""WITH {_pca_sql_ctes(iters)}
+SELECT q.vec_id,
+       ROUND(SUM((q.qv - s.sx * 1.0 / s.n) * p.x) / {Q_SCALE}, 6) AS score
+FROM q
+JOIN stats s ON s.i = q.i
+JOIN x{iters} p ON p.v = q.i
+GROUP BY q.vec_id
 """

@@ -600,6 +600,7 @@ def _register_corpus_ops():
 
     register("bpe_train", bpe_ops.bpe_train_oracle_sql())(bpe_ops.bpe_train)
     register("bpe_encode", bpe_ops.bpe_encode_oracle_sql())(bpe_ops.bpe_encode)
+    register("bpe_vocab", bpe_ops.bpe_vocab_oracle_sql())(bpe_ops.bpe_vocab)
 
     from ed_twitter_spark.operators import packing as pk
 
@@ -656,6 +657,18 @@ def _register_corpus_ops():
     from ed_twitter_spark.operators import embed_pca as pca_ops
 
     register("embed_pca", pca_ops.embed_pca_oracle_sql())(pca_ops.embed_pca)
+    register("embed_pca_scores", pca_ops.embed_pca_scores_oracle_sql())(
+        pca_ops.embed_pca_scores
+    )
+
+    from ed_twitter_spark.operators import quality_classifier as qc_ops
+
+    register(
+        "quality_classifier_train", qc_ops.quality_classifier_train_oracle_sql()
+    )(qc_ops.quality_classifier_train)
+    register(
+        "quality_classifier_score", qc_ops.quality_classifier_score_oracle_sql()
+    )(qc_ops.quality_classifier_score)
 
 
 _register_corpus_ops()

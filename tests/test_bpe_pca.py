@@ -156,3 +156,84 @@ def test_dataset_curriculum_schedule(spark):
     # md5 shuffle inside each phase: difficulty not monotone within phase 1
     d1 = by_phase[1]
     assert d1 != sorted(d1)
+
+
+def test_bpe_vocab_consistent_with_encode(spark):
+    """Σ symbol freq over the vocab == Σ per-doc BPE token counts (the
+    same corpus measured two ways), and every merged symbol the merge
+    table produced that SURVIVES in some word appears in the vocab."""
+    from ed_twitter_spark.operators import bpe
+
+    vocab = bpe.bpe_vocab(spark, SF_SMOKE).collect()
+    enc = bpe.bpe_encode(spark, SF_SMOKE).collect()
+    assert sum(r["freq"] for r in vocab) == sum(r["n_bpe"] for r in enc)
+    symbols = {r["symbol"] for r in vocab}
+    # single chars that were never fully merged away must be present
+    assert any(len(s) == 1 for s in symbols)
+    assert any(len(s) > 1 for s in symbols)  # merges actually happened
+
+
+def test_embed_pca_scores_centered(spark):
+    """Projections of mean-centered data sum to ~0, and match the numpy
+    transcription of the same quantized projection."""
+    from ed_twitter_spark.operators import embed_pca
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    ids = [r["vec_id"] for r in emb]
+    M = np.floor(
+        np.array([r["embedding"] for r in emb], dtype=np.float64)
+        * embed_pca.Q_SCALE
+        + 0.5
+    )
+    n, d = M.shape
+    G = M.T @ M
+    s = M.sum(axis=0)
+    C = (G - np.outer(s, s) / n) / n
+    x = np.ones(d)
+    for _ in range(embed_pca.PCA_ITERS):
+        w = C @ x
+        x = w / w[np.argmax(np.abs(w))]
+    expect = (M - s / n) @ x / embed_pca.Q_SCALE
+
+    rows = {
+        r["vec_id"]: r["score"]
+        for r in embed_pca.embed_pca_scores(spark, SF_SMOKE).collect()
+    }
+    got = np.array([rows[i] for i in ids])
+    assert np.allclose(got, np.round(expect, 6), atol=2e-6)
+    assert abs(got.mean()) < 1e-4  # centered
+
+
+def test_quality_classifier_descends_and_separates(spark):
+    """The GD loop must strictly descend the logistic loss, match a numpy
+    transcription of the same full-batch updates, and the trained filter
+    must keep every real document while its templated-spam twins would
+    score below 0.5 (the classes are separable by construction)."""
+    from ed_twitter_spark.operators import quality_classifier as qc
+
+    steps = qc.quality_classifier_train(spark, SF_SMOKE).orderBy("step").collect()
+    losses = [r["loss"] for r in steps]
+    assert losses == sorted(losses, reverse=True)
+    assert losses[-1] < losses[0]
+
+    # numpy transcription over the same features
+    feats = qc._feature_frame(spark, SF_SMOKE).collect()
+    X = np.array([[r[f"x{j}"] for j in range(qc._NF)] for r in feats])
+    y = np.array([r["y"] for r in feats])
+    w = np.zeros(qc._NF)
+    expect = []
+    for _ in range(qc.GD_STEPS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+        w = w - qc.LR * ((p - y) @ X) / len(X)
+        expect.append((loss, w.copy()))
+    for r, (loss, wv) in zip(steps, expect):
+        assert r["loss"] == pytest.approx(loss, abs=2e-6)
+        for j in range(qc._NF):
+            assert r[f"w{j}"] == pytest.approx(wv[j], abs=2e-6)
+
+    scored = qc.quality_classifier_score(spark, SF_SMOKE).collect()
+    assert scored and all(r["keep"] for r in scored)
+    # the negative twins score below threshold under the same weights
+    pneg = 1.0 / (1.0 + np.exp(-(X[y == 0.0] @ w)))
+    assert (pneg < 0.5).all()
