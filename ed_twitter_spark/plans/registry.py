@@ -942,6 +942,14 @@ def _register_sessions():
     register("stream_heavy_hitters", heavy_hitters_sql())(
         ssketch.stream_heavy_hitters_query
     )
+    # append-mode watermark finalization under out-of-order arrival: a
+    # two-micro-batch replay with held-back late rows must reproduce the
+    # batch tumbling counts, withholding windows past the final watermark
+    from ed_twitter_spark.streaming import late_window as slate
+
+    register("stream_late_window", slate.STREAM_LATE_WINDOW_SQL)(
+        slate.stream_late_window_query
+    )
 
 
 _register_sessions()
