@@ -472,3 +472,74 @@ def test_bgp_minus_and_aggregate_plans(spark):
     )
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_count_is_partial_agged(spark):
+    """The per-round pair count must be a map-side-combined hash aggregate
+    over the vocab (partial then final), with the 1-row argmax compiled to
+    TakeOrderedAndProject — no global sort of the pair table."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.bpe import _pair_counts, _word_vocab
+
+    vocab = _word_vocab(spark, SF_SMOKE)
+    best = _pair_counts(vocab).orderBy(F.desc("cnt"), "a", "b").limit(1)
+    plan = plan_of(best)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_embed_pca_moments_single_scan(spark):
+    """The integer moment packets come from ONE embedding scan through
+    mapInPandas, merged by a map-side-combined sum."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.embed_pca import _moment_packets
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    merged = _moment_packets(emb).groupBy("i", "j").agg(F.sum("val").alias("v"))
+    plan = plan_of(merged)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_quality_classifier_step_is_one_scalar_agg(spark):
+    """One GD step = one scalar aggregation over the feature frame with the
+    1-row weight frame broadcast — no shuffle keyed on data columns beyond
+    the aggregate itself."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.quality_classifier import (
+        _NF,
+        _feature_frame,
+        _z,
+    )
+
+    feats = _feature_frame(spark, SF_SMOKE)
+    w = spark.createDataFrame(
+        [tuple(0.0 for _ in range(_NF))], [f"w{j}" for j in range(_NF)]
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z()))
+    stat = feats.crossJoin(F.broadcast(w)).agg(
+        *[
+            F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
+            for j in range(_NF)
+        ]
+    )
+    plan = plan_of(stat)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row weight attach
+    assert "SortMergeJoin" not in plan
+
+
+def test_dataset_curriculum_no_global_window(spark):
+    """The global index must come from (phase, bucket)-partitioned windows
+    plus driver offsets — never a single-partition global sort window."""
+    from ed_twitter_spark.operators.corpus_filters import dataset_curriculum
+
+    plan = plan_of(dataset_curriculum(spark, SF_SMOKE))
+    assert not re.search(r"Window.*SinglePartition", plan, re.DOTALL) or (
+        "partitionBy" not in plan
+    )
+    # the partitioned window's exchange is hash, not a global range sort
+    assert "rangepartitioning" not in plan.lower()
