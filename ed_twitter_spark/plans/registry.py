@@ -670,6 +670,10 @@ def _register_corpus_ops():
         "quality_classifier_score", qc_ops.quality_classifier_score_oracle_sql()
     )(qc_ops.quality_classifier_score)
 
+    from ed_twitter_spark.operators import dsir as dsir_ops
+
+    register("dataset_dsir", dsir_ops.DATASET_DSIR_SQL)(dsir_ops.q_dataset_dsir)
+
 
 _register_corpus_ops()
 
