@@ -616,6 +616,10 @@ def _register_corpus_ops():
 
     register("dedup_embed_neardup", de.DEDUP_EMBED_SQL)(de.dedup_embed_neardup)
 
+    from ed_twitter_spark.operators import semdedup as sdd
+
+    register("dedup_semantic", sdd.DEDUP_SEMANTIC_SQL)(sdd.dedup_semantic)
+
     from ed_twitter_spark.operators import conv_dedup as cdd
 
     register("conv_dedup", cdd.CONV_DEDUP_SQL)(cdd.conv_dedup)
