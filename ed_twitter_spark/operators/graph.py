@@ -2790,3 +2790,100 @@ UNION ALL SELECT 1, (SELECT b FROM broker)
 UNION ALL SELECT 2, (SELECT o FROM t)
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocity of the mention-succession graph — do conversations return
+# to earlier entities?
+# ---------------------------------------------------------------------------
+
+
+def kg_reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (n_events, n_edges, n_recip, reciprocity) over the
+    mention-SUCCESSION graph: a directed edge u→v for every consecutive
+    pair of mention events inside one conversation (events ordered by
+    (turn_idx, mention_idx), vertices canonical, self-loops dropped).
+    Reciprocity = |{(u,v) : (v,u) also an edge}| / |edges| — the classic
+    directed-graph diagnostic (Newman §7.7): high means conversations
+    circle back to earlier entities (topic return), low means they drift
+    monotonically. The co-occurrence graph can't measure this (it is
+    symmetric by construction); succession is the repo's one natively
+    DIRECTED entity graph.
+
+    Plan shape: the lag window is partitioned by conv_id — per-
+    conversation state, the same key the transcript table is clustered
+    on, so the 10^12-event stream never converges on one partition. The
+    distinct edge set and its reversed self-semi-join are vertex-pair-
+    table-sized (≪ events); the final row is one aggregate. Ordering tie
+    break: (turn_idx, mention_idx, obj_vertex) — a total order shared
+    with the DuckDB twin, so lag sequences are engine-invariant even if
+    a turn emits duplicate mention indices.
+    """
+    ev = edges.where(F.col("obj_vertex").isNotNull()).select(
+        "conv_id", "turn_idx", "mention_idx", "obj_vertex"
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        "turn_idx", "mention_idx", "obj_vertex"
+    )
+    succ = (
+        ev.withColumn("src", F.lag("obj_vertex").over(w))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("obj_vertex")))
+        .select("src", F.col("obj_vertex").alias("dst"))
+    )
+    n_events = ev.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    e = succ.distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, on=["src", "dst"], how="left_semi")
+    return (
+        n_events.crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(recip.agg(F.count(F.lit(1)).cast("long").alias("n_recip")))
+        .select(
+            "n_events",
+            "n_edges",
+            "n_recip",
+            F.when(
+                F.col("n_edges") > 0,
+                F.round(F.col("n_recip") / F.col("n_edges"), 6),
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def kg_reciprocity_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + """,
+ev AS (
+  SELECT conv_id, turn_idx, mention_idx, obj_vertex
+  FROM kge WHERE obj_vertex IS NOT NULL
+),
+succ AS (
+  SELECT src, obj_vertex AS dst FROM (
+    SELECT obj_vertex,
+           LAG(obj_vertex) OVER (
+             PARTITION BY conv_id
+             ORDER BY turn_idx, mention_idx, obj_vertex
+           ) AS src
+    FROM ev
+  ) WHERE src IS NOT NULL AND src <> obj_vertex
+),
+e AS (SELECT DISTINCT src, dst FROM succ),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM ev)  AS n_events,
+         (SELECT COUNT(*) FROM e)   AS n_edges,
+         (SELECT COUNT(*) FROM e a
+          WHERE EXISTS (SELECT 1 FROM e b
+                        WHERE b.src = a.dst AND b.dst = a.src)) AS n_recip
+)
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_edges AS BIGINT)  AS n_edges,
+       CAST(n_recip AS BIGINT)  AS n_recip,
+       CASE WHEN n_edges > 0
+            THEN ROUND(n_recip * 1.0 / n_edges, 6) END AS reciprocity
+FROM stats
+"""
+    )
+
+
+def q_kg_reciprocity(spark, sf_dir: str) -> DataFrame:
+    return kg_reciprocity(q_kg_edges(spark, sf_dir))

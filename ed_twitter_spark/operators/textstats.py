@@ -812,3 +812,121 @@ SELECT b.doc_id, d.lang AS lang_declared, b.lang_pred, b.lang_score
 FROM base b JOIN documents d USING (doc_id)
 WHERE b.lang_pred <> 'unk' AND b.lang_pred <> d.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit — the corpus-health diagnostic for natural text
+# ---------------------------------------------------------------------------
+#
+# Natural-language corpora follow freq(rank) ∝ rank^(-s) with s ≈ 1
+# (Zipf's law); machine-generated spam, template boilerplate, and
+# truncated crawls bend the log-log line. One scalar pair
+# (slope, r²) per corpus is the standard datasheet row for "does this
+# shard look like language?" — flat slopes (|s| « 1) flag synthetic or
+# key-value text, low r² flags mixed registers.
+#
+# Fit: ordinary least squares of y = ln freq on x = ln rank over the
+# whole type table (rank = row_number by freq desc, token asc — a total
+# order both engines share). Cross-engine exactness: each (x, y) is
+# rounded to 6 dp and cast to DECIMAL, so the five regression sums are
+# EXACT decimal arithmetic — invariant to Spark partition order vs
+# DuckDB scan order — and only the final closed-form combination runs in
+# double (identical inputs → identical rounded output). The type table
+# is vocabulary-sized (≪ corpus), so the unpartitioned ranking window
+# and the one-row aggregate are bounded by design; the only corpus-scale
+# stage is the map-side-combined token count.
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_types, n_tokens, zipf_slope, zipf_r2) — the OLS fit of
+    the corpus log-log rank/frequency line."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        docs.select(F.explode(toks_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    terms = counts.select(
+        "freq",
+        F.round(F.log(F.row_number().over(w).cast("double")), 6)
+        .cast("decimal(20,6)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6)
+        .cast("decimal(20,6)")
+        .alias("y"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_types").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return sums.select(
+        "n_types",
+        "n_tokens",
+        F.when(varx != 0, F.round(cov / varx, 6)).alias("zipf_slope"),
+        F.when(
+            (varx != 0) & (vary != 0), F.round(cov * cov / (varx * vary), 6)
+        ).alias("zipf_r2"),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (SELECT unnest({TOKS_SQL}) AS tok FROM documents)
+  GROUP BY tok
+),
+terms AS (
+  SELECT freq,
+         CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC)
+                             AS DOUBLE)), 6) AS DECIMAL(20,6)) AS x,
+         CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(20,6)) AS y
+  FROM counts
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT)   AS n_types,
+         CAST(SUM(freq) AS BIGINT)  AS n_tokens,
+         SUM(x)                     AS sx,
+         SUM(y)                     AS sy,
+         SUM(x * x)                 AS sxx,
+         SUM(y * y)                 AS syy,
+         SUM(x * y)                 AS sxy
+  FROM terms
+)
+SELECT n_types, n_tokens,
+       CASE WHEN CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+            THEN ROUND((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS zipf_slope,
+       CASE WHEN CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+             AND CAST(n_types AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0
+            THEN ROUND(((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) ** 2)
+                       / ((CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n_types AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS zipf_r2
+FROM sums
+"""

@@ -465,6 +465,9 @@ def _register_graph():
     register("kg_assortativity", graph_ops.kg_assortativity_oracle_sql())(
         graph_ops.q_kg_assortativity
     )
+    register("kg_reciprocity", graph_ops.kg_reciprocity_oracle_sql())(
+        graph_ops.q_kg_reciprocity
+    )
     register("kg_betweenness", graph_ops.kg_betweenness_oracle_sql())(
         graph_ops.q_kg_betweenness
     )
@@ -566,6 +569,7 @@ def _register_corpus_ops():
     register("text_stats", ts.TEXT_STATS_SQL)(ts.text_stats)
     register("corpus_quantiles", ts.CORPUS_QUANTILES_SQL)(ts.corpus_quantiles)
     register("token_counts", ts.TOKEN_COUNTS_SQL)(ts.token_counts)
+    register("zipf_fit", ts.ZIPF_FIT_SQL)(ts.zipf_fit)
     register("doc_fingerprint", ts.DOC_FINGERPRINT_SQL)(ts.doc_fingerprint)
     register("quality_repetition", ts.QUALITY_REPETITION_SQL)(ts.quality_repetition)
     register("quality_gopher", ts.QUALITY_GOPHER_SQL)(ts.quality_gopher)

@@ -1342,3 +1342,52 @@ def test_entity_channels_by_hand(spark):
     assert got[1] == (1, 1, 1, 3, 3, "mentioned_by_assistant")
     # v2: user@t0 and user@t3 → dominant user
     assert got[2] == (2, 0, 0, 2, 1, "mentioned_by_user")
+
+
+def _succ_edges(spark, convs):
+    """Mention-event frames for kg_reciprocity: convs = [(conv_id,
+    [vertex, ...] in event order)]."""
+    rows = [
+        (c, t, 0, v)
+        for c, vs in convs
+        for t, v in enumerate(vs)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, mention_idx int, obj_vertex bigint"
+    )
+
+
+def test_reciprocity_topic_return_is_one(spark):
+    from ed_twitter_spark.operators.graph import kg_reciprocity
+
+    # a->b->a: succession edges {a->b, b->a}, both reciprocated.
+    e = _succ_edges(spark, [("c1", [1, 2, 1])])
+    row = kg_reciprocity(e).collect()[0]
+    assert row["n_events"] == 3
+    assert row["n_edges"] == 2
+    assert row["n_recip"] == 2
+    assert row["reciprocity"] == pytest.approx(1.0)
+
+
+def test_reciprocity_monotone_drift_is_zero(spark):
+    from ed_twitter_spark.operators.graph import kg_reciprocity
+
+    # a->b->c in one conversation, c->d in another: no reverse edges.
+    e = _succ_edges(spark, [("c1", [1, 2, 3]), ("c2", [3, 4])])
+    row = kg_reciprocity(e).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_recip"] == 0
+    assert row["reciprocity"] == pytest.approx(0.0)
+
+
+def test_reciprocity_dedups_repeats_and_drops_self_loops(spark):
+    from ed_twitter_spark.operators.graph import kg_reciprocity
+
+    # a->a self-loop dropped; a->b twice counts once; cross-conversation
+    # pairs never become edges (the lag restarts per conv_id).
+    e = _succ_edges(spark, [("c1", [1, 1, 2, 1, 2]), ("c2", [9])])
+    row = kg_reciprocity(e).collect()[0]
+    assert row["n_events"] == 6
+    assert row["n_edges"] == 2  # {1->2, 2->1}
+    assert row["n_recip"] == 2
+    assert row["reciprocity"] == pytest.approx(1.0)
