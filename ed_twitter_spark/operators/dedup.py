@@ -841,3 +841,149 @@ SELECT doc_id,
        COALESCE(array_to_string(clean, ' '), '') AS clean_text
 FROM cleaned
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source corpus similarity — the mixing-table datasheet row
+# ---------------------------------------------------------------------------
+#
+# Before weighting sources in a training mix, the first question is how
+# much they overlap: near-identical sources double-count their tokens at
+# any mixing ratio, disjoint ones genuinely diversify. Per source pair
+# this emits BOTH the exact shingle-set Jaccard and the 16-component
+# MinHash estimate of it — at fixture scale the exact number certifies
+# the estimator's error; at 100 TB the sketch is the survivor: per-source
+# sketches are one wide map-side-combined aggregation (16 min() columns,
+# the dedup_minhash_lsh scheme with the source as the key), constant rows
+# per source, pairwise comparison over a source-count-sized table. The
+# exact path shuffles once on shingle (map-side distinct combine) and its
+# self-join fan-out is Σ per-shingle sources² with sources ≪ corpus — the
+# standard inverted-index bound, but linear in distinct shingles, which
+# is why the sketch column is the one a 1000-executor run keeps.
+
+
+def source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src1, src2, n_sh1, n_sh2, n_common, jaccard, mh_agree,
+    est_jaccard) for every unordered source pair — exact distinct-shingle
+    Jaccard plus its MinHash estimate, integer-exact cross-engine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh3 = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+    )
+    raw = (
+        docs.select("source", toks_col().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("source", F.explode(sh3).alias("shingle"))
+    )
+
+    hx = F.md5(F.col("shingle"))
+    hashed = raw.select(
+        "source",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    mh = hashed.groupBy("source").agg(
+        *[
+            F.min(F.expr(f"(h1 + {i} * h2) % 4294967296")).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+
+    dist = raw.distinct()
+    sizes = dist.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = dist.select(F.col("source").alias("src1"), "shingle")
+    b = dist.select(F.col("source").alias("src2"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    s1 = sizes.select(F.col("source").alias("src1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("source").alias("src2"), F.col("n_sh").alias("n_sh2"))
+    pairs = (
+        s1.crossJoin(s2)
+        .where(F.col("src1") < F.col("src2"))
+        .join(common, on=["src1", "src2"], how="left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+    )
+
+    m1 = mh.select(
+        F.col("source").alias("src1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)]
+    )
+    m2 = mh.select(
+        F.col("source").alias("src2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        pairs.join(F.broadcast(m1), on="src1")
+        .join(F.broadcast(m2), on="src2")
+        .select(
+            "src1",
+            "src2",
+            F.col("n_sh1").cast("long"),
+            F.col("n_sh2").cast("long"),
+            F.col("n_common").cast("long"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            agree.cast("int").alias("mh_agree"),
+            F.round(agree / F.lit(float(N_MINHASH)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+SOURCE_SIMILARITY_SQL = f"""
+WITH raw AS (
+  SELECT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT source, {TOKS_SQL} AS toks FROM documents),
+       UNNEST(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+),
+hh AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+  FROM raw
+),
+mh AS (
+  SELECT source, i, MIN((h1 + i * h2) % 4294967296) AS mh
+  FROM hh, UNNEST(range(0, {N_MINHASH})) AS t(i)
+  GROUP BY source, i
+),
+dist AS (SELECT DISTINCT source, shingle FROM raw),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM dist GROUP BY source),
+common AS (
+  SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_common
+  FROM dist a JOIN dist b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+pairs AS (
+  SELECT s1.source AS src1, s2.source AS src2,
+         s1.n_sh AS n_sh1, s2.n_sh AS n_sh2,
+         COALESCE(c.n_common, 0) AS n_common
+  FROM sizes s1 JOIN sizes s2 ON s1.source < s2.source
+  LEFT JOIN common c ON c.src1 = s1.source AND c.src2 = s2.source
+),
+agree AS (
+  SELECT a.source AS src1, b.source AS src2,
+         SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS mh_agree
+  FROM mh a JOIN mh b ON a.i = b.i AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src1, p.src2,
+       CAST(p.n_sh1 AS BIGINT) AS n_sh1,
+       CAST(p.n_sh2 AS BIGINT) AS n_sh2,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       ROUND(p.n_common * 1.0 / (p.n_sh1 + p.n_sh2 - p.n_common), 6) AS jaccard,
+       CAST(g.mh_agree AS INTEGER) AS mh_agree,
+       ROUND(g.mh_agree / {float(N_MINHASH)}, 6) AS est_jaccard
+FROM pairs p JOIN agree g ON g.src1 = p.src1 AND g.src2 = p.src2
+"""

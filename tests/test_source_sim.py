@@ -1,0 +1,46 @@
+"""source_similarity pins: identical sources estimate 1, disjoint 0, and
+the exact Jaccard matches a hand-computed shingle-set intersection."""
+
+import pytest
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_source_similarity_identical_disjoint_partial(spark, tmp_path):
+    from ed_twitter_spark.operators.dedup import source_similarity
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "sA", "the quick brown fox jumps"),
+            (1, "sB", "the quick brown fox jumps"),  # identical to sA
+            (2, "sC", "pack my box with five dozen jugs"),  # disjoint
+            (3, "sD", "quick brown fox runs home"),  # partial overlap w/ sA
+        ],
+    )
+    got = {
+        (r["src1"], r["src2"]): r
+        for r in source_similarity(spark, sf).collect()
+    }
+    assert len(got) == 6  # C(4,2) pairs, zero-overlap pairs included
+
+    ab = got[("sA", "sB")]
+    assert ab["jaccard"] == pytest.approx(1.0)
+    assert ab["mh_agree"] == 16 and ab["est_jaccard"] == pytest.approx(1.0)
+
+    ac = got[("sA", "sC")]
+    assert ac["n_common"] == 0 and ac["jaccard"] == pytest.approx(0.0)
+
+    # sA shingles: {the quick brown, quick brown fox, brown fox jumps}
+    # sD shingles: {quick brown fox, brown fox runs, fox runs home}
+    ad = got[("sA", "sD")]
+    assert ad["n_sh1"] == 3 and ad["n_sh2"] == 3
+    assert ad["n_common"] == 1
+    assert ad["jaccard"] == pytest.approx(round(1 / 5, 6))
+    # the 16-component sketch is an estimator — just bound it
+    assert 0 <= ad["mh_agree"] <= 16
