@@ -987,3 +987,59 @@ SELECT p.src1, p.src2,
        ROUND(g.mh_agree / {float(N_MINHASH)}, 6) AS est_jaccard
 FROM pairs p JOIN agree g ON g.src1 = p.src1 AND g.src2 = p.src2
 """
+
+
+# ---------------------------------------------------------------------------
+# per-document n-gram novelty — the memorization-pressure score
+# ---------------------------------------------------------------------------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") measure duplication not only pairwise but as the fraction of a
+# document's n-grams that recur elsewhere in the corpus — the signal that
+# predicts verbatim memorization. Per document over its DISTINCT word
+# 3-gram shingles: dup_frac = |{s : corpus-DF(s) ≥ 2}| / |shingles|,
+# novelty = 1 − dup_frac. Unlike the pairwise rungs (which need a
+# DF_CAP to bound pair fan-out) this has NO quadratic term anywhere: one
+# shuffle keys the shingle stream for the DF count, the DF column joins
+# back co-partitioned on the same key, and one doc-keyed aggregation
+# emits the score — every stage is a map-side-combined hash aggregation
+# at any corpus size. Docs with < 3 tokens have no shingles and are
+# excluded (same domain as the other shingle rungs).
+
+
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_dup, novelty) — the fraction of each
+    document's distinct 3-gram shingles that are corpus-unique."""
+    sh = _shingles(spark, sf_dir)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(1.0 - F.col("n_dup") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+DOC_NOVELTY_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(1.0 - SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS novelty
+FROM sh JOIN dfc USING (shingle)
+GROUP BY sh.doc_id
+"""

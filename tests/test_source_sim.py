@@ -44,3 +44,24 @@ def test_source_similarity_identical_disjoint_partial(spark, tmp_path):
     assert ad["jaccard"] == pytest.approx(round(1 / 5, 6))
     # the 16-component sketch is an estimator — just bound it
     assert 0 <= ad["mh_agree"] <= 16
+
+
+def test_doc_novelty_by_hand(spark, tmp_path):
+    from ed_twitter_spark.operators.dedup import doc_novelty
+
+    sf = _write_docs(
+        spark,
+        tmp_path / "nov",
+        [
+            (0, "s", "a b c d"),        # shingles {abc, bcd}
+            (1, "s", "a b c x"),        # shingles {abc, bcx} — shares abc
+            (2, "s", "p q r"),          # shingle {pqr}, corpus-unique
+            (3, "s", "p q"),            # < 3 tokens → excluded
+        ],
+    )
+    got = {r["doc_id"]: r for r in doc_novelty(spark, sf).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["n_shingles"] == 2 and got[0]["n_dup"] == 1
+    assert got[0]["novelty"] == pytest.approx(0.5)
+    assert got[1]["novelty"] == pytest.approx(0.5)
+    assert got[2]["n_dup"] == 0 and got[2]["novelty"] == pytest.approx(1.0)
