@@ -1102,3 +1102,55 @@ def q_eval_micro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = prior_triples(spark, sf_dir).select("subj", "obj")
     gold = gold_triples(spark, sf_dir)
     return eval_ops.micro_prf(pred, gold)
+
+
+def _register_link_calibration():
+    # reliability diagram of the cosine linker's score vs planted gold —
+    # the "can I threshold triples on this score" answer (eval.py
+    # docstring has the scale rationale for equal-width, not ntile, bins)
+    from ed_twitter_spark.operators.cosine_linker import (
+        link_cosine,
+        link_cosine_oracle_sql,
+    )
+
+    sql = f"""
+WITH lc AS ({link_cosine_oracle_sql()}),
+mg AS ({mention_ops.mentions_sql()}),
+gold AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) || '#' ||
+         CAST(mention_idx AS VARCHAR) AS subj,
+         'E' || CAST({synth.gold_suffix_sql('doc_id', 'mention_idx')} AS VARCHAR)
+             || '_' || mention        AS gold_obj
+  FROM mg
+),
+j AS (
+  SELECT g.gold_obj, lc.obj, lc.score_r4
+  FROM gold g JOIN lc ON lc.subj = g.subj
+),
+rng AS (SELECT MIN(score_r4) AS smin, MAX(score_r4) AS smax FROM j),
+b AS (
+  SELECT j.*,
+         CASE WHEN r.smax = r.smin THEN 0
+              ELSE LEAST(9, CAST(FLOOR((j.score_r4 - r.smin)
+                                       / (r.smax - r.smin) * 10) AS INTEGER))
+         END AS bucket
+  FROM j CROSS JOIN rng r
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN obj = gold_obj THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN obj = gold_obj THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS accuracy,
+       ROUND(CAST(SUM(CAST(score_r4 AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_score
+FROM b GROUP BY bucket
+"""
+
+    @register("link_calibration", sql)
+    def q_link_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pred = link_cosine(spark, sf_dir).select("subj", "obj", "score_r4")
+        gold = gold_triples(spark, sf_dir)
+        return eval_ops.link_calibration(pred, gold)
+
+
+_register_link_calibration()

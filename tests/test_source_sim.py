@@ -65,3 +65,43 @@ def test_doc_novelty_by_hand(spark, tmp_path):
     assert got[0]["novelty"] == pytest.approx(0.5)
     assert got[1]["novelty"] == pytest.approx(0.5)
     assert got[2]["n_dup"] == 0 and got[2]["novelty"] == pytest.approx(1.0)
+
+
+def test_link_calibration_by_hand(spark):
+    from ed_twitter_spark.operators.eval import link_calibration
+
+    # scores span [0, 10): buckets are width-1; the two 9.x rows share
+    # the top bucket (one right, one wrong -> accuracy 0.5)
+    pred = spark.createDataFrame(
+        [
+            ("m1", "A", 0.0),
+            ("m2", "B", 5.0),
+            ("m3", "C", 9.2),
+            ("m4", "D", 10.0),
+        ],
+        "subj STRING, obj STRING, score_r4 DOUBLE",
+    )
+    gold = spark.createDataFrame(
+        [("m1", "A"), ("m2", "X"), ("m3", "C"), ("m4", "X")],
+        "subj STRING, gold_obj STRING",
+    )
+    got = {r["bucket"]: r for r in link_calibration(pred, gold).collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0]["n"] == 1 and got[0]["accuracy"] == 1.0
+    assert got[5]["n"] == 1 and got[5]["accuracy"] == 0.0
+    assert got[9]["n"] == 2 and got[9]["accuracy"] == 0.5
+    assert got[9]["avg_score"] == 9.6
+
+
+def test_link_calibration_degenerate_range_single_bucket(spark):
+    from ed_twitter_spark.operators.eval import link_calibration
+
+    pred = spark.createDataFrame(
+        [("m1", "A", 2.0), ("m2", "B", 2.0)],
+        "subj STRING, obj STRING, score_r4 DOUBLE",
+    )
+    gold = spark.createDataFrame(
+        [("m1", "A"), ("m2", "B")], "subj STRING, gold_obj STRING"
+    )
+    got = link_calibration(pred, gold).collect()
+    assert len(got) == 1 and got[0]["bucket"] == 0 and got[0]["n"] == 2
