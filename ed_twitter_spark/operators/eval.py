@@ -93,3 +93,103 @@ def link_calibration(pred_df: DataFrame, gold_df: DataFrame) -> DataFrame:
             6,
         ).alias("avg_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap confidence interval on micro-F1 — error bars for the gate
+# ---------------------------------------------------------------------------
+#
+# A single micro-F1 number says nothing about its stability; the
+# standard answer is the Poisson(1) bootstrap (each example enters each
+# replicate with an independent Poisson(1) multiplicity — the
+# with-replacement bootstrap's streaming-friendly limit, the form used
+# at corpus scale precisely because it needs NO global resample pass:
+# one deterministic weight per (example, replicate), all aggregations
+# stay map-side-combined). Determinized cross-engine: the multiplicity
+# is an inverse-CDF lookup on a 48-bit integer slice of
+# md5(subj # replicate), compared against INTEGER thresholds
+# floor(cdf_k · 2^48) — no float compare anywhere in the draw.
+
+_POISSON1_T = [
+    103548857136060,   # P(X<=0)=e^-1
+    207097714272121,   # P(X<=1)
+    258872142840152,   # P(X<=2)
+    276130285696162,   # P(X<=3)
+    280444821410164,   # P(X<=4)
+    281307728552965,   # P(X<=5); remainder -> 6
+]
+BOOTSTRAP_REPS = 32
+
+
+def eval_bootstrap_ci(pred_df: DataFrame, gold_df: DataFrame) -> DataFrame:
+    """One row (n_reps, point_f1, f1_mean, f1_p05, f1_p95) — the
+    micro-F1 point estimate with Poisson-bootstrap 5th/95th percentile
+    error bars over BOOTSTRAP_REPS deterministic replicates.
+
+    pred_df: (subj, obj); gold_df: (subj, gold_obj). Replicate F1s are
+    6-dp; their mean uses an exact DECIMAL sum and the percentiles are
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont`` type-7 interpolation
+    over identical value lists, so the CI is engine-invariant.
+    """
+    j = gold_df.join(pred_df, on="subj", how="left")
+    correct = ((F.col("obj") == F.col("gold_obj")) & (F.col("obj") != "NIL")).cast(
+        "int"
+    )
+    predicted = (F.col("obj") != "NIL").cast("int")
+    base = j.select("subj", correct.alias("c"), predicted.alias("p"))
+
+    point = base.agg(
+        F.round(
+            2.0
+            * (F.sum("c") / F.sum("p"))
+            * (F.sum("c") / F.count(F.lit(1)))
+            / ((F.sum("c") / F.sum("p")) + (F.sum("c") / F.count(F.lit(1)))),
+            6,
+        ).alias("point_f1")
+    )
+
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.col("subj"), F.col("b"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    w = F.when(u < _POISSON1_T[0], 0)
+    for k in range(1, 6):
+        w = w.when(u < _POISSON1_T[k], k)
+    w = w.otherwise(6)
+
+    reps = base.select(
+        "subj", "c", "p", F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_REPS - 1))).alias("b")
+    ).select("b", "c", "p", w.alias("w"))
+    per_rep = (
+        reps.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).alias("tp"),
+            F.sum(F.col("w") * F.col("p")).alias("np"),
+            F.sum("w").alias("ng"),
+        )
+        .where((F.col("np") > 0) & (F.col("ng") > 0))
+        .select(
+            F.round(
+                2.0
+                * (F.col("tp") / F.col("np"))
+                * (F.col("tp") / F.col("ng"))
+                / ((F.col("tp") / F.col("np")) + (F.col("tp") / F.col("ng"))),
+                6,
+            ).alias("f1")
+        )
+    )
+    per_rep = per_rep.where(F.col("f1").isNotNull())  # tp=0 degenerate reps
+    summary = per_rep.agg(
+        F.count(F.lit(1)).cast("int").alias("n_reps"),
+        F.round(
+            F.sum(F.col("f1").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("f1_mean"),
+        F.round(F.expr("percentile(f1, 0.05)"), 6).alias("f1_p05"),
+        F.round(F.expr("percentile(f1, 0.95)"), 6).alias("f1_p95"),
+    )
+    return summary.crossJoin(F.broadcast(point)).select(
+        "n_reps", "point_f1", "f1_mean", "f1_p05", "f1_p95"
+    )

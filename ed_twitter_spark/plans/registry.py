@@ -1104,6 +1104,85 @@ def q_eval_micro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eval_ops.micro_prf(pred, gold)
 
 
+def _register_eval_bootstrap():
+    # Poisson(1)-bootstrap error bars on the prior linker's micro-F1 —
+    # same pred/gold frames as eval_micro_f1, deterministic integer-
+    # threshold multiplicity draws (operators/eval.py rationale).
+    from ed_twitter_spark.operators.eval import _POISSON1_T, BOOTSTRAP_REPS
+
+    w_sql = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POISSON1_T)
+    ) + " ELSE 6 END"
+    sql = f"""
+WITH m AS ({mention_ops.mentions_sql()}),
+kb AS ({synth.KB_ALIAS_SQL}),
+pred AS (
+  SELECT m.conv_id || '#' || CAST(m.turn_idx AS VARCHAR) || '#' ||
+         CAST(m.mention_idx AS VARCHAR) AS subj,
+         COALESCE(kb.ent_name, 'NIL')   AS obj
+  FROM m LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb
+    ON m.mention = kb.mention
+),
+gold AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) || '#' ||
+         CAST(mention_idx AS VARCHAR) AS subj,
+         'E' || CAST({synth.gold_suffix_sql('doc_id', 'mention_idx')} AS VARCHAR)
+             || '_' || mention        AS gold_obj
+  FROM m
+),
+base AS (
+  SELECT g.subj,
+         CASE WHEN p.obj = g.gold_obj AND p.obj <> 'NIL' THEN 1 ELSE 0 END AS c,
+         CASE WHEN p.obj <> 'NIL' THEN 1 ELSE 0 END AS p
+  FROM gold g LEFT JOIN pred p USING (subj)
+),
+point AS (
+  SELECT ROUND(2.0 * (SUM(c) * 1.0 / SUM(p)) * (SUM(c) * 1.0 / COUNT(*))
+               / ((SUM(c) * 1.0 / SUM(p)) + (SUM(c) * 1.0 / COUNT(*))), 6)
+           AS point_f1
+  FROM base
+),
+draws AS (
+  SELECT b, c, p, {w_sql} AS w
+  FROM (
+    SELECT t.b, base.c, base.p,
+           CAST(('0x' || substr(md5(base.subj || '#' || CAST(t.b AS VARCHAR)), 1, 12))
+                AS BIGINT) AS u
+    FROM base, UNNEST(range(0, {BOOTSTRAP_REPS})) AS t(b)
+  )
+),
+per_rep AS (
+  SELECT ROUND(2.0 * (SUM(w * c) * 1.0 / SUM(w * p)) * (SUM(w * c) * 1.0 / SUM(w))
+               / ((SUM(w * c) * 1.0 / SUM(w * p)) + (SUM(w * c) * 1.0 / SUM(w))), 6)
+           AS f1
+  FROM draws
+  GROUP BY b
+  HAVING SUM(w * p) > 0 AND SUM(w) > 0
+),
+summary AS (
+  SELECT CAST(COUNT(*) AS INTEGER) AS n_reps,
+         ROUND(CAST(SUM(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS f1_mean,
+         ROUND(quantile_cont(f1, 0.05), 6) AS f1_p05,
+         ROUND(quantile_cont(f1, 0.95), 6) AS f1_p95
+  FROM per_rep WHERE f1 IS NOT NULL
+)
+SELECT s.n_reps, pt.point_f1, s.f1_mean, s.f1_p05, s.f1_p95
+FROM summary s CROSS JOIN point pt
+"""
+
+    @register("eval_bootstrap_ci", sql)
+    def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ed_twitter_spark.operators.canonicalize import prior_triples
+
+        pred = prior_triples(spark, sf_dir).select("subj", "obj")
+        gold = gold_triples(spark, sf_dir)
+        return eval_ops.eval_bootstrap_ci(pred, gold)
+
+
+_register_eval_bootstrap()
+
+
 def _register_link_calibration():
     # reliability diagram of the cosine linker's score vs planted gold —
     # the "can I threshold triples on this score" answer (eval.py

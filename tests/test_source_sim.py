@@ -105,3 +105,51 @@ def test_link_calibration_degenerate_range_single_bucket(spark):
     )
     got = link_calibration(pred, gold).collect()
     assert len(got) == 1 and got[0]["bucket"] == 0 and got[0]["n"] == 2
+
+
+def test_eval_bootstrap_ci_shape_and_brackets(spark):
+    from ed_twitter_spark.operators.eval import (
+        BOOTSTRAP_REPS,
+        eval_bootstrap_ci,
+    )
+
+    # 80 correct / 20 wrong predictions -> point F1 0.8; the bootstrap
+    # CI must be a proper interval around a mean near the point value.
+    pred = spark.createDataFrame(
+        [(f"m{i}", "A" if i < 80 else "B", ) for i in range(100)],
+        "subj STRING, obj STRING",
+    )
+    gold = spark.createDataFrame(
+        [(f"m{i}", "A") for i in range(100)], "subj STRING, gold_obj STRING"
+    )
+    row = eval_bootstrap_ci(pred, gold).collect()[0]
+    assert row["n_reps"] == BOOTSTRAP_REPS
+    assert row["point_f1"] == 0.8
+    assert 0.0 < row["f1_p05"] <= row["f1_mean"] <= row["f1_p95"] < 1.0
+    assert abs(row["f1_mean"] - 0.8) < 0.05
+
+
+def test_poisson_weights_mean_one(spark):
+    """The deterministic Poisson(1) draw must produce multiplicities in
+    [0, 6] with empirical mean ~1 over many (example, replicate) cells —
+    the property that makes each replicate an n-sized resample."""
+    from pyspark.sql import functions as F
+
+    from ed_twitter_spark.operators.eval import _POISSON1_T
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("#", "subj", "b")), 1, 12), 16, 10
+    ).cast("long")
+    w = F.when(u < _POISSON1_T[0], 0)
+    for k in range(1, 6):
+        w = w.when(u < _POISSON1_T[k], k)
+    w = w.otherwise(6)
+    stats = df.select(w.alias("w")).agg(
+        F.min("w").alias("lo"), F.max("w").alias("hi"), F.avg("w").alias("mu")
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] <= 6
+    assert abs(stats["mu"] - 1.0) < 0.03
