@@ -44,6 +44,13 @@ HEADLINE = [
     "dedup_substring",
     "heavy_hitters_cms",
     "chunk_documents",
+    # round-5 second wave (subtract to reproduce the 17-row total):
+    # semantic dedup rides the shared IVF build, DSIR and novelty are
+    # linear corpus scans, the bootstrap CI is 32 weighted re-aggregations
+    "dedup_semantic",
+    "dataset_dsir",
+    "doc_novelty",
+    "eval_bootstrap_ci",
 ]
 
 
