@@ -827,11 +827,16 @@ WHERE b.lang_pred <> 'unk' AND b.lang_pred <> d.lang
 #
 # Fit: ordinary least squares of y = ln freq on x = ln rank over the
 # whole type table (rank = row_number by freq desc, token asc — a total
-# order both engines share). Cross-engine exactness: each (x, y) is
-# rounded to 6 dp and cast to DECIMAL, so the five regression sums are
-# EXACT decimal arithmetic — invariant to Spark partition order vs
-# DuckDB scan order — and only the final closed-form combination runs in
-# double (identical inputs → identical rounded output). The type table
+# order both engines share). Cross-engine exactness: each log term is
+# quantized ONCE to integer micro-units (round(ln(·)·10⁶) — positive, so
+# Spark HALF_UP ≡ DuckDB round-half-away), and the five regression sums
+# are then EXACT integer/decimal(38,0) arithmetic — invariant to Spark
+# partition order vs DuckDB scan order, and immune to the engines'
+# differing decimal-multiply scale-reduction rules (scale-0 products
+# never trigger Spark's allowPrecisionLoss rescale). The micro-unit
+# scale factors cancel exactly in the slope/r² closed forms (10¹² in
+# numerator and denominator), so only the final combination runs in
+# double — identical inputs → identical rounded output. The type table
 # is vocabulary-sized (≪ corpus), so the unpartitioned ranking window
 # and the one-row aggregate are bounded by design; the only corpus-scale
 # stage is the map-side-combined token count.
@@ -851,11 +856,11 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("freq"), F.asc("tok"))
     terms = counts.select(
         "freq",
-        F.round(F.log(F.row_number().over(w).cast("double")), 6)
-        .cast("decimal(20,6)")
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e6)
+        .cast("decimal(20,0)")
         .alias("x"),
-        F.round(F.log(F.col("freq").cast("double")), 6)
-        .cast("decimal(20,6)")
+        F.round(F.log(F.col("freq").cast("double")) * 1e6)
+        .cast("decimal(20,0)")
         .alias("y"),
     )
     sums = terms.agg(
@@ -863,10 +868,12 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").cast("long").alias("n_tokens"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
+    # micro-unit (1e6) scale: cov/varx/vary all carry 1e12, cancelling in
+    # slope and r² exactly
     n = F.col("n_types").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
@@ -895,8 +902,8 @@ WITH counts AS (
 terms AS (
   SELECT freq,
          CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC)
-                             AS DOUBLE)), 6) AS DECIMAL(20,6)) AS x,
-         CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(20,6)) AS y
+                             AS DOUBLE)) * 1000000) AS DECIMAL(20,0)) AS x,
+         CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000) AS DECIMAL(20,0)) AS y
   FROM counts
 ),
 sums AS (
@@ -904,9 +911,9 @@ sums AS (
          CAST(SUM(freq) AS BIGINT)  AS n_tokens,
          SUM(x)                     AS sx,
          SUM(y)                     AS sy,
-         SUM(x * x)                 AS sxx,
-         SUM(y * y)                 AS syy,
-         SUM(x * y)                 AS sxy
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
   FROM terms
 )
 SELECT n_types, n_tokens,
