@@ -2887,3 +2887,115 @@ FROM stats
 
 def q_kg_reciprocity(spark, sf_dir: str) -> DataFrame:
     return kg_reciprocity(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# conductance of the LPA communities — the cut-quality companion to
+# modularity
+# ---------------------------------------------------------------------------
+
+
+def kg_conductance(edges: DataFrame) -> DataFrame:
+    """(community, n_vertices, volume, cut_edges, conductance) — per LPA
+    community, φ(C) = cut(C) / min(vol(C), vol(V)−vol(C)) over the
+    co-occurrence graph: the fraction of a community's edge volume that
+    leaks out. Modularity says whether the partition beats chance;
+    conductance says which individual communities are SAFE to use as
+    processing units — a low-φ community can be colocated on one
+    partition / used as an entity-blocking key with bounded cross-talk,
+    a high-φ one cannot. Directed counts throughout (the symmetric edge
+    list double-counts cut and volume identically, so φ is unchanged).
+
+    Plan shape: identical to kg_modularity — two vertex-table broadcast
+    label attaches into the edge stream, community-keyed map-side
+    aggregates, one scalar total broadcast back; exact BIGINT counts, the
+    single division in double. φ is NULL for a partition with one
+    community (the complement volume is zero and the measure is
+    undefined).
+
+    Fixture check (two triangles bridged by one edge, LPA-labeled as the
+    two triangles): each side has vol 2·3+1, cut 1 → φ = 1/7.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e = persist_tracked(cooccurrence_edges(edges))
+    labels = persist_tracked(kg_label_propagation(edges))
+    lab_src = labels.select(
+        F.col("vertex_id").alias("src"), F.col("community").alias("c_src")
+    )
+    lab_dst = labels.select(
+        F.col("vertex_id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    vol_tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("vol_tot"))
+    cut = (
+        e.join(F.broadcast(lab_src), on="src")
+        .join(F.broadcast(lab_dst), on="dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cut_edges"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    degc = (
+        deg.join(F.broadcast(lab_src), on="src")
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+            F.sum("deg").cast("bigint").alias("volume"),
+        )
+    )
+    comp_vol = F.col("vol_tot") - F.col("volume")
+    denom = F.least(F.col("volume"), comp_vol)
+    return (
+        degc.join(cut, on="community", how="left")
+        .na.fill({"cut_edges": 0})
+        .crossJoin(F.broadcast(vol_tot))
+        .select(
+            "community",
+            "n_vertices",
+            "volume",
+            "cut_edges",
+            F.when(denom > 0, F.round(F.col("cut_edges") / denom, 6)).alias(
+                "conductance"
+            ),
+        )
+    )
+
+
+def kg_conductance_oracle_sql() -> str:
+    frag, prev = _lpa_ctes_sql()
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+{frag},
+lab AS (SELECT v AS vertex_id, lbl AS community FROM {prev}),
+vtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vol_tot FROM coedges),
+cut AS (
+  SELECT la.community AS community, CAST(COUNT(*) AS BIGINT) AS cut_edges
+  FROM coedges e
+  JOIN lab la ON la.vertex_id = e.src
+  JOIN lab lb ON lb.vertex_id = e.dst
+  WHERE la.community <> lb.community
+  GROUP BY la.community
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM coedges GROUP BY src),
+degc AS (
+  SELECT la.community AS community,
+         CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(d.deg) AS BIGINT) AS volume
+  FROM deg d JOIN lab la ON la.vertex_id = d.src
+  GROUP BY la.community
+)
+SELECT degc.community, n_vertices, volume,
+       COALESCE(cut.cut_edges, 0) AS cut_edges,
+       CASE WHEN LEAST(volume, vtot.vol_tot - volume) > 0
+            THEN ROUND(COALESCE(cut.cut_edges, 0) * 1.0
+                       / LEAST(volume, vtot.vol_tot - volume), 6)
+       END AS conductance
+FROM degc LEFT JOIN cut ON cut.community = degc.community CROSS JOIN vtot
+"""
+    )
+
+
+def q_kg_conductance(spark, sf_dir: str) -> DataFrame:
+    return kg_conductance(q_kg_edges(spark, sf_dir))

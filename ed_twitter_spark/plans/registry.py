@@ -468,6 +468,9 @@ def _register_graph():
     register("kg_reciprocity", graph_ops.kg_reciprocity_oracle_sql())(
         graph_ops.q_kg_reciprocity
     )
+    register("kg_conductance", graph_ops.kg_conductance_oracle_sql())(
+        graph_ops.q_kg_conductance
+    )
     register("kg_betweenness", graph_ops.kg_betweenness_oracle_sql())(
         graph_ops.q_kg_betweenness
     )

@@ -1391,3 +1391,31 @@ def test_reciprocity_dedups_repeats_and_drops_self_loops(spark):
     assert row["n_edges"] == 2  # {1->2, 2->1}
     assert row["n_recip"] == 2
     assert row["reciprocity"] == pytest.approx(1.0)
+
+
+def test_conductance_bridged_triangles(spark):
+    from ed_twitter_spark.operators.graph import kg_conductance
+
+    # two triangles bridged by one edge: LPA splits them at the bridge;
+    # each side: volume 2*3+1 = 7, cut 1 -> phi = 1/7
+    e = _assort_edges(
+        spark, [("c1", [1, 2, 3]), ("c2", [4, 5, 6]), ("c3", [3, 4])]
+    )
+    got = {r["community"]: r for r in kg_conductance(e).collect()}
+    assert set(got) == {1, 4}
+    for c in (1, 4):
+        assert got[c]["n_vertices"] == 3
+        assert got[c]["volume"] == 7
+        assert got[c]["cut_edges"] == 1
+        assert got[c]["conductance"] == pytest.approx(round(1 / 7, 6))
+
+
+def test_conductance_single_community_is_null(spark):
+    from ed_twitter_spark.operators.graph import kg_conductance
+
+    # one triangle: one community, complement volume 0 -> undefined
+    e = _assort_edges(spark, [("c1", [1, 2, 3])])
+    got = kg_conductance(e).collect()
+    assert len(got) == 1
+    assert got[0]["conductance"] is None
+    assert got[0]["cut_edges"] == 0
