@@ -254,3 +254,137 @@ SELECT conv_id,
          AS truncated
 FROM g GROUP BY conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# agent retry-loop profile — runs of identical consecutive turns
+# ---------------------------------------------------------------------------
+#
+# Failed tool calls and stuck agents leave a characteristic scar in
+# transcripts: the same (role, text) turn repeated back-to-back while
+# the loop spins. Those conversations are poison for SFT (the model
+# learns to repeat itself) and noise for the KG (the same mentions
+# re-asserted per spin), so the standard hygiene pass drops or
+# truncates them. A "repeat" here is an exact match on the normalized
+# turn fingerprint md5(role # lower(trim(text))) — near-duplicate
+# variants belong to the shingle machinery (conv_dedup); the loop
+# signature in practice is verbatim retry.
+#
+# Emitted as a PROFILE over every conversation (a healthy corpus — like
+# the synthetic fixture — reports n_runs = n_turns, max_run = 1,
+# looping = false everywhere; the gate then certifies the run
+# arithmetic on real data, while the loop branch is pinned by hand
+# fixtures in tests). One conv-partitioned lag/cumsum islands pass (the
+# bio_span_merge pattern) + one (conv, run) aggregation + one per-conv
+# rollup — every stage keyed by conv_id, the transcript table's own
+# clustering; nothing sees more than the turn stream once.
+
+LOOP_MIN_RUN = 3
+
+
+def loop_profile(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, n_runs, max_run, run_role, run_start,
+    loop_turns, looping) — per conversation: distinct consecutive-turn
+    runs, the longest run (role + starting turn_idx; equal lengths
+    resolve to the earliest start, a total order), the turns inside
+    runs ≥ LOOP_MIN_RUN (the truncation budget a cleaner would
+    reclaim), and the ≥-threshold flag."""
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.md5(
+            F.concat_ws("#", F.col("role"), F.lower(F.trim(F.col("text"))))
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = t.withColumn(
+        "new_run",
+        F.coalesce((F.lag("fp").over(w) != F.col("fp")).cast("int"), F.lit(1)),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = t.groupBy("conv_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("turn_idx").alias("run_start"),
+        F.min("role").alias("role"),
+    )
+    rw = Window.partitionBy("conv_id").orderBy(
+        F.desc("run_len"), F.asc("run_start")
+    )
+    ranked = runs.withColumn("rn", F.row_number().over(rw))
+    return ranked.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max(F.when(F.col("rn") == 1, F.col("run_len")))
+        .cast("long")
+        .alias("max_run"),
+        F.max(F.when(F.col("rn") == 1, F.col("role"))).alias("run_role"),
+        F.max(F.when(F.col("rn") == 1, F.col("run_start")))
+        .cast("int")
+        .alias("run_start"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("run_len") >= LOOP_MIN_RUN, F.col("run_len")
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("loop_turns"),
+        F.max(
+            (F.when(F.col("rn") == 1, F.col("run_len")) >= LOOP_MIN_RUN)
+        ).alias("looping"),
+    )
+
+
+def conv_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the loop profile of the corpus transcripts."""
+    return loop_profile(synth.transcripts(spark, sf_dir))
+
+
+def conv_loop_detect_oracle_sql() -> str:
+    return f"""
+WITH tr AS ({synth.TRANSCRIPTS_SQL}),
+t AS (
+  SELECT conv_id, turn_idx, role,
+         md5(role || '#' || lower(trim(text))) AS fp
+  FROM tr
+),
+marked AS (
+  SELECT conv_id, turn_idx, role, fp,
+         CASE WHEN LAG(fp) OVER (PARTITION BY conv_id ORDER BY turn_idx) = fp
+              THEN 0 ELSE 1 END AS new_run
+  FROM t
+),
+runs0 AS (
+  SELECT conv_id, turn_idx, role,
+         SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+),
+runs AS (
+  SELECT conv_id, run_id, COUNT(*) AS run_len,
+         MIN(turn_idx) AS run_start, MIN(role) AS role
+  FROM runs0 GROUP BY conv_id, run_id
+),
+ranked AS (
+  SELECT conv_id, run_len, run_start, role,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY run_len DESC, run_start ASC) AS rn
+  FROM runs
+)
+SELECT conv_id,
+       CAST(SUM(run_len) AS BIGINT)  AS n_turns,
+       CAST(COUNT(*) AS BIGINT)      AS n_runs,
+       CAST(MAX(CASE WHEN rn = 1 THEN run_len END) AS BIGINT)   AS max_run,
+       MAX(CASE WHEN rn = 1 THEN role END)                      AS run_role,
+       CAST(MAX(CASE WHEN rn = 1 THEN run_start END) AS INTEGER) AS run_start,
+       CAST(SUM(CASE WHEN run_len >= {LOOP_MIN_RUN} THEN run_len ELSE 0 END)
+            AS BIGINT)               AS loop_turns,
+       MAX(CASE WHEN rn = 1 THEN run_len END) >= {LOOP_MIN_RUN} AS looping
+FROM ranked
+GROUP BY conv_id
+"""

@@ -983,6 +983,9 @@ def _register_transcript_stats():
     register("conversation_stats", tst.CONVERSATION_STATS_SQL)(tst.conversation_stats)
     register("tool_usage", tst.TOOL_USAGE_SQL)(tst.tool_usage)
     register("role_transitions", tst.ROLE_TRANSITIONS_SQL)(tst.role_transitions)
+    register("conv_loop_detect", tst.conv_loop_detect_oracle_sql())(
+        tst.conv_loop_detect
+    )
 
 
 _register_transcript_stats()

@@ -153,3 +153,56 @@ def test_poisson_weights_mean_one(spark):
     ).collect()[0]
     assert stats["lo"] >= 0 and stats["hi"] <= 6
     assert abs(stats["mu"] - 1.0) < 0.03
+
+
+def _turns(spark, convs):
+    """convs = [(conv_id, [(role, text), ...] in turn order)]"""
+    rows = [
+        (c, i, role, text)
+        for c, ts in convs
+        for i, (role, text) in enumerate(ts)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, role STRING, text STRING"
+    )
+
+
+def test_loop_profile_detects_retry_runs(spark):
+    from ed_twitter_spark.operators.transcript_stats import loop_profile
+
+    t = _turns(
+        spark,
+        [
+            # 3x verbatim assistant retry (case/space-insensitive) mid-conv
+            ("c1", [("user", "go"), ("assistant", "Err X"),
+                    ("assistant", "err x "), ("assistant", "ERR X"),
+                    ("user", "stop")]),
+            # healthy conversation
+            ("c2", [("user", "hi"), ("assistant", "hello"), ("user", "bye")]),
+            # repeat of same text by DIFFERENT roles is NOT a run
+            ("c3", [("user", "ok"), ("assistant", "ok"), ("user", "ok")]),
+        ],
+    )
+    got = {r["conv_id"]: r for r in loop_profile(t).collect()}
+    c1 = got["c1"]
+    assert c1["looping"] and c1["max_run"] == 3
+    assert c1["run_role"] == "assistant" and c1["run_start"] == 1
+    assert c1["n_turns"] == 5 and c1["n_runs"] == 3 and c1["loop_turns"] == 3
+    c2 = got["c2"]
+    assert not c2["looping"] and c2["max_run"] == 1 and c2["loop_turns"] == 0
+    c3 = got["c3"]
+    assert not c3["looping"] and c3["n_runs"] == 3
+
+
+def test_loop_profile_tie_breaks_to_earliest_run(spark):
+    from ed_twitter_spark.operators.transcript_stats import loop_profile
+
+    t = _turns(
+        spark,
+        [("c1", [("a", "x"), ("a", "x"), ("a", "x"),
+                 ("u", "mid"),
+                 ("a", "y"), ("a", "y"), ("a", "y")])],
+    )
+    r = loop_profile(t).collect()[0]
+    assert r["max_run"] == 3 and r["run_start"] == 0
+    assert r["loop_turns"] == 6  # both runs cross the threshold
