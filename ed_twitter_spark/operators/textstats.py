@@ -36,52 +36,63 @@ _SW_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char counts, ratios, and a monotone quality score.
+
+    Ratio columns are integer-MICRO-UNIT derived: round-to-integer of
+    ns·10⁶/n, then one division by the 10⁶ constant. Fractional
+    ROUND(x, 6) is deliberately absent — Spark (BigDecimal HALF_UP) and
+    DuckDB (std::round of x·10⁶) disagree when the value sits on a 6-dp
+    midpoint, and the quality formula MANUFACTURES midpoints (a 6-dp
+    pre-rounded ratio × 5 × a 2-dp saturation term lands on .xxx0015
+    for e.g. an 85-token / 8-stopword doc — caught live by the sf0.1
+    sweep). Round-to-INTEGER of the same shared double is engine-safe
+    (no second scaling), and the quality score is then pure integer
+    algebra over q_u = min(n,100)·(5·10⁵ + min(5·10⁵, 5·sr_u)) with one
+    exact /10⁸ at the end; the language gate compares sr_u against the
+    integer threshold 30000."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = toks_col()
     sw = F.lit(sorted(STOPWORDS)).cast("array<string>")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    avg_len = F.round(
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-        / n_tok,
-        6,
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    avg_u = F.round(sum_len * F.lit(1000000.0) / n_tok).cast("long")
+    sr_u = F.round(n_stop * F.lit(1000000.0) / n_tok).cast("long")
+    q_u = F.least(n_tok, F.lit(100)).cast("long") * (
+        F.lit(500000) + F.least(F.lit(500000), F.lit(5) * sr_u)
     )
-    stop_ratio = F.round(n_stop / n_tok, 6)
-    # monotone quality heuristic: length saturation × function-word presence
-    quality = F.round(
-        F.least(F.lit(1.0), n_tok / F.lit(100.0))
-        * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio * 5)),
-        6,
-    )
-    lang_pred = F.when(stop_ratio >= 0.03, F.lit("en")).otherwise(F.lit("unk"))
+    lang_pred = F.when(sr_u >= 30000, F.lit("en")).otherwise(F.lit("unk"))
     return docs.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
-        avg_len.alias("avg_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality"),
+        (avg_u / F.lit(1000000.0)).alias("avg_token_len"),
+        (sr_u / F.lit(1000000.0)).alias("stopword_ratio"),
+        (q_u / F.lit(100000000.0)).alias("quality"),
         lang_pred.alias("lang_pred"),
     )
 
 
+_NS_SQL = f"len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x))))"
+
 TEXT_STATS_SQL = f"""
-WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+u AS (
+  SELECT doc_id, text, toks,
+         CAST(ROUND(list_sum(list_transform(toks, x -> length(x)))
+                    * 1000000.0 / len(toks)) AS BIGINT) AS avg_u,
+         CAST(ROUND({_NS_SQL} * 1000000.0 / len(toks)) AS BIGINT) AS sr_u
+  FROM t
+)
 SELECT doc_id,
-       CAST(len(toks) AS BIGINT)   AS n_tokens,
+       CAST(len(toks) AS BIGINT)    AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
-       ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6)
-                                   AS avg_token_len,
-       ROUND(len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x))))
-             * 1.0 / len(toks), 6) AS stopword_ratio,
-       ROUND(LEAST(1.0, len(toks) / 100.0)
-             * (0.5 + LEAST(0.5, ROUND(len(list_filter(toks, x ->
-                  list_contains({_SW_SQL}, lower(x)))) * 1.0 / len(toks), 6) * 5)), 6)
-                                   AS quality,
-       CASE WHEN ROUND(len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x))))
-                  * 1.0 / len(toks), 6) >= 0.03
-            THEN 'en' ELSE 'unk' END AS lang_pred
-FROM t
+       avg_u / 1000000.0            AS avg_token_len,
+       sr_u / 1000000.0             AS stopword_ratio,
+       (CAST(LEAST(len(toks), 100) AS BIGINT)
+        * (500000 + LEAST(500000, 5 * sr_u))) / 100000000.0 AS quality,
+       CASE WHEN sr_u >= 30000 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM u
 """
 
 
