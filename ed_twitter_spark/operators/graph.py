@@ -2780,10 +2780,14 @@ tops AS (
 ),
 s AS (SELECT o FROM tops WHERE rn = 1),
 t AS (SELECT o FROM tops WHERE rn = 2),
+from_s AS (SELECT dst FROM coedges WHERE src = (SELECT o FROM s)),
+to_t AS (SELECT src FROM coedges WHERE dst = (SELECT o FROM t)),
 broker AS (
-  SELECT MIN(e1.dst) AS b
-  FROM coedges e1 JOIN coedges e2 ON e1.dst = e2.src
-  WHERE e1.src = (SELECT o FROM s) AND e2.dst = (SELECT o FROM t)
+  -- pre-filtered neighbor lists, then an intersection: the former
+  -- coedges⋈coedges wedge join with scalar-subquery WHEREs made DuckDB
+  -- materialize the full wedge set at sf0.1 (minutes); these CTEs keep
+  -- it at two filtered scans + one degree-sized semi-join
+  SELECT MIN(dst) AS b FROM from_s WHERE dst IN (SELECT src FROM to_t)
 )
 SELECT 0 AS step, (SELECT o FROM s) AS node
 UNION ALL SELECT 1, (SELECT b FROM broker)
