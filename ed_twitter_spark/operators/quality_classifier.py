@@ -46,7 +46,7 @@ before anything else in SURVEY §2's dedup ladder.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ed_twitter_spark.functions.hashing import TOKS_SQL, toks_col
@@ -296,4 +296,101 @@ SELECT doc_id,
        ROUND(1.0 / (1.0 + exp(-(0.0 + {zexpr}))), 6) >= 0.5 AS keep
 FROM feats, w{steps}
 WHERE y = 1.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation — exact AUC + accuracy on the contrastive frame
+# ---------------------------------------------------------------------------
+#
+# The number that justifies deploying the filter: ROC-AUC of the trained
+# scorer over the positive/negative frame it was trained against, plus
+# threshold-0.5 accuracy. AUC is computed EXACTLY as the normalized
+# Mann–Whitney rank sum with midrank tie handling, all in integers:
+# group rows by their 6-dp score, order ascending, and accumulate
+# pos_s · (2·cum_neg_below + neg_s) — twice the pair-win count with ties
+# worth one — then divide once by 2·n_pos·n_neg. The ordering window is
+# bounded BY CONSTRUCTION at 10⁶+1 rows (scores are 6-dp values in
+# [0, 1]), so the per-score frame never inherits the corpus's scale; the
+# pair-win sums ride DECIMAL(38,0) so 10^12-row classes cannot overflow.
+
+
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_pos, n_neg, auc, acc) for the trained quality filter."""
+    w = _trained_weights(spark, sf_dir)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z()))
+    scored = (
+        _feature_frame(spark, sf_dir)
+        .crossJoin(F.broadcast(w))
+        .select("y", F.round(p, 6).alias("s"))
+    )
+    per_s = scored.groupBy("s").agg(
+        F.sum(F.col("y").cast("long")).alias("pos"),
+        F.sum(F.lit(1) - F.col("y").cast("long")).alias("neg"),
+    )
+    win = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_s.withColumn(
+        "cum_neg_below", F.coalesce(F.sum("neg").over(win), F.lit(0))
+    )
+    return ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            (
+                F.col("pos")
+                * (F.lit(2) * F.col("cum_neg_below") + F.col("neg"))
+            ).cast("decimal(38,0)")
+        ).alias("win2"),
+        F.sum(
+            F.when((F.col("s") >= 0.5), F.col("pos")).otherwise(0)
+            + F.when(F.col("s") < 0.5, F.col("neg")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("win2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+        F.round(F.col("n_correct") / (F.col("n_pos") + F.col("n_neg")), 6).alias(
+            "acc"
+        ),
+    )
+
+
+def quality_classifier_eval_oracle_sql(steps: int = GD_STEPS) -> str:
+    zexpr = " + ".join(f"x{j} * w{j}" for j in range(_NF))
+    return f"""WITH {_gd_ctes(steps)},
+scored AS (
+  SELECT y, ROUND(1.0 / (1.0 + exp(-(0.0 + {zexpr}))), 6) AS s
+  FROM feats, w{steps}
+),
+per_s AS (
+  SELECT s, CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM scored GROUP BY s
+),
+ranked AS (
+  SELECT s, pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_neg_below
+  FROM per_s
+),
+evagg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         SUM(CAST(pos * (2 * cum_neg_below + neg) AS DECIMAL(38,0))) AS win2,
+         CAST(SUM(CASE WHEN s >= 0.5 THEN pos ELSE 0 END
+                  + CASE WHEN s < 0.5 THEN neg ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       ROUND(CAST(win2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc,
+       ROUND(n_correct * 1.0 / (n_pos + n_neg), 6) AS acc
+FROM evagg
 """

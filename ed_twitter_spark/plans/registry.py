@@ -682,6 +682,9 @@ def _register_corpus_ops():
     register(
         "quality_classifier_score", qc_ops.quality_classifier_score_oracle_sql()
     )(qc_ops.quality_classifier_score)
+    register(
+        "quality_classifier_eval", qc_ops.quality_classifier_eval_oracle_sql()
+    )(qc_ops.quality_classifier_eval)
 
     from ed_twitter_spark.operators import dsir as dsir_ops
 

@@ -206,3 +206,42 @@ def test_loop_profile_tie_breaks_to_earliest_run(spark):
     r = loop_profile(t).collect()[0]
     assert r["max_run"] == 3 and r["run_start"] == 0
     assert r["loop_turns"] == 6  # both runs cross the threshold
+
+
+def test_quality_classifier_eval_auc_transcription(spark, tmp_path):
+    """Exact-AUC pin: a corpus where one 'real' document IS templated
+    spam makes its positive row collide with its negative twin (an exact
+    score tie), so AUC must count the tied pair as half a win — checked
+    against a from-scratch python transcription over the same scores."""
+    import math
+
+    from ed_twitter_spark.operators.quality_classifier import (
+        _feature_frame,
+        _trained_weights,
+        quality_classifier_eval,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "s", "a b c d"), (1, "s", "x x x x"), (2, "s", "p q r s t u")],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    w = {k: v for k, v in _trained_weights(spark, sf).collect()[0].asDict().items()}
+    rows = _feature_frame(spark, sf).collect()
+    scored = []
+    for r in rows:
+        z = sum(r[f"x{j}"] * w[f"w{j}"] for j in range(5))
+        scored.append((r["y"], round(1.0 / (1.0 + math.exp(-z)), 6)))
+    pos = sorted(s for y, s in scored if y == 1.0)
+    neg = sorted(s for y, s in scored if y == 0.0)
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    want_auc = round(wins / (len(pos) * len(neg)), 6)
+
+    got = quality_classifier_eval(spark, sf).collect()[0]
+    assert got["n_pos"] == 3 and got["n_neg"] == 3
+    assert got["auc"] == pytest.approx(want_auc, abs=1e-9)
+    assert 0.0 < got["auc"] < 1.0  # the tie keeps it strictly inside
