@@ -543,3 +543,45 @@ def test_dataset_curriculum_no_global_window(spark):
     )
     # the partitioned window's exchange is hash, not a global range sort
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_dsir_log_ratio_is_broadcast_no_cartesian(spark):
+    """DSIR's scoring join must broadcast the ≤N_BUCKETS log-ratio table
+    into the per-(doc, bucket) counts — the document axis never shuffles
+    on a feature key — and nothing may plan as a cartesian product."""
+    from ed_twitter_spark.plans.registry import queries
+
+    plan = plan_of(queries()["dataset_dsir"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_novelty_no_cartesian_no_python(spark):
+    """The novelty score is pure hash aggregation + one shingle-keyed
+    join: no cartesian, no Python evaluation anywhere."""
+    from ed_twitter_spark.plans.registry import queries
+
+    plan = plan_of(queries()["doc_novelty"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bootstrap_ci_is_jvm_only(spark):
+    """32 Poisson replicates ride ONE weighted aggregation over the
+    exploded (example, replicate) frame — JVM column algebra only."""
+    from ed_twitter_spark.plans.registry import queries
+
+    plan = plan_of(queries()["eval_bootstrap_ci"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_loop_profile_single_conv_exchange(spark):
+    """The loop profile is conv-keyed end-to-end: every Exchange in the
+    plan hashes on conv_id (never an all-to-one or foreign-key shuffle)."""
+    from ed_twitter_spark.plans.registry import queries
+
+    plan = plan_of(queries()["conv_loop_detect"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+        assert "conv_id" in m.group(1), plan
