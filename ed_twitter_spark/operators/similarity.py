@@ -1114,3 +1114,61 @@ SELECT d.vec_id, d.dim,
                * s.scale - d.x, 6) + 0.0 AS err
 FROM dims d JOIN sc s USING (dim)
 """
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_queries, k, n_hits, recall) — recall@TOP_K of the PQ
+    asymmetric-distance search against the brute-force cosine baseline:
+    the quantization loss as a measured number, completing the PQ story
+    the same way ``ann_recall`` closes the IVF one. (ADC ranks by
+    L2-on-codes while the baseline ranks by cosine; the fixture vectors
+    are unit-norm, where the two orders coincide up to quantization
+    error, so the number isolates exactly the PQ distortion.) On the
+    fixture's isotropic unit-norm vectors — the adversarial floor for
+    ANY quantizer, as with the IVF recall curve — the measured recall
+    at the pinned M_SUB/K_PQ is ~0.13: near-identical distances make
+    top-5 rank inversions maximally likely. A clustered production
+    corpus sits far above this; the query's job is to MEASURE the
+    distortion a byte-budget choice costs, not to flatter it."""
+    pq = ann_pq_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = exact.join(pq, ["query_id", "vec_id"], "left_semi")
+    return exact.agg(
+        F.countDistinct("query_id").cast("int").alias("n_queries"),
+        F.lit(TOP_K).cast("int").alias("k"),
+    ).crossJoin(
+        hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    ).select(
+        "n_queries",
+        "k",
+        "n_hits",
+        F.round(F.col("n_hits") / (F.col("n_queries") * F.col("k")), 6).alias("recall"),
+    )
+
+
+ANN_PQ_RECALL_SQL = f"""
+WITH pq AS ({ANN_PQ_TOPK_SQL}),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+exact_topk AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM exact_scored
+  QUALIFY rank <= {TOP_K}
+),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM exact_topk e WHERE EXISTS (
+    SELECT 1 FROM pq i
+    WHERE i.query_id = e.query_id AND i.vec_id = e.vec_id
+  )
+)
+SELECT CAST((SELECT COUNT(DISTINCT query_id) FROM exact_topk) AS INTEGER) AS n_queries,
+       CAST({TOP_K} AS INTEGER) AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits * 1.0 / ((SELECT COUNT(DISTINCT query_id) FROM exact_topk) * {TOP_K}), 6) AS recall
+FROM hits
+"""
