@@ -1043,3 +1043,39 @@ SELECT sh.doc_id,
 FROM sh JOIN dfc USING (shingle)
 GROUP BY sh.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup savings — the cluster-size histogram + reduction ratio
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs, n_dropped) — the "what does
+    dedup buy" datasheet row set: for each cluster size in the
+    transitive dedup decision (dedup_clusters), how many clusters exist,
+    how many documents they hold, and how many of those the keep rule
+    drops. Σ n_dropped / Σ n_docs is the corpus reduction ratio; a long
+    tail of big clusters is the boilerplate signature that motivates the
+    exact-substring pass on top of document-level dedup.
+
+    Plan shape: one aggregation over the (corpus-sized but narrow)
+    decision table keyed by cluster_size — a bounded, heavy-hit key
+    domain (sizes ≤ the biggest cluster), map-side combined."""
+    d = dedup_clusters(spark, sf_dir)
+    return d.groupBy("cluster_size").agg(
+        F.countDistinct("canonical_doc_id").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_dropped"),
+    )
+
+
+DEDUP_CLUSTER_STATS_SQL = f"""
+WITH base AS ({DEDUP_CLUSTERS_SQL})
+SELECT cluster_size,
+       CAST(COUNT(DISTINCT canonical_doc_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT)                         AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM base
+GROUP BY cluster_size
+"""

@@ -590,6 +590,9 @@ def _register_corpus_ops():
     register("dedup_minhash_lsh", dd.DEDUP_MINHASH_SQL)(dd.dedup_minhash_lsh)
     register("source_similarity", dd.SOURCE_SIMILARITY_SQL)(dd.source_similarity)
     register("doc_novelty", dd.DOC_NOVELTY_SQL)(dd.doc_novelty)
+    register("dedup_cluster_stats", dd.DEDUP_CLUSTER_STATS_SQL)(
+        dd.dedup_cluster_stats
+    )
     register("dedup_ngram_jaccard", dd.DEDUP_JACCARD_SQL)(dd.dedup_ngram_jaccard)
     register("dedup_containment", dd.DEDUP_CONTAINMENT_SQL)(dd.dedup_containment)
     register("dedup_simhash", dd.DEDUP_SIMHASH_SQL)(dd.dedup_simhash)
