@@ -948,3 +948,102 @@ SELECT n_types, n_tokens,
        END AS zipf_r2
 FROM sums
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet — the one-row summary every dataset release ships
+# ---------------------------------------------------------------------------
+#
+# "Datasheets for Datasets" (Gebru et al. 2021) asks every corpus to ship
+# its composition numbers; this emits the quantitative core as ONE row by
+# composing engine queries that are each independently oracle-checked:
+# sizes (docs/tokens/sources/langs), the transitive near-dup drop rate
+# (dedup_clusters), mean quality (text_stats' integer-micro-unit score,
+# summed as exact DECIMAL so the mean is order-invariant), the language-
+# mix Shannon entropy (per-lang terms pre-rounded to 6 dp, exact-decimal
+# summed — the language axis is small by nature), and the Zipf slope
+# (zipf_fit). Every piece is a one-row aggregate broadcast into a
+# cross-join chain; nothing scans the corpus more than its source query
+# already does.
+
+
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_docs, n_tokens, n_sources, n_langs, dup_doc_pct,
+    mean_quality, lang_entropy, zipf_slope)."""
+    from ed_twitter_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks_col())).cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+    )
+    dup = dedup_clusters(spark, sf_dir).agg(
+        F.round(
+            F.sum((~F.col("keep")).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("dup_doc_pct")
+    )
+    q = text_stats(spark, sf_dir).agg(
+        F.round(
+            F.sum(F.col("quality").cast("decimal(12,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality")
+    )
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.count()  # scalar for the per-lang term; one cheap count job
+    ent = lc.select(
+        F.round(
+            (F.col("c") / F.lit(float(n)))
+            * F.log(F.lit(float(n)) / F.col("c")),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("t")
+    ).agg(F.round(F.sum("t").cast("double"), 6).alias("lang_entropy"))
+    z = zipf_fit(spark, sf_dir).select("zipf_slope")
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(z))
+    )
+
+
+def corpus_datasheet_oracle_sql() -> str:
+    from ed_twitter_spark.operators.dedup import DEDUP_CLUSTERS_SQL
+
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({TOKS_SQL})) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT source) AS INTEGER) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS INTEGER)   AS n_langs
+  FROM documents
+),
+clusters AS ({DEDUP_CLUSTERS_SQL}),
+dup AS (
+  SELECT ROUND(SUM(CASE WHEN keep THEN 0 ELSE 1 END) * 1.0 / COUNT(*), 6)
+           AS dup_doc_pct
+  FROM clusters
+),
+ts AS ({TEXT_STATS_SQL}),
+q AS (
+  SELECT ROUND(CAST(SUM(CAST(quality AS DECIMAL(12,8))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_quality
+  FROM ts
+),
+lc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+n1 AS (SELECT COUNT(*) * 1.0 AS n FROM documents),
+ent AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND((c / n1.n) * ln(n1.n / c), 6)
+                             AS DECIMAL(12,6))) AS DOUBLE), 6)
+           AS lang_entropy
+  FROM lc CROSS JOIN n1
+),
+zf AS ({ZIPF_FIT_SQL})
+SELECT base.n_docs, base.n_tokens, base.n_sources, base.n_langs,
+       dup.dup_doc_pct, q.mean_quality, ent.lang_entropy, zf.zipf_slope
+FROM base CROSS JOIN dup CROSS JOIN q CROSS JOIN ent CROSS JOIN zf
+"""

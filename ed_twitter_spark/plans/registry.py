@@ -573,6 +573,9 @@ def _register_corpus_ops():
     register("corpus_quantiles", ts.CORPUS_QUANTILES_SQL)(ts.corpus_quantiles)
     register("token_counts", ts.TOKEN_COUNTS_SQL)(ts.token_counts)
     register("zipf_fit", ts.ZIPF_FIT_SQL)(ts.zipf_fit)
+    register("corpus_datasheet", ts.corpus_datasheet_oracle_sql())(
+        ts.corpus_datasheet
+    )
     register("doc_fingerprint", ts.DOC_FINGERPRINT_SQL)(ts.doc_fingerprint)
     register("quality_repetition", ts.QUALITY_REPETITION_SQL)(ts.quality_repetition)
     register("quality_gopher", ts.QUALITY_GOPHER_SQL)(ts.quality_gopher)
