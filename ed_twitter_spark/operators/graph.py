@@ -3003,3 +3003,203 @@ FROM degc LEFT JOIN cut ON cut.community = degc.community CROSS JOIN vtot
 
 def q_kg_conductance(spark, sf_dir: str) -> DataFrame:
     return kg_conductance(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components of the mention-succession graph
+# ---------------------------------------------------------------------------
+
+SCC_MAX_ROUNDS = 12  # FW-BW refinement rounds; drain asserted below
+
+
+def _succession_edges(edges: DataFrame) -> DataFrame:
+    """Distinct directed (src, dst) succession edges: u→v for every
+    consecutive pair of linked-mention events inside one conversation,
+    ordered by (turn_idx, mention_idx, obj_vertex), self-loops dropped —
+    the same construction :func:`kg_reciprocity` documents (the repo's one
+    natively DIRECTED entity graph)."""
+    ev = edges.where(F.col("obj_vertex").isNotNull()).select(
+        "conv_id", "turn_idx", "mention_idx", "obj_vertex"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "mention_idx", "obj_vertex")
+    return (
+        ev.withColumn("src", F.lag("obj_vertex").over(w))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("obj_vertex")))
+        .select("src", F.col("obj_vertex").alias("dst"))
+        .distinct()
+    )
+
+
+def _scc_min_prop(lab: DataFrame, e: DataFrame, reverse: bool) -> DataFrame:
+    """Fixpoint min-label propagation along class-internal directed edges.
+
+    ``lab`` is (v, cls, m) with m initialized to v; ``e`` is
+    (src, dst, cls). Each pass joins the label table into the edge
+    stream and takes the per-destination min — after convergence
+    m(v) = min vertex id in {v} ∪ {ancestors of v within its class}
+    (descendants when ``reverse``). min is associative/commutative, so
+    the fixpoint is partitioning-invariant; ``localCheckpoint`` per pass
+    cuts the iterative lineage exactly like the k-means/PageRank loops.
+    Pass count is bounded by the class diameter — at cluster scale the
+    standard upgrade is pointer-doubling on the reachability relation
+    (O(log d) passes), which this loop's join shape admits without
+    changing the algebra.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    a, b = ("dst", "src") if reverse else ("src", "dst")
+    lab = persist_tracked(lab)
+    while True:
+        upd = (
+            e.join(
+                lab.select(F.col("v").alias(a), "cls", "m"),
+                on=[a, "cls"],
+            )
+            .groupBy(F.col(b).alias("v"), "cls")
+            .agg(F.min("m").alias("m_in"))
+        )
+        new = persist_tracked(
+            lab.join(upd, on=["v", "cls"], how="left")
+            .select(
+                "v",
+                "cls",
+                F.least(F.col("m"), F.coalesce("m_in", "m")).alias("m"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.select("v", F.col("m").alias("m_old")), on="v")
+            .where(F.col("m") != F.col("m_old"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab
+
+
+def kg_scc(edges: DataFrame) -> DataFrame:
+    """(vertex_id, scc_id) — strongly connected components of the directed
+    mention-succession graph: the cycle structure reciprocity only counts.
+    An SCC is a set of entities a conversation stream can circle through
+    in BOTH directions — topic loops — while the condensation (SCCs
+    contracted) is the DAG of irreversible topic drift; scc_id is the
+    smallest member id, so labels are engine-invariant.
+
+    Algorithm: multi-pivot forward-backward coloring (the distributed
+    SCC scheme of Orzan 2004 / Slota et al. 2014, with min-vertex-id as
+    the per-class pivot). Each round, within every active class:
+
+    1. fwd(v) = min id over {v} ∪ ancestors-in-class (min-propagation);
+    2. bwd(v) = the same along reversed edges;
+    3. vertices with fwd(v) = bwd(v) = m are EXACTLY SCC(m) — m reaches
+       v and v reaches m — and retire with scc_id = m (every class
+       retires at least its pivot's SCC: mutual reachability forces
+       equal (fwd, bwd) pairs, so an SCC never straddles classes);
+    4. survivors refine their class key to (cls, fwd, bwd) and iterate —
+       all classes proceed IN PARALLEL as rows of one DataFrame, which
+       is what keeps chain-of-SCCs graphs from degenerating into
+       per-SCC sequential peeling.
+
+    Plan shape per round: two fixpoint min-propagations (edge join +
+    min-aggregate per pass, vertex-table-sized state, localCheckpoint
+    lineage cuts) plus one class-key refinement join — no collect, no
+    per-vertex driver work; at 10^12 turns the succession-edge table is
+    vertex-pair-bounded (≪ events) and every join is keyed on (v, cls).
+    Rounds are capped at SCC_MAX_ROUNDS with a hard assert, so a
+    non-drained run fails loudly rather than emitting a partial set.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    e0 = persist_tracked(_succession_edges(edges))
+    verts = (
+        e0.select(F.col("src").alias("v"))
+        .union(e0.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    active = persist_tracked(verts.select("v", F.lit("").alias("cls")))
+    act_e = persist_tracked(e0.withColumn("cls", F.lit("")))
+    done_frames: list[DataFrame] = []
+    for _ in range(SCC_MAX_ROUNDS):
+        if active.count() == 0:
+            break
+        init = active.select("v", "cls", F.col("v").alias("m"))
+        fwd = _scc_min_prop(init, act_e, reverse=False).withColumnRenamed("m", "fwd")
+        bwd = _scc_min_prop(init, act_e, reverse=True).withColumnRenamed("m", "bwd")
+        lab = persist_tracked(fwd.join(bwd, on=["v", "cls"]).localCheckpoint())
+        done_frames.append(
+            lab.where(F.col("fwd") == F.col("bwd")).select(
+                "v", F.col("fwd").alias("scc_id")
+            )
+        )
+        active = persist_tracked(
+            lab.where(F.col("fwd") != F.col("bwd"))
+            .select(
+                "v",
+                F.concat_ws("|", "cls", "fwd", "bwd").alias("cls"),
+            )
+            .localCheckpoint()
+        )
+        act_e = persist_tracked(
+            e0.join(active.select(F.col("v").alias("src"), "cls"), on="src")
+            .join(
+                active.select(F.col("v").alias("dst"), F.col("cls").alias("cls2")),
+                on="dst",
+            )
+            .where(F.col("cls") == F.col("cls2"))
+            .select("src", "dst", "cls")
+            .localCheckpoint()
+        )
+    if active.count() != 0:
+        raise RuntimeError(
+            f"kg_scc did not drain in {SCC_MAX_ROUNDS} FW-BW rounds"
+        )
+    out = done_frames[0]
+    for f in done_frames[1:]:
+        out = out.unionByName(f)
+    return out.select(F.col("v").alias("vertex_id"), "scc_id").orderBy("vertex_id")
+
+
+def kg_scc_oracle_sql() -> str:
+    """Twin: full transitive closure via a recursive CTE, then
+    scc_id(v) = min over {v} ∪ {u : u↔v}. Exponentially simpler than the
+    engine's coloring rounds — and exactly what coloring must reproduce."""
+    return (
+        _kg_edges_named_sql()
+        + """,
+sev AS (
+  SELECT conv_id, turn_idx, mention_idx, obj_vertex
+  FROM kge WHERE obj_vertex IS NOT NULL
+),
+ssucc AS (
+  SELECT src, obj_vertex AS dst FROM (
+    SELECT obj_vertex,
+           LAG(obj_vertex) OVER (
+             PARTITION BY conv_id
+             ORDER BY turn_idx, mention_idx, obj_vertex
+           ) AS src
+    FROM sev
+  ) WHERE src IS NOT NULL AND src <> obj_vertex
+),
+se AS (SELECT DISTINCT src, dst FROM ssucc),
+sverts AS (SELECT src AS v FROM se UNION SELECT dst FROM se),
+sreach AS (
+  SELECT src, dst FROM se
+  UNION
+  SELECT r.src, e.dst FROM sreach r JOIN se e ON e.src = r.dst
+),
+smutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM sreach a JOIN sreach b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT sverts.v AS vertex_id,
+       LEAST(sverts.v, COALESCE(MIN(smutual.u), sverts.v)) AS scc_id
+FROM sverts LEFT JOIN smutual ON smutual.v = sverts.v
+GROUP BY sverts.v
+ORDER BY vertex_id
+"""
+    )
+
+
+def q_kg_scc(spark, sf_dir: str) -> DataFrame:
+    return kg_scc(q_kg_edges(spark, sf_dir))

@@ -468,6 +468,7 @@ def _register_graph():
     register("kg_reciprocity", graph_ops.kg_reciprocity_oracle_sql())(
         graph_ops.q_kg_reciprocity
     )
+    register("kg_scc", graph_ops.kg_scc_oracle_sql())(graph_ops.q_kg_scc)
     register("kg_conductance", graph_ops.kg_conductance_oracle_sql())(
         graph_ops.q_kg_conductance
     )

@@ -1419,3 +1419,37 @@ def test_conductance_single_community_is_null(spark):
     assert len(got) == 1
     assert got[0]["conductance"] is None
     assert got[0]["cut_edges"] == 0
+
+
+def _scc_map(df):
+    return {r["vertex_id"]: r["scc_id"] for r in df.collect()}
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    from ed_twitter_spark.operators.graph import kg_scc
+
+    # 1<->2 and 3<->4 joined by the one-way bridge 2->3: two nontrivial
+    # SCCs that must NOT merge across the bridge.
+    e = _succ_edges(spark, [("c1", [1, 2, 1]), ("c2", [3, 4, 3]), ("c3", [2, 3])])
+    assert _scc_map(kg_scc(e)) == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_scc_dag_chain_is_all_trivial(spark):
+    from ed_twitter_spark.operators.graph import kg_scc
+
+    # pure drift 1->2->3->4: every SCC is a singleton — the chain case
+    # that forces the FW-BW class refinement to run more than one round
+    # and proves classes retire in parallel, not by sequential peeling.
+    e = _succ_edges(spark, [("c1", [1, 2, 3, 4])])
+    assert _scc_map(kg_scc(e)) == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_scc_full_cycle_and_chained_components(spark):
+    from ed_twitter_spark.operators.graph import kg_scc
+
+    # one 5-cycle collapses to a single SCC labeled by its min vertex
+    e = _succ_edges(spark, [("c1", [1, 2, 3, 4, 5, 1])])
+    assert _scc_map(kg_scc(e)) == {v: 1 for v in (1, 2, 3, 4, 5)}
+    # chain of 2-cycles 1<->2 -> 3<->4 -> 5<->6: three SCCs in a line
+    e2 = _succ_edges(spark, [("c1", [1, 2, 1, 3, 4, 3, 5, 6, 5])])
+    assert _scc_map(kg_scc(e2)) == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
