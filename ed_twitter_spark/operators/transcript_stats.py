@@ -388,3 +388,114 @@ SELECT conv_id,
 FROM ranked
 GROUP BY conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# assistant echo profile — extractive parroting of the previous user turn
+# ---------------------------------------------------------------------------
+#
+# The complement of the retry-loop scar above: an assistant turn that
+# recycles the USER's phrasing wholesale (quote-back summaries, sycophant
+# echo, RAG copy-through) trains imitators that parrot instead of answer,
+# so SFT curation scores each response's n-gram precision against its
+# prompt and drops or downweights the verbatim tail. The measure here is
+# ROUGE-2 precision in its set form: |distinct word bigrams shared with
+# the preceding user turn| / |distinct word bigrams of the assistant
+# turn| — bigrams rather than unigrams so shared topic words don't read
+# as parroting, distinct so a repeated phrase can't saturate the score.
+
+ECHO_MIN_BIGRAMS = 3
+
+
+def echo_profile(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, n_bigrams, n_shared, echo) — one row per
+    assistant turn whose IMMEDIATELY preceding turn (by turn_idx) is a
+    user turn and that has ≥ ECHO_MIN_BIGRAMS distinct bigrams; echo is
+    the shared-bigram fraction, 6 dp.
+
+    Plan shape: ONE conv_id-partitioned lag window (the transcript
+    table's own clustering key — the same single exchange every
+    turn-stream operator here pays) followed by per-row JVM array
+    algebra (split → transform → array_distinct → filter/contains);
+    no joins, no explode, no Python. The bigram arrays live only inside
+    the projection, so nothing turn-pair-sized is ever shuffled."""
+
+    def bigrams(col: str):
+        # adjacent-pair zip of the token array with its own 1-shift —
+        # bigram i = toks[i] + ' ' + toks[i+1], no explode
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        n = F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.array_distinct(
+            F.zip_with(
+                F.slice(toks, 1, n),
+                F.slice(toks, 2, n),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        )
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("text"),
+        F.lag("text").over(w).alias("prev_text"),
+        F.lag("role").over(w).alias("prev_role"),
+    ).where(
+        (F.col("role") == "assistant")
+        & (F.col("prev_role") == "user")
+    )
+    ba = bigrams("text")
+    bp = bigrams("prev_text")
+    out = t.select(
+        "conv_id",
+        "turn_idx",
+        F.size(ba).alias("n_bigrams"),
+        F.size(F.filter(ba, lambda x: F.array_contains(bp, x))).alias("n_shared"),
+    ).where(F.col("n_bigrams") >= ECHO_MIN_BIGRAMS)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "n_bigrams",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_bigrams"), 6).alias("echo"),
+    )
+
+
+def conv_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the assistant echo profile of the corpus."""
+    return echo_profile(synth.transcripts(spark, sf_dir))
+
+
+def conv_echo_oracle_sql() -> str:
+    return f"""
+WITH tr AS ({synth.TRANSCRIPTS_SQL}),
+lagged AS (
+  SELECT conv_id, turn_idx, role, text,
+         LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM tr
+),
+pairs AS (
+  SELECT conv_id, turn_idx,
+         string_split_regex(lower(trim(text)), '\\s+')      AS ta,
+         string_split_regex(lower(trim(prev_text)), '\\s+') AS tp
+  FROM lagged
+  WHERE role = 'assistant' AND prev_role = 'user'
+),
+bg AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(list_transform(generate_series(1, len(ta) - 1),
+                                      i -> ta[i] || ' ' || ta[i + 1])) AS ba,
+         list_distinct(list_transform(generate_series(1, len(tp) - 1),
+                                      i -> tp[i] || ' ' || tp[i + 1])) AS bp
+  FROM pairs
+)
+SELECT conv_id, turn_idx,
+       CAST(len(ba) AS INTEGER) AS n_bigrams,
+       CAST(len(list_filter(ba, x -> list_contains(bp, x))) AS INTEGER) AS n_shared,
+       ROUND(len(list_filter(ba, x -> list_contains(bp, x))) * 1.0 / len(ba), 6)
+         AS echo
+FROM bg
+WHERE len(ba) >= {ECHO_MIN_BIGRAMS}
+"""

@@ -997,6 +997,7 @@ def _register_transcript_stats():
     register("conv_loop_detect", tst.conv_loop_detect_oracle_sql())(
         tst.conv_loop_detect
     )
+    register("conv_echo", tst.conv_echo_oracle_sql())(tst.conv_echo)
 
 
 _register_transcript_stats()

@@ -245,3 +245,31 @@ def test_quality_classifier_eval_auc_transcription(spark, tmp_path):
     assert got["n_pos"] == 3 and got["n_neg"] == 3
     assert got["auc"] == pytest.approx(want_auc, abs=1e-9)
     assert 0.0 < got["auc"] < 1.0  # the tie keeps it strictly inside
+
+
+def test_echo_profile_scores_bigram_parroting(spark):
+    from ed_twitter_spark.operators.transcript_stats import echo_profile
+
+    t = _turns(
+        spark,
+        [
+            # full parrot: every assistant bigram appears in the user turn
+            ("c1", [("user", "the quick brown fox jumps"),
+                    ("assistant", "The quick brown fox")]),
+            # half echo: "alpha beta" shared; "beta gamma" and "gamma new"
+            # are not; repeated phrase counts once (distinct bigrams)
+            ("c2", [("user", "alpha beta zzz alpha beta"),
+                    ("assistant", "alpha beta gamma new")]),
+            # assistant after assistant: not scored (no preceding user turn)
+            ("c3", [("assistant", "one two three four"),
+                    ("assistant", "one two three four")]),
+            # too short: a 2-token reply has 1 bigram < ECHO_MIN_BIGRAMS
+            ("c4", [("user", "one two three"), ("assistant", "one two")]),
+        ],
+    )
+    got = {r["conv_id"]: r for r in echo_profile(t).collect()}
+    assert set(got) == {"c1", "c2"}
+    assert got["c1"]["n_bigrams"] == 3 and got["c1"]["n_shared"] == 3
+    assert got["c1"]["echo"] == 1.0
+    assert got["c2"]["n_bigrams"] == 3 and got["c2"]["n_shared"] == 1
+    assert got["c2"]["echo"] == 0.333333
