@@ -1251,3 +1251,80 @@ FROM b GROUP BY bucket
 
 
 _register_link_calibration()
+
+
+def _register_eval_ablation():
+    # the reference's headline comparison as ONE table: micro-P/R/F1 of
+    # the p(e|m)-prior argmax baseline vs the cosine-embedding linker on
+    # the same gold (deep-ed's "prior baseline vs full model" ablation,
+    # mulrel-nel/nel/ed_ranker.py eval loop). Both pred frames are
+    # SQL-expressible, so unlike link_embed's rows-only pin this
+    # ablation is value-exact cross-engine; the LBP linker's own P/R
+    # lives in the golden-hash suite. On the SYNTHETIC corpus the
+    # expected ordering is prior > cosine (sf0.01: 0.799 vs 0.684) —
+    # the hash-seeded fixture embeddings carry no disambiguation signal,
+    # so the context dot is noise added to a clean planted prior; on
+    # real data the same table is where the reference's "embeddings
+    # beat the prior" claim would be read off. Plan: the two linkers'
+    # existing plans plus one gold left-join each and one 2-group
+    # aggregate — nothing new shuffles.
+    from ed_twitter_spark.operators.cosine_linker import (
+        link_cosine,
+        link_cosine_oracle_sql,
+    )
+
+    tp = "SUM(CASE WHEN obj = gold_obj AND obj <> 'NIL' THEN 1 ELSE 0 END)"
+    np_ = "SUM(CASE WHEN obj <> 'NIL' THEN 1 ELSE 0 END)"
+    sql = f"""
+WITH m AS ({mention_ops.mentions_sql()}),
+kb AS ({synth.KB_ALIAS_SQL}),
+gold AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) || '#' ||
+         CAST(mention_idx AS VARCHAR) AS subj,
+         'E' || CAST({synth.gold_suffix_sql('doc_id', 'mention_idx')} AS VARCHAR)
+             || '_' || mention        AS gold_obj
+  FROM m
+),
+prior_pred AS (
+  SELECT m.conv_id || '#' || CAST(m.turn_idx AS VARCHAR) || '#' ||
+         CAST(m.mention_idx AS VARCHAR) AS subj,
+         COALESCE(kb.ent_name, 'NIL')   AS obj
+  FROM m LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb
+    ON m.mention = kb.mention
+),
+cos_pred AS (SELECT subj, obj FROM ({link_cosine_oracle_sql()})),
+j AS (
+  SELECT 'prior' AS variant, gold.gold_obj, prior_pred.obj
+  FROM gold LEFT JOIN prior_pred USING (subj)
+  UNION ALL
+  SELECT 'cosine' AS variant, gold.gold_obj, cos_pred.obj
+  FROM gold LEFT JOIN cos_pred USING (subj)
+)
+SELECT variant,
+       CAST({tp} AS BIGINT)  AS true_pos,
+       CAST({np_} AS BIGINT) AS n_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_gold,
+       ROUND({tp} * 1.0 / {np_}, 6) AS precision,
+       ROUND({tp} * 1.0 / COUNT(*), 6) AS recall,
+       ROUND(2.0 * ({tp} * 1.0 / {np_}) * ({tp} * 1.0 / COUNT(*))
+             / (({tp} * 1.0 / {np_}) + ({tp} * 1.0 / COUNT(*))), 6) AS f1
+FROM j GROUP BY variant
+"""
+
+    @register("eval_ablation", sql)
+    def q_eval_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ed_twitter_spark.operators.canonicalize import prior_triples
+
+        gold = gold_triples(spark, sf_dir)
+        prior = prior_triples(spark, sf_dir).select("subj", "obj")
+        cos = link_cosine(spark, sf_dir).select("subj", "obj")
+        a = eval_ops.micro_prf(prior, gold).select(
+            F.lit("prior").alias("variant"), "*"
+        )
+        b = eval_ops.micro_prf(cos, gold).select(
+            F.lit("cosine").alias("variant"), "*"
+        )
+        return a.unionByName(b)
+
+
+_register_eval_ablation()

@@ -175,3 +175,21 @@ def test_eval_f1_beats_nothing_burned(spark):
     npred = sum(1 for v in pred.values() if v != "NIL")
     assert tp / npred > 0.70
     assert tp / len(gold) > 0.70
+
+
+def test_eval_ablation_table_shape(spark):
+    """Both linker variants are scored against the SAME gold frame, and
+    the synthetic-corpus ordering (prior > cosine: fixture embeddings
+    carry no disambiguation signal, so the context dot only adds noise
+    to the planted prior) holds — the registry comment documents this."""
+    from ed_twitter_spark.plans.registry import queries
+
+    rows = {
+        r["variant"]: r
+        for r in queries()["eval_ablation"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"prior", "cosine"}
+    assert rows["prior"]["n_gold"] == rows["cosine"]["n_gold"] > 0
+    assert rows["prior"]["f1"] >= rows["cosine"]["f1"]
+    for r in rows.values():
+        assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["f1"] <= 1.0
