@@ -3203,3 +3203,121 @@ ORDER BY vertex_id
 
 def q_kg_scc(spark, sf_dir: str) -> DataFrame:
     return kg_scc(q_kg_edges(spark, sf_dir))
+
+
+def kg_condensation(edges: DataFrame) -> DataFrame:
+    """(scc_id, n_members, n_out, n_in) — the condensation of the
+    succession graph: every SCC from :func:`kg_scc` contracted to one
+    node, profiled with its member count and its distinct out-/in-edges
+    to OTHER components. The contracted graph is acyclic by
+    construction — the DAG of irreversible topic drift; components with
+    n_out = n_in = 0 are drift-closed (every succession path that
+    enters stays), which is what the synthetic corpus's dense
+    conversation loops produce. Plan: the SCC label table
+    (vertex-sized) attaches to the succession edge list via two
+    broadcast-scale joins; cross-component pairs dedup on the
+    contracted key and two small aggregates join back onto the
+    per-component member counts.
+    """
+    labels = kg_scc(edges)
+    e = _succession_edges(edges)
+    members = labels.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    cross = (
+        e.join(
+            labels.select(
+                F.col("vertex_id").alias("src"), F.col("scc_id").alias("src_scc")
+            ),
+            on="src",
+        )
+        .join(
+            labels.select(
+                F.col("vertex_id").alias("dst"), F.col("scc_id").alias("dst_scc")
+            ),
+            on="dst",
+        )
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+    n_out = cross.groupBy(F.col("src_scc").alias("scc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out")
+    )
+    n_in = cross.groupBy(F.col("dst_scc").alias("scc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in")
+    )
+    return (
+        members.join(n_out, on="scc_id", how="left")
+        .join(n_in, on="scc_id", how="left")
+        .na.fill({"n_out": 0, "n_in": 0})
+        .select("scc_id", "n_members", "n_out", "n_in")
+        .orderBy("scc_id")
+    )
+
+
+def kg_condensation_oracle_sql() -> str:
+    """Twin: the closure-label block from kg_scc's oracle, re-joined onto
+    the raw succession edges, contracted, and profiled per component."""
+    return (
+        _kg_edges_named_sql()
+        + """,
+sev AS (
+  SELECT conv_id, turn_idx, mention_idx, obj_vertex
+  FROM kge WHERE obj_vertex IS NOT NULL
+),
+ssucc AS (
+  SELECT src, obj_vertex AS dst FROM (
+    SELECT obj_vertex,
+           LAG(obj_vertex) OVER (
+             PARTITION BY conv_id
+             ORDER BY turn_idx, mention_idx, obj_vertex
+           ) AS src
+    FROM sev
+  ) WHERE src IS NOT NULL AND src <> obj_vertex
+),
+se AS (SELECT DISTINCT src, dst FROM ssucc),
+sverts AS (SELECT src AS v FROM se UNION SELECT dst FROM se),
+sreach AS (
+  SELECT src, dst FROM se
+  UNION
+  SELECT r.src, e.dst FROM sreach r JOIN se e ON e.src = r.dst
+),
+smutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM sreach a JOIN sreach b ON a.src = b.dst AND a.dst = b.src
+),
+slab AS (
+  SELECT sverts.v AS vertex_id,
+         LEAST(sverts.v, COALESCE(MIN(smutual.u), sverts.v)) AS scc_id
+  FROM sverts LEFT JOIN smutual ON smutual.v = sverts.v
+  GROUP BY sverts.v
+),
+smembers AS (
+  SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM slab GROUP BY scc_id
+),
+scross AS (
+  SELECT DISTINCT ls.scc_id AS src_scc, ld.scc_id AS dst_scc
+  FROM se
+  JOIN slab ls ON ls.vertex_id = se.src
+  JOIN slab ld ON ld.vertex_id = se.dst
+  WHERE ls.scc_id <> ld.scc_id
+),
+souts AS (SELECT src_scc AS scc_id, CAST(COUNT(*) AS BIGINT) AS n_out
+          FROM scross GROUP BY src_scc),
+sins AS (SELECT dst_scc AS scc_id, CAST(COUNT(*) AS BIGINT) AS n_in
+         FROM scross GROUP BY dst_scc)
+SELECT m.scc_id, m.n_members,
+       COALESCE(souts.n_out, 0) AS n_out,
+       COALESCE(sins.n_in, 0)   AS n_in
+FROM smembers m
+LEFT JOIN souts ON souts.scc_id = m.scc_id
+LEFT JOIN sins  ON sins.scc_id = m.scc_id
+ORDER BY m.scc_id
+"""
+    )
+
+
+def q_kg_condensation(spark, sf_dir: str) -> DataFrame:
+    return kg_condensation(q_kg_edges(spark, sf_dir))

@@ -469,6 +469,9 @@ def _register_graph():
         graph_ops.q_kg_reciprocity
     )
     register("kg_scc", graph_ops.kg_scc_oracle_sql())(graph_ops.q_kg_scc)
+    register("kg_condensation", graph_ops.kg_condensation_oracle_sql())(
+        graph_ops.q_kg_condensation
+    )
     register("kg_conductance", graph_ops.kg_conductance_oracle_sql())(
         graph_ops.q_kg_conductance
     )

@@ -1453,3 +1453,24 @@ def test_scc_full_cycle_and_chained_components(spark):
     # chain of 2-cycles 1<->2 -> 3<->4 -> 5<->6: three SCCs in a line
     e2 = _succ_edges(spark, [("c1", [1, 2, 1, 3, 4, 3, 5, 6, 5])])
     assert _scc_map(kg_scc(e2)) == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+
+
+def test_condensation_contracts_cycles_into_a_dag(spark):
+    from ed_twitter_spark.operators.graph import kg_condensation
+
+    # 1<->2 -> 3<->4 with TWO raw cross-edges (2->3 from c1, 1->4 from
+    # c3): one contracted edge 1->3 with n_edges = 2; in-SCC edges gone.
+    e = _succ_edges(
+        spark,
+        [
+            ("c1", [1, 2, 1, 3, 4, 3]),
+            ("c3", [1, 4]),
+        ],
+    )
+    got = {
+        r["scc_id"]: (r["n_members"], r["n_out"], r["n_in"])
+        for r in kg_condensation(e).collect()
+    }
+    # contracted DAG: {1,2} -> {3,4}; the two raw cross-edges dedup to
+    # ONE distinct contracted edge
+    assert got == {1: (2, 1, 0), 3: (2, 0, 1)}
