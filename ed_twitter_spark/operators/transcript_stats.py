@@ -499,3 +499,152 @@ SELECT conv_id, turn_idx,
 FROM bg
 WHERE len(ba) >= {ECHO_MIN_BIGRAMS}
 """
+
+
+# ---------------------------------------------------------------------------
+# key-turn extraction — per-conversation TextRank over turn similarity
+# ---------------------------------------------------------------------------
+#
+# Extractive summarization as data curation: when a pipeline can only
+# afford to keep (or embed, or show an annotator) a couple of turns per
+# conversation, the standard pick is TextRank (Mihalcea & Tarau 2004) —
+# PageRank over the turn-similarity graph, so a turn is central when it
+# shares vocabulary with many other central turns. Similarity here is
+# distinct-token Jaccard (a ratio of two integers — engine-exact);
+# scores run the classic S(i) = (1-d) + d·Σ_j w_ji/Σ_k w_jk·S(j)
+# recurrence with d = 0.85 for a fixed TEXTRANK_ITERS iterations, each
+# iteration's state rounded to 9 dp so both engines carry bit-identical
+# intermediate scores (the ranker-train shared-state trick) and the
+# top-K cut cannot flip on a 1-ulp summation-order difference.
+
+TEXTRANK_ITERS = 3
+TEXTRANK_D = 0.85
+KEY_TURNS_K = 2
+
+
+def key_turns(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, rank, score) — the KEY_TURNS_K most central
+    turns per conversation by TextRank; ties break to the earlier turn.
+
+    Plan shape: ONE conv_id-keyed self-join builds the similarity
+    edges (fan-out bounded by turns-per-conversation squared — the same
+    bounded pattern as the coref and edge-evidence self-joins, never
+    corpus²); each iteration is an edge join + a (conv_id, turn)-keyed
+    aggregate, co-partitioned on conv_id throughout, so at 10^12 turns
+    the whole computation is per-conversation local with one exchange.
+    """
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "toks"
+        ),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    uni = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    edges = (
+        a.join(b, on="conv_id")
+        .where(F.col("a.turn_idx") != F.col("b.turn_idx"))
+        .select(
+            "conv_id",
+            F.col("a.turn_idx").alias("src"),
+            F.col("b.turn_idx").alias("dst"),
+            (inter / uni).alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    from ed_twitter_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges)
+    outw = edges.groupBy("conv_id", "src").agg(F.sum("w").alias("wout"))
+    nodes = t.select("conv_id", "turn_idx")
+    score = nodes.withColumn("s", F.lit(1.0))
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            edges.join(
+                score.select(
+                    "conv_id", F.col("turn_idx").alias("src"), "s"
+                ),
+                on=["conv_id", "src"],
+            )
+            .join(outw, on=["conv_id", "src"])
+            .groupBy("conv_id", F.col("dst").alias("turn_idx"))
+            .agg(F.sum(F.col("w") / F.col("wout") * F.col("s")).alias("mass"))
+        )
+        score = nodes.join(contrib, on=["conv_id", "turn_idx"], how="left").select(
+            "conv_id",
+            "turn_idx",
+            F.round(
+                F.lit(1.0 - TEXTRANK_D)
+                + F.lit(TEXTRANK_D) * F.coalesce("mass", F.lit(0.0)),
+                9,
+            ).alias("s"),
+        )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("s"), F.asc("turn_idx"))
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEY_TURNS_K)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("s", 6).alias("score"),
+        )
+    )
+
+
+def conv_key_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: TextRank key turns of the corpus transcripts."""
+    return key_turns(synth.transcripts(spark, sf_dir))
+
+
+def conv_key_turns_oracle_sql() -> str:
+    d = TEXTRANK_D
+    its = []
+    prev = "s0"
+    for i in range(1, TEXTRANK_ITERS + 1):
+        its.append(
+            f"""c{i} AS (
+  SELECT e.conv_id, e.dst, SUM(e.w / o.wout * p.s) AS mass
+  FROM e
+  JOIN outw o ON o.conv_id = e.conv_id AND o.src = e.src
+  JOIN {prev} p ON p.conv_id = e.conv_id AND p.turn_idx = e.src
+  GROUP BY e.conv_id, e.dst
+),
+s{i} AS (
+  SELECT t.conv_id, t.turn_idx,
+         ROUND({1.0 - d} + {d} * COALESCE(c{i}.mass, 0), 9) AS s
+  FROM t LEFT JOIN c{i}
+    ON c{i}.conv_id = t.conv_id AND c{i}.dst = t.turn_idx
+)"""
+        )
+        prev = f"s{i}"
+    return f"""
+WITH tr AS ({synth.TRANSCRIPTS_SQL}),
+t AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM tr
+),
+e AS (
+  SELECT a.conv_id, a.turn_idx AS src, b.turn_idx AS dst,
+         len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 1.0
+         / (len(a.toks) + len(b.toks)
+            - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) AS w
+  FROM t a JOIN t b
+    ON a.conv_id = b.conv_id AND a.turn_idx <> b.turn_idx
+  WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) > 0
+),
+outw AS (SELECT conv_id, src, SUM(w) AS wout FROM e GROUP BY conv_id, src),
+s0 AS (SELECT conv_id, turn_idx, 1.0 AS s FROM t),
+{",".join(its)},
+ranked AS (
+  SELECT conv_id, turn_idx, s,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY s DESC, turn_idx ASC) AS rank
+  FROM {prev}
+)
+SELECT conv_id, turn_idx, CAST(rank AS INTEGER) AS rank, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {KEY_TURNS_K}
+"""

@@ -1001,6 +1001,9 @@ def _register_transcript_stats():
         tst.conv_loop_detect
     )
     register("conv_echo", tst.conv_echo_oracle_sql())(tst.conv_echo)
+    register("conv_key_turns", tst.conv_key_turns_oracle_sql())(
+        tst.conv_key_turns
+    )
 
 
 _register_transcript_stats()

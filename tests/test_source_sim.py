@@ -273,3 +273,31 @@ def test_echo_profile_scores_bigram_parroting(spark):
     assert got["c1"]["echo"] == 1.0
     assert got["c2"]["n_bigrams"] == 3 and got["c2"]["n_shared"] == 1
     assert got["c2"]["echo"] == 0.333333
+
+
+def test_key_turns_textrank_ranks_central_turns(spark):
+    from ed_twitter_spark.operators.transcript_stats import key_turns
+
+    t = _turns(
+        spark,
+        [
+            # t0 and t1 share all tokens (mutual reinforcement); t2 is
+            # lexically isolated and bottoms out at the (1-d) floor
+            ("cA", [("user", "alpha beta"), ("assistant", "Alpha Beta"),
+                    ("user", "unrelated thing entirely")]),
+            # no edges at all: both turns score the floor; tie breaks to
+            # the earlier turn_idx
+            ("cB", [("user", "one two"), ("assistant", "three four")]),
+        ],
+    )
+    got = {
+        (r["conv_id"], r["rank"]): r for r in key_turns(t).collect()
+    }
+    assert len(got) == 4  # KEY_TURNS_K per conversation
+    a1, a2 = got[("cA", 1)], got[("cA", 2)]
+    assert {a1["turn_idx"], a2["turn_idx"]} == {0, 1}
+    assert a1["turn_idx"] == 0  # equal scores -> earlier turn first
+    assert a1["score"] == a2["score"] > 0.15
+    b1, b2 = got[("cB", 1)], got[("cB", 2)]
+    assert (b1["turn_idx"], b2["turn_idx"]) == (0, 1)
+    assert b1["score"] == b2["score"] == 0.15
