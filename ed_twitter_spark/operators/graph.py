@@ -3321,3 +3321,116 @@ ORDER BY m.scc_id
 
 def q_kg_condensation(spark, sf_dir: str) -> DataFrame:
     return kg_condensation(q_kg_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# open relation extraction — verb-slot predicates between co-mentioned pairs
+# ---------------------------------------------------------------------------
+
+REL_MAX_GAP = 4  # max token positions between the two mentions
+
+
+def kg_open_relations(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """(subj_vertex, pred, obj_vertex, n, n_convs) — open-IE-lite relation
+    triples: for every ADJACENT pair of linked mentions inside one turn
+    with 1..REL_MAX_GAP-1 tokens between them, the predicate is the first
+    connecting token (ReVerb-style "arg1 relphrase arg2" with the
+    relation phrase truncated to its head slot), and both arguments are
+    the CANONICAL vertices the linker+CC already produced. This is the
+    step that upgrades the KG from provenance-typed mention edges
+    (kg_typed_edges: who said it) to content predicates (what the text
+    asserts BETWEEN two entities); n / n_convs are the corpus-wide
+    support counts a downstream triple-confidence gate thresholds on.
+
+    Plan shape: one LEAD window per (conv_id, turn_idx) over the
+    already-built linked-mention events (no new scan of the turn text
+    beyond one co-partitioned (conv_id, turn_idx) join to fetch the
+    token array), then a (subj, pred, obj)-keyed aggregate. Everything
+    is clustered on the transcript table's own conversation key; the
+    pair fan-out is ≤ mentions-per-turn, linear not quadratic, because
+    only ADJACENT mention pairs form candidates (the standard open-IE
+    locality assumption).
+    """
+    t = transcripts.select(
+        "conv_id", "turn_idx", F.split("text", r"\s+").alias("toks")
+    )
+    ev = edges.where(F.col("obj_vertex").isNotNull()).select(
+        "conv_id", "turn_idx", "mention_idx", "obj_vertex"
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("mention_idx")
+    pairs = (
+        ev.withColumn("next_idx", F.lead("mention_idx").over(w))
+        .withColumn("next_vertex", F.lead("obj_vertex").over(w))
+        .where(
+            F.col("next_idx").isNotNull()
+            & (F.col("next_idx") - F.col("mention_idx") >= 2)
+            & (F.col("next_idx") - F.col("mention_idx") <= REL_MAX_GAP)
+            & (F.col("obj_vertex") != F.col("next_vertex"))
+        )
+    )
+    rel = pairs.join(t, on=["conv_id", "turn_idx"]).select(
+        F.col("obj_vertex").alias("subj_vertex"),
+        # try_ variant: a mention event whose offset does not index into
+        # its turn's tokens (malformed upstream row) yields NULL and is
+        # dropped below, instead of aborting the job — DuckDB's toks[i]
+        # is NULL-silent out of range, so the filter keeps parity
+        F.try_element_at("toks", F.col("mention_idx") + 2).alias("pred"),
+        F.col("next_vertex").alias("obj_vertex"),
+        "conv_id",
+    ).where(F.col("pred").isNotNull())
+    return (
+        rel.groupBy("subj_vertex", "pred", "obj_vertex")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+        .orderBy("subj_vertex", "pred", "obj_vertex")
+    )
+
+
+def kg_open_relations_oracle_sql() -> str:
+    from ed_twitter_spark import synth
+
+    return (
+        _kg_edges_named_sql()
+        + f""",
+reltr AS (
+  SELECT conv_id, turn_idx, string_split_regex(text, '\\s+') AS toks
+  FROM ({synth.TRANSCRIPTS_SQL})
+),
+relev AS (
+  SELECT conv_id, turn_idx, mention_idx, obj_vertex,
+         LEAD(mention_idx) OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY mention_idx) AS next_idx,
+         LEAD(obj_vertex) OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY mention_idx) AS next_vertex
+  FROM kge WHERE obj_vertex IS NOT NULL
+),
+relpairs AS (
+  SELECT p.obj_vertex AS subj_vertex,
+         t.toks[p.mention_idx + 2] AS pred,
+         p.next_vertex AS obj_vertex,
+         p.conv_id
+  FROM relev p
+  JOIN reltr t ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+  WHERE p.next_idx IS NOT NULL
+    AND p.next_idx - p.mention_idx BETWEEN 2 AND {REL_MAX_GAP}
+    AND p.obj_vertex <> p.next_vertex
+    AND t.toks[p.mention_idx + 2] IS NOT NULL
+)
+SELECT subj_vertex, pred, obj_vertex,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM relpairs
+GROUP BY subj_vertex, pred, obj_vertex
+ORDER BY subj_vertex, pred, obj_vertex
+"""
+    )
+
+
+def q_kg_open_relations(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+
+    return kg_open_relations(
+        q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
+    )

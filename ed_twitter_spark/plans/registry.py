@@ -472,6 +472,9 @@ def _register_graph():
     register("kg_condensation", graph_ops.kg_condensation_oracle_sql())(
         graph_ops.q_kg_condensation
     )
+    register("kg_open_relations", graph_ops.kg_open_relations_oracle_sql())(
+        graph_ops.q_kg_open_relations
+    )
     register("kg_conductance", graph_ops.kg_conductance_oracle_sql())(
         graph_ops.q_kg_conductance
     )

@@ -1474,3 +1474,34 @@ def test_condensation_contracts_cycles_into_a_dag(spark):
     # contracted DAG: {1,2} -> {3,4}; the two raw cross-edges dedup to
     # ONE distinct contracted edge
     assert got == {1: (2, 1, 0), 3: (2, 0, 1)}
+
+
+def test_open_relations_extracts_connective_predicates(spark):
+    from ed_twitter_spark.operators.graph import kg_open_relations
+
+    # turn text: "table scan big merge join" with linked mentions at
+    # positions 0 (table->v1), 1 (scan->v2), 4 (join->v3):
+    #   (v1,v2) adjacent with gap 1: NO token between -> dropped
+    #   (v2,v3) gap 3: first connective token is 'big' -> (v2, big, v3)
+    t = spark.createDataFrame(
+        [("c1", 0, "table scan big merge join"),
+         ("c2", 0, "table scan big merge join")],
+        "conv_id string, turn_idx int, text string",
+    )
+    t2 = spark.createDataFrame(
+        [("c3", 0, "table scan big merge join")],
+        "conv_id string, turn_idx int, text string",
+    )
+    e = spark.createDataFrame(
+        [("c1", 0, 0, 1), ("c1", 0, 1, 2), ("c1", 0, 4, 3),
+         ("c2", 0, 1, 2), ("c2", 0, 4, 3),
+         # self-relation (same canonical vertex twice) must be dropped
+         ("c3", 0, 0, 9), ("c3", 0, 2, 9)],
+        "conv_id string, turn_idx int, mention_idx int, obj_vertex bigint",
+    )
+    t = t.unionByName(t2)
+    got = [
+        (r["subj_vertex"], r["pred"], r["obj_vertex"], r["n"], r["n_convs"])
+        for r in kg_open_relations(e, t).collect()
+    ]
+    assert got == [(2, "big", 3, 2, 2)]
