@@ -1505,3 +1505,78 @@ def test_open_relations_extracts_connective_predicates(spark):
         for r in kg_open_relations(e, t).collect()
     ]
     assert got == [(2, "big", 3, 2, 2)]
+
+
+def test_scc_randomized_vs_kosaraju_transcription(spark):
+    """Seeded randomized parity: the distributed FW-BW coloring must equal
+    a pure-Python Kosaraju SCC on 20 random digraphs (n <= 8, varying
+    density) — the same brute-force-vs-plan pattern as the BGP test."""
+    import random
+
+    from ed_twitter_spark.operators.graph import kg_scc
+
+    def kosaraju(verts, edges):
+        fwd, bwd = {}, {}
+        for v in verts:
+            fwd.setdefault(v, []), bwd.setdefault(v, [])
+        for s, d in edges:
+            fwd[s].append(d), bwd[d].append(s)
+        order, seen = [], set()
+
+        def dfs1(v):
+            stack = [(v, iter(fwd[v]))]
+            seen.add(v)
+            while stack:
+                node, it = stack[-1]
+                adv = next((w for w in it if w not in seen), None)
+                if adv is None:
+                    order.append(node)
+                    stack.pop()
+                else:
+                    seen.add(adv)
+                    stack.append((adv, iter(fwd[adv])))
+
+        for v in sorted(verts):
+            if v not in seen:
+                dfs1(v)
+        label, assigned = {}, set()
+        for v in reversed(order):
+            if v in assigned:
+                continue
+            comp, stack = [], [v]
+            assigned.add(v)
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for w in bwd[u]:
+                    if w not in assigned:
+                        assigned.add(w)
+                        stack.append(w)
+            m = min(comp)
+            for u in comp:
+                label[u] = m
+        return label
+
+    rng = random.Random(4242)
+    for case in range(20):
+        n = rng.randint(2, 8)
+        density = rng.choice([0.15, 0.3, 0.5])
+        edges = [
+            (u, v)
+            for u in range(n)
+            for v in range(n)
+            if u != v and rng.random() < density
+        ]
+        if not edges:
+            edges = [(0, 1)]
+        verts = sorted({x for e in edges for x in e})
+        # feed the raw edge list through the succession builder's input
+        # shape: one synthetic conversation per edge
+        ev = spark.createDataFrame(
+            [(f"c{i}", 0, 0, s) for i, (s, d) in enumerate(edges)]
+            + [(f"c{i}", 1, 0, d) for i, (s, d) in enumerate(edges)],
+            "conv_id string, turn_idx int, mention_idx int, obj_vertex bigint",
+        )
+        got = {r["vertex_id"]: r["scc_id"] for r in kg_scc(ev).collect()}
+        want = kosaraju(verts, edges)
+        assert got == want, f"case {case}: {got} != {want} (edges={edges})"
