@@ -585,3 +585,38 @@ def test_loop_profile_single_conv_exchange(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
         assert "conv_id" in m.group(1), plan
+
+
+def test_conv_echo_no_join_no_python(spark):
+    """The echo profile is one conv-partitioned window plus per-row JVM
+    array algebra: no join of any kind, no Python stage, and every
+    Exchange hashes on conv_id."""
+    from ed_twitter_spark.plans.registry import queries
+
+    plan = plan_of(queries()["conv_echo"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+        assert "conv_id" in m.group(1), plan
+
+
+def test_key_turns_conv_keyed_no_cartesian(spark):
+    """TextRank's similarity self-join and iteration joins all key on
+    conv_id — never a cartesian or nested-loop pairing."""
+    from ed_twitter_spark.plans.registry import queries
+
+    plan = plan_of(queries()["conv_key_turns"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_open_relations_no_cartesian_conv_keyed(spark):
+    """The relation extractor is a LEAD window over linked mentions plus
+    one co-partitioned (conv_id, turn_idx) join to fetch token arrays."""
+    from ed_twitter_spark.plans.registry import queries
+
+    plan = plan_of(queries()["kg_open_relations"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
