@@ -520,6 +520,13 @@ WHERE len(ba) >= {ECHO_MIN_BIGRAMS}
 TEXTRANK_ITERS = 3
 TEXTRANK_D = 0.85
 KEY_TURNS_K = 2
+# Similarity edges only between turns within this turn-distance — the
+# windowed-similarity form of TextRank. Without it the per-conversation
+# pair fan-out is turns², which a single viral conversation (10^5-10^6
+# turns at corpus scale) turns into a 10^10-pair straggler; the band
+# makes it <= 2*BAND*turns, linear, while keeping the local-coherence
+# signal the score actually uses.
+KEY_TURNS_BAND = 16
 
 
 def key_turns(transcripts: DataFrame) -> DataFrame:
@@ -527,11 +534,12 @@ def key_turns(transcripts: DataFrame) -> DataFrame:
     turns per conversation by TextRank; ties break to the earlier turn.
 
     Plan shape: ONE conv_id-keyed self-join builds the similarity
-    edges (fan-out bounded by turns-per-conversation squared — the same
-    bounded pattern as the coref and edge-evidence self-joins, never
-    corpus²); each iteration is an edge join + a (conv_id, turn)-keyed
-    aggregate, co-partitioned on conv_id throughout, so at 10^12 turns
-    the whole computation is per-conversation local with one exchange.
+    edges, banded to |Δturn| ≤ KEY_TURNS_BAND so the fan-out is
+    LINEAR in conversation length (≤ 2·BAND·turns) — a viral 10⁶-turn
+    conversation contributes ~3·10⁷ pairs, not 10¹²; each iteration is
+    an edge join + a (conv_id, turn)-keyed aggregate, co-partitioned on
+    conv_id throughout, so at 10^12 turns the whole computation is
+    per-conversation local with one exchange.
     """
     t = transcripts.select(
         "conv_id",
@@ -545,7 +553,13 @@ def key_turns(transcripts: DataFrame) -> DataFrame:
     uni = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     edges = (
         a.join(b, on="conv_id")
-        .where(F.col("a.turn_idx") != F.col("b.turn_idx"))
+        .where(
+            (F.col("a.turn_idx") != F.col("b.turn_idx"))
+            & (
+                F.abs(F.col("a.turn_idx") - F.col("b.turn_idx"))
+                <= KEY_TURNS_BAND
+            )
+        )
         .select(
             "conv_id",
             F.col("a.turn_idx").alias("src"),
@@ -634,6 +648,7 @@ e AS (
             - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) AS w
   FROM t a JOIN t b
     ON a.conv_id = b.conv_id AND a.turn_idx <> b.turn_idx
+   AND abs(a.turn_idx - b.turn_idx) <= {KEY_TURNS_BAND}
   WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) > 0
 ),
 outw AS (SELECT conv_id, src, SUM(w) AS wout FROM e GROUP BY conv_id, src),
