@@ -3434,3 +3434,80 @@ def q_kg_open_relations(spark, sf_dir: str) -> DataFrame:
     return kg_open_relations(
         q_kg_edges(spark, sf_dir), synth.transcripts(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# the resolver dictionary — the pipeline's exportable entity-resolution map
+# ---------------------------------------------------------------------------
+
+
+def kg_resolver_dict(
+    mentions: DataFrame, kb: DataFrame, components: DataFrame
+) -> DataFrame:
+    """(mention, n_occurrences, top_entity, top_prior, canonical) — the
+    artifact a consumer of the whole pipeline actually exports: one row
+    per observed mention surface with its corpus evidence count, the
+    prior-argmax KB entity and its p(e|m), and the CANONICAL vertex the
+    CC pass resolved the surface to (NULL for surfaces the linker never
+    grounded). Serving systems load this dictionary to resolve incoming
+    text without re-running the pipeline; it is also the join key set
+    for federating this KG with an external one.
+
+    Plan shape: one surface-keyed aggregate over the mention stream
+    (map-side combined — the surface domain is vocabulary-bounded, tiny
+    next to 10^12 mention events), then two broadcast attaches
+    (rank-1 KB row, CC label). Nothing here shuffles more than once.
+    """
+    surf = mentions.groupBy("mention").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    kb1 = kb.where(F.col("rank") == 1).select(
+        "mention",
+        F.col("ent_name").alias("top_entity"),
+        F.round("prior", 6).alias("top_prior"),
+    )
+    lab = components.select(
+        F.col("node"), F.col("component").alias("canonical")
+    )
+    return (
+        surf.join(F.broadcast(kb1), on="mention", how="left")
+        .join(
+            F.broadcast(lab),
+            F.concat(F.lit("m:"), F.col("mention")) == F.col("node"),
+            "left",
+        )
+        .select("mention", "n_occurrences", "top_entity", "top_prior", "canonical")
+        .orderBy("mention")
+    )
+
+
+def kg_resolver_dict_oracle_sql() -> str:
+    return (
+        _graph_base_sql()
+        + """,
+surf AS (
+  SELECT mention, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM m GROUP BY mention
+)
+SELECT s.mention,
+       s.n_occurrences,
+       kb1.ent_name            AS top_entity,
+       ROUND(kb1.prior, 6)     AS top_prior,
+       c.component             AS canonical
+FROM surf s
+LEFT JOIN (SELECT * FROM kb WHERE rank = 1) kb1 ON s.mention = kb1.mention
+LEFT JOIN comp c ON c.node = 'm:' || s.mention
+ORDER BY s.mention
+"""
+    )
+
+
+def q_kg_resolver_dict(spark, sf_dir: str) -> DataFrame:
+    from ed_twitter_spark import synth
+    from ed_twitter_spark.operators.canonicalize import components_for
+    from ed_twitter_spark.operators.mentions import detect_mentions
+
+    m = detect_mentions(synth.transcripts(spark, sf_dir))
+    return kg_resolver_dict(
+        m, synth.kb_alias(spark, sf_dir), components_for(spark, sf_dir)
+    )

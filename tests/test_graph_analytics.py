@@ -1580,3 +1580,29 @@ def test_scc_randomized_vs_kosaraju_transcription(spark):
         got = {r["vertex_id"]: r["scc_id"] for r in kg_scc(ev).collect()}
         want = kosaraju(verts, edges)
         assert got == want, f"case {case}: {got} != {want} (edges={edges})"
+
+
+def test_resolver_dict_covers_grounded_and_ungrounded_surfaces(spark):
+    from ed_twitter_spark.operators.graph import kg_resolver_dict
+
+    m = spark.createDataFrame(
+        [("c1", 0, 0, "table"), ("c1", 0, 1, "table"), ("c1", 1, 0, "ghost")],
+        "conv_id string, turn_idx int, mention_idx int, mention string",
+    )
+    kb = spark.createDataFrame(
+        [("table", "E1_table", 0.9, 1), ("table", "E2_table", 0.1, 2)],
+        "mention string, ent_name string, prior double, rank int",
+    )
+    comp = spark.createDataFrame(
+        [("m:table", "E1_table"), ("e:E1_table", "E1_table")],
+        "node string, component string",
+    )
+    got = {r["mention"]: r for r in kg_resolver_dict(m, kb, comp).collect()}
+    assert set(got) == {"table", "ghost"}
+    t = got["table"]
+    assert (t["n_occurrences"], t["top_entity"], t["top_prior"], t["canonical"]) == (
+        2, "E1_table", 0.9, "E1_table",
+    )
+    g = got["ghost"]  # never in the KB: exported with NULL resolution
+    assert g["n_occurrences"] == 1
+    assert g["top_entity"] is None and g["canonical"] is None
