@@ -3511,3 +3511,49 @@ def q_kg_resolver_dict(spark, sf_dir: str) -> DataFrame:
     return kg_resolver_dict(
         m, synth.kb_alias(spark, sf_dir), components_for(spark, sf_dir)
     )
+
+
+def kg_relations_partial(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Per-batch partial state for the relation table: (subj_vertex,
+    pred, obj_vertex, n, n_convs) over ONE conversation slice. Both
+    counts are additive across slices because the LEAD window never
+    crosses a conversation (a conversation lives wholly in one daily
+    ingest batch), so the fold below is a plain SUM — the same
+    partial-count contract as ``kb_alias_partial_counts``."""
+    return kg_open_relations(edges, transcripts)
+
+
+def kg_relations_fold(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two partial relation states: SUM of both counters on the
+    (subj, pred, obj) key. Associative and commutative, so daily batches
+    fold in any order and the result is bit-equal to a full recompute."""
+    return (
+        a.unionByName(b)
+        .groupBy("subj_vertex", "pred", "obj_vertex")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("n_convs").cast("bigint").alias("n_convs"),
+        )
+        .orderBy("subj_vertex", "pred", "obj_vertex")
+    )
+
+
+def q_kg_relations_incremental(spark, sf_dir: str) -> DataFrame:
+    """Registry query: the relation table built INCREMENTALLY — the even
+    conv-hash slice's partial state folded with the odd slice's — must
+    equal the from-scratch ``kg_open_relations`` (oracle = that SQL
+    verbatim, the incremental-≡-full contract every state table here
+    honors). The slice key is the md5 of conv_id, the same
+    arrival-batch surrogate ``plans/incremental.py`` uses."""
+    from ed_twitter_spark import synth
+
+    t = synth.transcripts(spark, sf_dir)
+    e = q_kg_edges(spark, sf_dir)
+    even = F.expr("conv(substring(md5(conv_id), 1, 4), 16, 10) % 2 = 0")
+    parts = [
+        kg_relations_partial(
+            e.where(cond), t.where(cond)
+        )
+        for cond in (even, ~even)
+    ]
+    return kg_relations_fold(parts[0], parts[1])

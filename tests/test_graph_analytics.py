@@ -1606,3 +1606,32 @@ def test_resolver_dict_covers_grounded_and_ungrounded_surfaces(spark):
     g = got["ghost"]  # never in the KB: exported with NULL resolution
     assert g["n_occurrences"] == 1
     assert g["top_entity"] is None and g["canonical"] is None
+
+
+def test_relations_fold_equals_full_recompute(spark):
+    from ed_twitter_spark.operators.graph import (
+        kg_open_relations,
+        kg_relations_fold,
+        kg_relations_partial,
+    )
+
+    t = spark.createDataFrame(
+        [("c1", 0, "table scan big merge join"),
+         ("c2", 0, "table scan big merge join")],
+        "conv_id string, turn_idx int, text string",
+    )
+    e = spark.createDataFrame(
+        [("c1", 0, 1, 2), ("c1", 0, 4, 3), ("c2", 0, 1, 2), ("c2", 0, 4, 3)],
+        "conv_id string, turn_idx int, mention_idx int, obj_vertex bigint",
+    )
+    full = kg_open_relations(e, t).collect()
+    folded = kg_relations_fold(
+        kg_relations_partial(
+            e.where("conv_id = 'c1'"), t.where("conv_id = 'c1'")
+        ),
+        kg_relations_partial(
+            e.where("conv_id = 'c2'"), t.where("conv_id = 'c2'")
+        ),
+    ).collect()
+    assert sorted(map(tuple, folded)) == sorted(map(tuple, full))
+    assert folded[0]["n"] == 2 and folded[0]["n_convs"] == 2
