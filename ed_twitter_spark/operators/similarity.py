@@ -1172,3 +1172,119 @@ SELECT CAST((SELECT COUNT(DISTINCT query_id) FROM exact_topk) AS INTEGER) AS n_q
        ROUND(n_hits * 1.0 / ((SELECT COUNT(DISTINCT query_id) FROM exact_topk) * {TOP_K}), 6) AS recall
 FROM hits
 """
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — the coarse quantizer and the PQ codes composed, as in FAISS
+# ---------------------------------------------------------------------------
+#
+# ann_ivf_topk prunes WHICH vectors a query scores (nprobe cells of
+# ~n/K members); ann_pq_topk cheapens HOW each vector is scored (M_SUB
+# table lookups instead of d multiplies) but still scans everything.
+# Production ANN at 10⁹ vectors needs both at once — Jégou et al.'s
+# IVFADC: per query, score ONLY the probed cells' members, and score
+# them by asymmetric distance against the PQ codes. Cost per query
+# drops from n·d multiplies to NPROBE·(n/K)·M_SUB lookups plus one
+# M_SUB·K_PQ lookup-table build.
+
+
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, vec_id, adc) — top-k by PQ asymmetric distance
+    restricted to each query's NPROBE nearest coarse cells.
+
+    Plan shape: the candidate pair list (query_id, vec_id) is the
+    cell-key join of the coarse assignment against the broadcast probe
+    table — Σ probed-cell sizes, never n·Q; each candidate then picks up
+    its M_SUB codes by one vec_id-keyed join and its per-subspace
+    distances from the broadcast LUT, and ONE map-side-combined
+    aggregation sums them. Nothing vector-width ever shuffles: cells,
+    codes and LUT rows are all scalar-row tables."""
+    emb = _emb_double(spark, sf_dir)
+    cents = _centroids_for(spark, sf_dir)
+    corpus_cells = _assign(emb, cents).select("cid", "vec_id")
+    probes = _assign(
+        emb.where(F.col("vec_id") < N_QUERIES), cents, n=NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+    cand = (
+        corpus_cells.join(
+            F.broadcast(probes), F.col("cid") == F.col("pcid")
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codebook = _pq_codebook(emb)
+    codes = _pq_assign(_subvectors(emb), codebook).select(
+        "vec_id", "sub", F.col("cid").alias("code")
+    )
+    qsv = _subvectors(emb.where(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    lut = qsv.join(codebook, on="sub").select(
+        "query_id", "sub", F.col("cid").alias("code"),
+        _sqdist(F.col("qsv"), F.col("cvec")).alias("d"),
+    )
+    scored = (
+        cand.join(codes, on="vec_id")
+        .join(F.broadcast(lut), on=["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 4).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "adc")
+    )
+
+
+# twin: both k-means chains in one WITH; the PQ body re-declares `emb`,
+# so its duplicate first CTE is dropped before splicing
+_PQ_BODY_NO_EMB = _PQ_BODY.split(",\n", 1)[1]
+
+ANN_IVFADC_SQL = f"""
+WITH {_KMEANS_BODY},
+{_PQ_BODY_NO_EMB},
+ccells AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQD_SQL}, c.cid) AS nn
+    FROM emb e CROSS JOIN {_KMEANS_FINAL} c
+  ) WHERE nn = 1
+),
+cprobes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQD_SQL}, c.cid) AS nn
+    FROM emb e CROSS JOIN {_KMEANS_FINAL} c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE nn <= {NPROBE}
+),
+cand AS (
+  SELECT p.query_id, x.vec_id
+  FROM ccells x JOIN cprobes p ON x.cid = p.cid AND x.vec_id <> p.query_id
+),
+pqcodes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT e.vec_id, e.sub, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.sub ORDER BY {_SV_SQD_SQL}, c.cid) AS nn
+    FROM sv e JOIN {_PQ_FINAL} c ON c.sub = e.sub
+  ) WHERE nn = 1
+),
+adclut AS (
+  SELECT e.vec_id AS query_id, e.sub, c.cid AS code, {_SV_SQD_SQL} AS d
+  FROM sv e JOIN {_PQ_FINAL} c ON c.sub = e.sub
+  WHERE e.vec_id < {N_QUERIES}
+),
+adcscored AS (
+  SELECT cd.query_id, cd.vec_id, ROUND(SUM(l.d), 4) AS adc
+  FROM cand cd
+  JOIN pqcodes k ON k.vec_id = cd.vec_id
+  JOIN adclut l ON l.query_id = cd.query_id AND l.sub = k.sub AND l.code = k.code
+  GROUP BY cd.query_id, cd.vec_id
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS INTEGER) AS rank,
+       vec_id, adc
+FROM adcscored
+QUALIFY rank <= {TOP_K}
+"""

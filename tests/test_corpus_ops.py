@@ -911,3 +911,33 @@ def test_lang_audit_flags_only_confident_disagreements(spark, tmp_path):
     got = {r["doc_id"]: (r["lang_declared"], r["lang_pred"])
            for r in lang_audit(spark, str(tmp_path)).collect()}
     assert got == {1: ("fr", "en")}
+
+
+def test_ivfadc_candidates_respect_probed_cells(spark):
+    """Every IVFADC result pair must lie inside one of its query's NPROBE
+    probed coarse cells (the pruning contract), and each query returns at
+    most TOP_K rows with contiguous ranks."""
+    from ed_twitter_spark.operators import similarity as sim
+
+    emb = sim._emb_double(spark, SF_SMOKE)
+    cents = sim._centroids_for(spark, SF_SMOKE)
+    cells = {
+        r["vec_id"]: r["cid"]
+        for r in sim._assign(emb, cents).select("vec_id", "cid").collect()
+    }
+    probed: dict[int, set] = {}
+    for r in (
+        sim._assign(emb.where("vec_id < %d" % sim.N_QUERIES), cents, n=sim.NPROBE)
+        .select("vec_id", "cid")
+        .collect()
+    ):
+        probed.setdefault(r["vec_id"], set()).add(r["cid"])
+    rows = sim.ann_ivfadc_topk(spark, SF_SMOKE).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert cells[r["vec_id"]] in probed[r["query_id"]], r
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= sim.TOP_K
