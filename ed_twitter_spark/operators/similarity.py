@@ -1288,3 +1288,54 @@ SELECT query_id,
 FROM adcscored
 QUALIFY rank <= {TOP_K}
 """
+
+
+def ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_queries, k, n_hits, recall) — recall@TOP_K of the composed
+    IVFADC path vs the brute-force cosine baseline: the joint loss of
+    cell pruning (ann_recall measures it alone) AND code quantization
+    (ann_pq_recall measures it alone). The production tuning loop reads
+    this number against the byte/probe budget; on the isotropic fixture
+    it sits at the documented adversarial floor like the PQ recall."""
+    ivfadc = ann_ivfadc_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = exact.join(ivfadc, ["query_id", "vec_id"], "left_semi")
+    return exact.agg(
+        F.countDistinct("query_id").cast("int").alias("n_queries"),
+        F.lit(TOP_K).cast("int").alias("k"),
+    ).crossJoin(
+        hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    ).select(
+        "n_queries",
+        "k",
+        "n_hits",
+        F.round(F.col("n_hits") / (F.col("n_queries") * F.col("k")), 6).alias("recall"),
+    )
+
+
+ANN_IVFADC_RECALL_SQL = f"""
+WITH ivfadc AS ({ANN_IVFADC_SQL}),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_SQL} AS cos
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+exact_topk AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM exact_scored
+  QUALIFY rank <= {TOP_K}
+),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM exact_topk e WHERE EXISTS (
+    SELECT 1 FROM ivfadc i
+    WHERE i.query_id = e.query_id AND i.vec_id = e.vec_id
+  )
+)
+SELECT CAST((SELECT COUNT(DISTINCT query_id) FROM exact_topk) AS INTEGER) AS n_queries,
+       CAST({TOP_K} AS INTEGER) AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits * 1.0 / ((SELECT COUNT(DISTINCT query_id) FROM exact_topk) * {TOP_K}), 6) AS recall
+FROM hits
+"""

@@ -667,6 +667,9 @@ def _register_corpus_ops():
     )
     register("ann_pq_topk", sim.ANN_PQ_TOPK_SQL)(sim.ann_pq_topk)
     register("ann_ivfadc_topk", sim.ANN_IVFADC_SQL)(sim.ann_ivfadc_topk)
+    register("ann_ivfadc_recall", sim.ANN_IVFADC_RECALL_SQL)(
+        sim.ann_ivfadc_recall
+    )
     register("ann_pq_recall", sim.ANN_PQ_RECALL_SQL)(sim.ann_pq_recall)
     register("embed_cosine_pairs", sim.EMBED_PAIRS_SQL)(sim.embed_cosine_pairs)
     register("mm_assets", mm.MM_ASSETS_SQL)(mm.mm_assets)
