@@ -663,3 +663,51 @@ ranked AS (
 SELECT conv_id, turn_idx, CAST(rank AS INTEGER) AS rank, ROUND(s, 6) AS score
 FROM ranked WHERE rank <= {KEY_TURNS_K}
 """
+
+
+def conv_summary_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, n_kept, summary) — the extractive summary document:
+    the TextRank key turns re-joined to their text and concatenated in
+    TURN order (summaries read chronologically regardless of rank).
+    This is the consumer composition of :func:`key_turns` — the string
+    a budgeted annotation or embedding pass actually stores.
+
+    Plan shape: the key-turn table (K rows per conversation) joins the
+    transcript on (conv_id, turn_idx) — co-partitioned on the table's
+    own clustering key — then one conv-keyed aggregate builds the
+    ordered concat via array_sort over (turn_idx, text) structs, so the
+    ordering is engine-invariant without a window."""
+    t = synth.transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    kt = key_turns(t).select("conv_id", "turn_idx")
+    j = kt.join(t, on=["conv_id", "turn_idx"])
+    return (
+        j.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("summary"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def conv_summary_render_oracle_sql() -> str:
+    return f"""
+WITH kt AS ({conv_key_turns_oracle_sql()}),
+tr AS ({synth.TRANSCRIPTS_SQL}),
+j AS (
+  SELECT kt.conv_id, kt.turn_idx, tr.text
+  FROM kt JOIN tr ON tr.conv_id = kt.conv_id AND tr.turn_idx = kt.turn_idx
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS INTEGER) AS n_kept,
+       string_agg(text, ' ' ORDER BY turn_idx) AS summary
+FROM j GROUP BY conv_id ORDER BY conv_id
+"""

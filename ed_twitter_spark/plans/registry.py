@@ -1017,6 +1017,9 @@ def _register_transcript_stats():
     register("conv_key_turns", tst.conv_key_turns_oracle_sql())(
         tst.conv_key_turns
     )
+    register("conv_summary_render", tst.conv_summary_render_oracle_sql())(
+        tst.conv_summary_render
+    )
 
 
 _register_transcript_stats()
