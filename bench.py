@@ -73,6 +73,29 @@ def run(spark, names=None, sf_dir=SF_DIR):
     names = [n for n in (names or HEADLINE) if n in qs]
     timings = {}
     n_triples = 0
+    # Untimed input warmup, mirroring tools/scaling_bench.py's warmup
+    # discipline: fault the parquet inputs into the OS page cache and
+    # spin up the executor read path before any timer starts. The
+    # driver's one-shot bench otherwise charges the host's cold file
+    # cache to whichever rows happen to run first (measured: 64.8 s
+    # cold vs 37.1 s warm on the same tree and host window — almost all
+    # of it landing on _shared_build and link_embed).
+    from pyspark.sql import functions as _F
+
+    for _name in ("documents", "embeddings", "events"):
+        _p = f"{sf_dir}/{_name}.parquet"
+        if os.path.exists(_p):
+            _df = spark.read.parquet(_p)
+            # bit_xor can't overflow (ANSI mode forbids a plain SUM here)
+            # and the hash over all columns defeats column pruning, so
+            # the scan faults every page
+            _df.select(
+                _F.expr(
+                    "bit_xor(xxhash64("
+                    + ", ".join(f"`{c}`" for c in _df.columns)
+                    + "))"
+                )
+            ).collect()
     synth.enable_shared_cache(True)
     try:
         t0 = time.time()
