@@ -3557,3 +3557,85 @@ def q_kg_relations_incremental(spark, sf_dir: str) -> DataFrame:
         for cond in (even, ~even)
     ]
     return kg_relations_fold(parts[0], parts[1])
+
+
+# ---------------------------------------------------------------------------
+# the one-row KG datasheet — the graph-side analog of corpus_datasheet
+# ---------------------------------------------------------------------------
+
+
+def kg_summary(edges: DataFrame) -> DataFrame:
+    """(n_triples, n_entities, n_vertices, n_convs, n_coedges, max_degree,
+    density) — the single-row overview a KG release note leads with:
+    linked-triple volume, raw and canonical entity counts, asserting
+    conversations, the undirected co-occurrence edge count, the hub
+    degree, and graph density 2E/(V(V−1)) (directed coedge count is
+    already 2E). Everything is two aggregates over tables the analytics
+    suite derives anyway: one over the linked-edge stream, one over the
+    vertex-pair-sized co-occurrence edge list; the scalar rows cross-join
+    at the end. VoID gives the per-predicate breakdown; this is the
+    headline row above it.
+    """
+    from ed_twitter_spark.caching import persist_tracked
+
+    lk = edges.where(F.col("obj_vertex").isNotNull())
+    base = lk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+        F.countDistinct("obj").cast("bigint").alias("n_entities"),
+        F.countDistinct("obj_vertex").cast("bigint").alias("n_vertices"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+    )
+    e = persist_tracked(cooccurrence_edges(edges))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    co = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_coedges")).crossJoin(
+        deg.agg(F.max("deg").cast("bigint").alias("max_degree"))
+    )
+    return (
+        base.crossJoin(F.broadcast(co))
+        .select(
+            "n_triples",
+            "n_entities",
+            "n_vertices",
+            "n_convs",
+            "n_coedges",
+            "max_degree",
+            F.when(
+                F.col("n_vertices") > 1,
+                F.round(
+                    F.col("n_coedges")
+                    / (F.col("n_vertices") * (F.col("n_vertices") - 1)),
+                    6,
+                ),
+            ).alias("density"),
+        )
+    )
+
+
+def kg_summary_oracle_sql() -> str:
+    return (
+        _kg_edges_named_sql()
+        + f""",
+{_COEDGES_SQL.lstrip()},
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT)                   AS n_triples,
+         CAST(COUNT(DISTINCT obj) AS BIGINT)        AS n_entities,
+         CAST(COUNT(DISTINCT obj_vertex) AS BIGINT) AS n_vertices,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT)    AS n_convs
+  FROM kge WHERE obj_vertex IS NOT NULL
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM coedges GROUP BY src),
+co AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM coedges) AS n_coedges,
+         (SELECT CAST(MAX(deg) AS BIGINT) FROM deg)     AS max_degree
+)
+SELECT n_triples, n_entities, n_vertices, n_convs, n_coedges, max_degree,
+       CASE WHEN n_vertices > 1
+            THEN ROUND(n_coedges * 1.0 / (n_vertices * (n_vertices - 1)), 6)
+       END AS density
+FROM base CROSS JOIN co
+"""
+    )
+
+
+def q_kg_summary(spark, sf_dir: str) -> DataFrame:
+    return kg_summary(q_kg_edges(spark, sf_dir))

@@ -478,6 +478,9 @@ def _register_graph():
     register("kg_resolver_dict", graph_ops.kg_resolver_dict_oracle_sql())(
         graph_ops.q_kg_resolver_dict
     )
+    register("kg_summary", graph_ops.kg_summary_oracle_sql())(
+        graph_ops.q_kg_summary
+    )
     register(
         "kg_relations_incremental", graph_ops.kg_open_relations_oracle_sql()
     )(graph_ops.q_kg_relations_incremental)
