@@ -1635,3 +1635,21 @@ def test_relations_fold_equals_full_recompute(spark):
     ).collect()
     assert sorted(map(tuple, folded)) == sorted(map(tuple, full))
     assert folded[0]["n"] == 2 and folded[0]["n_convs"] == 2
+
+
+def test_kg_summary_counts_on_hand_fixture(spark):
+    from ed_twitter_spark.operators.graph import kg_summary
+
+    # two conversations: c1 links e1,e2 (verts 1,2); c2 links e2,e3
+    # (verts 2,3). Co-occurrence edges (directed): {1-2, 2-3} x2 = 4;
+    # hub vertex 2 has degree 2; density 4/(3*2) = 0.666667.
+    e = spark.createDataFrame(
+        [("c1", 0, 0, "e1", 1), ("c1", 1, 0, "e2", 2),
+         ("c2", 0, 0, "e2", 2), ("c2", 1, 0, "e3", 3),
+         ("c2", 2, 0, "NILX", None)],
+        "conv_id string, turn_idx int, mention_idx int, obj string, obj_vertex bigint",
+    )
+    row = kg_summary(e).collect()[0]
+    assert (row["n_triples"], row["n_entities"], row["n_vertices"]) == (4, 3, 3)
+    assert (row["n_convs"], row["n_coedges"], row["max_degree"]) == (2, 4, 2)
+    assert row["density"] == 0.666667
